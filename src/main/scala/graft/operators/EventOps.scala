@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact._
+import graft.sources.Tables._
+
+/** CDC / event-stream analytics over the `events` table — the batch face of
+  * the reference's CDC semantics (SURVEY.md §2.5, §2.9):
+  *
+  *  - latest-state materialization (W1): the whole point of the reference's
+  *    delete-rewrite + unwrap chain (cdc_pipeline_dag.py:142-147) is that a
+  *    consumer can compact the change log to current rows per key;
+  *  - per-type counts (A3): mirrors monitor-pipeline.sh:55-59's per-topic
+  *    message counting;
+  *  - time partition derivation (S7): the HDFS sink's
+  *    `year=/month=/day=/hour=` layout (cdc_pipeline_dag.py:193-195);
+  *  - tumbling event-time windows (T6): Structured Streaming's batch
+  *    equivalent via `window(ts, …)`;
+  *  - JSON property extraction (S5): schemaless `props` handled with an
+  *    explicit pattern, never inference.
+  *
+  * Scale notes: latest-state is one shuffle on the key (window over
+  * user_id) — at 100 TB this is the unavoidable shuffle, and it's the only
+  * one; everything downstream of the rank-filter is pipelined. Per-type and
+  * per-hour aggregations are hash-aggs with map-side partials.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W1: compact the event log to the latest row per user.
+    "cdc_latest_state" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A3: event counts + exact money sums per type.
+    "cdc_counts_by_type" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // S7: derive the reference sink's year/month/day/hour partition columns
+    // from the record timestamp and count events per partition.
+    "cdc_time_partition" -> ((s, d) => {
+      events(s, d)
+        .withColumn("y", year(col("ts")))
+        .withColumn("m", month(col("ts")))
+        .withColumn("dd", dayofmonth(col("ts")))
+        .withColumn("h", hour(col("ts")))
+        .groupBy(col("y"), col("m"), col("dd"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("m"), col("dd"), col("h"))
+    }),
+
+    // T6: tumbling 1-hour event-time window per type (batch form of the
+    // streaming windowed aggregation; see graft.streaming for the stream).
+    "cdc_hourly_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // S5: schemaless JSON props → typed column with an explicit pattern.
+    "cdc_props_extract" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // W2: per-user event ordering with lag — inter-event gap in seconds.
+    "cdc_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_s",
+          (col("ts").cast("long") - col("prev_ts").cast("long")))
+        .select(col("user_id"), col("event_id"), col("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_latest_state" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_counts_by_type" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_time_partition" ->
+      """SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
+                CAST(EXTRACT(month FROM ts) AS INT) AS m,
+                CAST(EXTRACT(day FROM ts) AS INT) AS dd,
+                CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                count(*) AS n
+         FROM events GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""",
+    "cdc_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "cdc_props_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+         CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_event_gaps" ->
+      """SELECT user_id, event_id,
+         CAST(date_diff('second',
+           lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           ts) AS BIGINT) AS gap_s
+         FROM events ORDER BY user_id, event_id""",
+  )
+}

@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact._
+import graft.sources.Tables._
+
+/** Relational operator surface (SURVEY.md §2.2–§2.7): projection, filter,
+  * equi/left/semi/anti joins, group/distinct/rollup aggregation, window
+  * functions, sort / limit / top-k, set operations.
+  *
+  * The reference exercises these through Hive SQL over its unified CDC event
+  * table and through its workload generator's SQL
+  * (reference scripts/monitor-pipeline.sh:109-113,
+  * test-generator/generate_test_data.py:247-251); here they are expressed as
+  * declarative DataFrame plans so Catalyst does pushdown, pruning, join
+  * selection and whole-stage codegen.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins (region/nation/supplier/customer-at-small-SF) are
+  *    explicitly `broadcast()` so the fact table never shuffles for them;
+  *  - fact-fact joins (orders⋈lineitem) are plain equi-joins → sort-merge
+  *    with AQE free to pick better at runtime;
+  *  - all aggregates are exact decimal sums (see [[graft.functions.Exact]])
+  *    which also makes them order-independent, i.e. safe under any
+  *    partitioning;
+  *  - every query ends in either a group-by (small output) or a top-k
+  *    (`TakeOrderedAndProject`) — no unbounded global sorts except where the
+  *    operator itself is "global sort", which Spark executes as a
+  *    range-partitioned sort.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- aggregation: hash-agg with partial (map-side) combine ----
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued → exact
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"), // exact sum / count
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- filter + projection: both must reach the parquet scan ----
+    "q02_filter_project" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape) ----
+    "q03_shipping_priority" -> ((s, d) => {
+      val cut = to_timestamp(lit("1998-01-01"))
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < cut)
+      val l = lineitem(s, d).filter(col("l_shipdate") >= cut)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(decSum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- semi-join driven aggregation ----
+    "q04_priority_count" -> ((s, d) => {
+      val heavy = lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"))
+      orders(s, d)
+        .join(heavy, col("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- 6-way star join with broadcast dims (TPC-H Q5 shape) ----
+    "q05_region_revenue" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d)
+      val c = customer(s, d)
+      val sup = supplier(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- scan-only aggregate, fully pushed filters (TPC-H Q6 shape) ----
+    "q06_forecast_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(decSum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // ---- top-k: must plan as TakeOrderedAndProject, not a global sort ----
+    "q07_top_orders" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- anti join (reference: LEFT JOIN + IS NULL,
+    //      test-generator/generate_test_data.py:247-251) ----
+    "q08_customers_no_orders" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"))
+      customer(s, d)
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- semi join ----
+    "q09_customers_with_f_orders" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      customer(s, d)
+        .join(o, col("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- left outer join + agg, preserving customers with zero orders ----
+    "q10_customer_order_stats" -> ((s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+          moneySum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- union-by-name (the reference's unified event table is a
+    //      null-padded UNION ALL, cdc_pipeline_dag.py:360-383) ----
+    "q11_union_priorities" -> ((s, d) => {
+      val o = orders(s, d)
+      val hi = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), lit("lo").as("bucket"))
+      hi.unionByName(lo).orderBy(col("o_orderkey"), col("bucket"))
+    }),
+
+    // ---- set difference ----
+    "q12_f_not_o_customers" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(op).orderBy(col("o_custkey"))
+    }),
+
+    // ---- distinct aggregate ----
+    "q13_distinct_parts" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- rollup (multi-level aggregate) ----
+    "q14_rollup_qty" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- window: ranking (top-3 orders per customer) ----
+    "q15_top3_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- window: lag / event ordering (SURVEY W2) ----
+    "q16_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_date", lag(to_date(col("o_orderdate")), 1).over(w))
+        .withColumn("gap_days",
+          datediff(to_date(col("o_orderdate")), col("prev_date")))
+        .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- window: running aggregate with explicit frame ----
+    "q17_running_revenue" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("running_rev",
+          sum(money(col("l_extendedprice"))).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_rev"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate >= TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q04_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q06_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q07_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q08_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q09_customers_with_f_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q10_customer_order_stats" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q11_union_priorities" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_orderpriority = '5-LOW'
+         ORDER BY o_orderkey, bucket""",
+    "q12_f_not_o_customers" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q13_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q14_rollup_qty" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q15_top3_orders_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q16_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day',
+           lag(CAST(o_orderdate AS DATE), 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q17_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+         FROM lineitem WHERE l_suppkey <= 10
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Similarity search over the `embeddings` table (north star).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the query
+  * vector, compute cosine as a codegen'd higher-order-function expression
+  * (`aggregate` over `zip_with` — no UDF), `TakeOrderedAndProject` for the
+  * top-k. At 100 TB this scans once with zero shuffles (the top-k is a
+  * per-partition heap + driver merge).
+  *
+  * The scale path (LSH-bucketed ANN) lives in [[graft.operators.Ann]]; this
+  * file holds the oracle-checkable exact variants.
+  *
+  * Determinism: embeddings are float32; both sides are cast to double before
+  * any arithmetic, products/sums run in array order (sequential fold), and
+  * the published similarity is rounded to 4 decimals, which also makes the
+  * top-k cutoff stable across engines.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Σ aᵢ·bᵢ over two array<double> columns, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-20 against the vec_id=0 embedding.
+    "sim_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv"))
+      e.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("ev"))
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(cosine(col("ev"), col("qv")), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Vector stats: dimension + rounded L2 norm per vector (scan-only).
+    "sim_vector_norms" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(l2norm(asDouble(col("embedding"))), 4).as("norm"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+           round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qv),
+                   p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
+                * sqrt(list_sum(list_transform(qv, x -> x*x)))), 4) AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 20""",
+    "sim_vector_norms" ->
+      """SELECT vec_id, CAST(length(embedding) AS INT) AS dim,
+         round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS norm
+         FROM embeddings ORDER BY vec_id""",
+  )
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Parquet loaders for the driver testdata (see /root/repo/TESTDATA.md).
+  *
+  * All engine queries take the scale-factor directory as a parameter and go
+  * through these loaders, so scan-level concerns (format, pushdown options,
+  * future bucketing) are controlled in one place. Schema comes from the
+  * parquet footer — these are engine-internal tables, not untrusted input
+  * (untrusted JSON ingest goes through [[CdcSchemas]] with explicit schemas).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as
+    * nanos-since-epoch long and convert to a microsecond TimestampType with
+    * exact integer arithmetic (DIV — a double division would lose precision
+    * above 2^53 ns). The testdata carries microsecond precision, so the
+    * conversion is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

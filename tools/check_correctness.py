@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ parquet (Spark output) and oracle_sql.json,
+runs each oracle against the sf parquet tables in DuckDB, and compares
+schemas + values exactly (columns sorted by name, rows in result order).
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            want = con.sql(oracle[name]).fetchall()
+            want_cols = [d[0] for d in con.sql(oracle[name]).description]
+            got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got, got_cols = got_rel.fetchall(), [d[0] for d in got_rel.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols oracle={want_cols} spark={got_cols}")
+            n_fail += 1; continue
+        # reorder spark cols to oracle order
+        idx = [got_cols.index(c) for c in want_cols]
+        got = [tuple(r[i] for i in idx) for r in got]
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows oracle={len(want)} spark={len(got)}")
+            n_fail += 1; continue
+        bad = [(i, w, g) for i, (w, g) in enumerate(zip(want, got)) if w != g]
+        if bad:
+            i, w, g = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(want)} rows differ; "
+                  f"first at {i}:\n  oracle={w}\n  spark ={g}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
