@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.CdcSchemas
+
+/** The CDC operator core (SURVEY.md §2.2 P1–P4, §2.5 W1–W2, §2.1 S5–S9) as
+  * pure `DataFrame => DataFrame` transformations — the Spark-native
+  * re-expression of what the reference configures declaratively in its
+  * Debezium SMT chain (reference airflow/dags/cdc_pipeline_dag.py:142-151)
+  * and its HDFS sink (cdc_pipeline_dag.py:184-209).
+  *
+  * Everything here is a narrow (shuffle-free) transformation except
+  * [[latestState]], which needs exactly one shuffle on the key — the
+  * theoretical minimum for log compaction. At 100 TB: events pipeline
+  * straight from the scan through unwrap/rewrite/enrich/partition-derive
+  * into the partitioned writer; compaction shuffles once on
+  * (table_name, id).
+  */
+object Cdc {
+
+  /** S5: decode schemaless JSON lines against an explicit schema,
+    * PERMISSIVE mode — malformed records land in `_corrupt` instead of
+    * failing the pipeline (the reference's errors.tolerance=all,
+    * cdc_pipeline_dag.py:203-205) and absent fields are null-padded
+    * (JsonSerDe semantics, cdc_pipeline_dag.py:384).
+    */
+  def readJsonEvents(spark: SparkSession, schema: StructType,
+      path: String): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    // text + from_json (not spark.read.json): keeps the corrupt column a
+    // plain materialized column (json() forbids queries touching only
+    // _corrupt_record), and is the same decode used on the stream path.
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select("r.*")
+  }
+
+  /** S5 (streaming shape): decode a JSON string column against a schema. */
+  def decodeJson(raw: Column, schema: StructType): Column =
+    from_json(raw, schema, Map("mode" -> "PERMISSIVE"))
+
+  /** P4: drop Kafka tombstones (null-payload records) before decode
+    * (drop.tombstones=false keeps them on the topic,
+    * cdc_pipeline_dag.py:144,147 — consumers must filter).
+    */
+  def dropTombstones(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+
+  /** P1+P2: Debezium envelope {before,after,source,op} → flat row: the
+    * `after` image for c/u/r, the `before` image for d (delete-rewrite
+    * keeps the last row image, cdc_pipeline_dag.py:145), plus metadata
+    * columns op/table_name/lsn (add.fields=op,table,lsn,
+    * cdc_pipeline_dag.py:146).
+    */
+  def unwrap(envelope: DataFrame): DataFrame = {
+    val img = when(col("op") === "d", col("before")).otherwise(col("after"))
+    val rowFields = envelope.schema("after").dataType
+      .asInstanceOf[StructType].fieldNames
+    val flat = rowFields.map(n => img.getField(n).as(n))
+    envelope.select(flat ++ Seq(
+      col("op"),
+      col("source.table").as("table_name"),
+      col("source.lsn").as("lsn")): _*)
+  }
+
+  /** P3: soft-delete rewrite — a DELETE becomes a normal record carrying
+    * `__deleted='true'` (string, matching the wire format in
+    * delete.handling.mode=rewrite) instead of disappearing.
+    */
+  def softDeleteRewrite(df: DataFrame): DataFrame =
+    df.withColumn("__deleted",
+      when(col("op") === "d", lit("true")).otherwise(lit("false")))
+
+  /** §2.7: union per-table event streams into the unified 22-column event
+    * lake by column name with null padding — then assert the result matches
+    * the declared schema exactly (guards against silent drift, SURVEY.md §7
+    * risk register).
+    */
+  def unify(parts: Seq[DataFrame]): DataFrame = {
+    val target = CdcSchemas.unified
+    val padded = parts.map { df =>
+      val have = df.columns.toSet
+      val cols = target.fields.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols: _*)
+    }
+    val out = padded.reduce(_.unionByName(_)).to(target)
+    require(out.schema.map(f => (f.name, f.dataType)) ==
+        target.map(f => (f.name, f.dataType)),
+      s"unified schema drift:\n got ${out.schema.treeString}\n" +
+        s"want ${target.treeString}")
+    out
+  }
+
+  /** LSN sort key: the reference's lsn is a Postgres `X/Y` hex pair; order
+    * events by its numeric value ((hi << 32) | lo), never lexically.
+    */
+  def lsnOrd(lsn: Column): Column =
+    shiftleft(conv(substring_index(lsn, "/", 1), 16, 10).cast("long"), 32) +
+      conv(substring_index(lsn, "/", -1), 16, 10).cast("long")
+
+  /** W1: latest-state materialization — compact the change log to the
+    * current row per key, excluding soft-deleted rows. One shuffle on the
+    * key columns; ordering within key by the supplied monotone order
+    * columns (lsn, ts, …).
+    */
+  def latestState(events: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(_.desc): _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .filter(not(coalesce(col("__deleted") === "true", lit(false))))
+  }
+
+  /** S7: derive the reference sink's time-partition columns
+    * `year=/month=/day=/hour=` from the record timestamp
+    * (timestamp.extractor=Record, cdc_pipeline_dag.py:193-195).
+    */
+  def withTimePartitions(df: DataFrame, ts: Column): DataFrame =
+    df.withColumn("year", year(ts))
+      .withColumn("month", month(ts))
+      .withColumn("day", dayofmonth(ts))
+      .withColumn("hour", hour(ts))
+
+  /** S6: time-partitioned event-lake writer. The reference appends gzip
+    * JSON (cdc_pipeline_dag.py:190,197); the engine's at-rest format of
+    * record is columnar parquet (format="parquet") with the same layout —
+    * pass format="json", compression="gzip" for wire-compatible output.
+    */
+  def writeTimePartitioned(df: DataFrame, path: String,
+      format: String = "parquet", compression: String = "snappy"): Unit =
+    df.write.mode("append")
+      .partitionBy("year", "month", "day", "hour")
+      .option("compression", compression)
+      .format(format)
+      .save(path)
+
+  /** Count-conservation probe (reference monitor-pipeline.sh:55-58 vs
+    * :109): events in == events at rest, per table.
+    */
+  def countsByTable(df: DataFrame): DataFrame =
+    df.groupBy(col("table_name")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming face of the CDC pipeline (SURVEY.md §2.9).
+  *
+  * The reference's delivery chain — Debezium → Kafka → HDFS JSON sink with
+  * flush.size=10 / rotate.interval.ms=60000 (reference
+  * airflow/dags/cdc_pipeline_dag.py:184-209) — maps to one StreamingQuery:
+  * file/Kafka source → unwrap/rewrite/enrich (batch operators from
+  * [[graft.operators.Cdc]] work unchanged on streaming frames) →
+  * checkpointed, time-partitioned sink. Checkpointing upgrades the
+  * reference's at-least-once (T2) to exactly-once for file sinks.
+  *
+  * Scale notes: the windowed aggregation state is bounded by the watermark
+  * (T6); the upsert state in [[latestState]] holds one row per live key —
+  * at 100 TB of *events* that's proportional to the key cardinality, not
+  * the event count, and Spark shards it by the grouping key across
+  * executors (RocksDB state store in prod).
+  */
+object CdcStream {
+
+  /** S1 (repo shape): deterministic file-backed CDC source — newline JSON
+    * decoded against an explicit schema, bounded files-per-trigger to model
+    * the sink's batching (T1, flush.size=10).
+    */
+  def jsonEventStream(spark: SparkSession, schema: StructType, path: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** T6: watermarked tumbling-window counts + sums over event time. */
+  def windowedStats(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("ws"), col(keyCol), col("n"),
+        col("sum_value"))
+
+  /** T7/W1 (streaming): stateful upsert view — keep the maximal-order event
+    * per key via flatMapGroupsWithState, emitting the new current row for
+    * every key updated in the micro-batch. `ord` must be monotone per key
+    * (WAL LSN / event ts); late or duplicate events lose to the kept state,
+    * making the view idempotent under redelivery (T2/T3).
+    */
+  def latestState[K, E](ds: Dataset[E], key: E => K, ord: E => Long)(
+      implicit ke: Encoder[K], ee: Encoder[E],
+      se: Encoder[(Long, E)], oe: Encoder[(K, E)]): Dataset[(K, E)] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Long, E), (K, E)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: K, events: Iterator[E], state: GroupState[(Long, E)]) =>
+          val incoming = events.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val bestIn = incoming.maxBy(ord)
+            val keep = state.getOption match {
+              case Some((o, e)) if o >= ord(bestIn) => (o, e)
+              case _ => (ord(bestIn), bestIn)
+            }
+            state.update(keep)
+            Iterator((k, keep._2))
+          }
+      }
+
+  /** S6/S7: checkpointed, time-partitioned sink. Requires year/month/day/
+    * hour columns (from Cdc.withTimePartitions). Parquet by default;
+    * format="json" + compression="gzip" reproduces the reference's wire
+    * format (cdc_pipeline_dag.py:190,197).
+    */
+  def startPartitionedSink(df: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet", compression: String = "snappy",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", compression)
+      .partitionBy("year", "month", "day", "hour")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .start()
+}

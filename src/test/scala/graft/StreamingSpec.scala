@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Cdc
+import graft.sources.Tables
+import graft.streaming.CdcStream
+
+/** Structured Streaming tests (SURVEY.md §2.9): file-backed CDC source,
+  * watermarked windowed aggregation == batch equivalent, stateful
+  * latest-state upsert across micro-batches, checkpointed partitioned sink
+  * with count conservation (monitor-pipeline.sh reconciliation analog).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming windowed stats == batch groupBy on the same data") {
+    val src = tmp("graft-stream-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(2).write.mode("overwrite").json(src)
+
+    val schema = events.schema
+    val stream = CdcStream.jsonEventStream(spark, schema, src,
+      maxFilesPerTrigger = 1)
+    val agg = CdcStream.windowedStats(stream, "ts", "event_type", "value")
+    val q = agg.writeStream.format("memory").queryName("winstats")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("winstats")
+      .select($"ws", $"event_type", $"n")
+      .orderBy($"ws", $"event_type").collect().toSeq
+    val want = events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .orderBy($"ws", $"event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("stateful latest-state upsert converges across micro-batches") {
+    val evSchema = Encoders.product[Ev].schema
+    val src = tmp("graft-upsert-src")
+    val log = Seq(
+      Ev("t", 1, "a0", 0, "c"), Ev("t", 2, "b0", 1, "c"),
+      Ev("t", 1, "a1", 2, "u"), Ev("t", 2, "b1", 3, "u"),
+      Ev("t", 2, "", 4, "d"), Ev("t", 3, "c0", 5, "c"))
+    // two files → at least two micro-batches with maxFilesPerTrigger=1
+    log.take(3).toDF().coalesce(1).write.mode("overwrite")
+      .json(src + "/p1")
+    log.drop(3).toDF().coalesce(1).write.mode("append").json(src + "/p1")
+
+    val ds = CdcStream.jsonEventStream(spark, evSchema, src + "/p1",
+      maxFilesPerTrigger = 1).as[Ev]
+    val state = CdcStream.latestState[Long, Ev](ds, _.id, _.seq)
+    val q = state.toDF("id", "ev").writeStream.format("memory")
+      .queryName("upsert").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last emission per key is the converged state
+    val emissions = spark.table("upsert").select($"id", $"ev.name", $"ev.seq",
+      $"ev.op").as[(Long, String, Long, String)].collect()
+    val last = emissions.groupBy(_._1).map { case (k, es) =>
+      k -> es.maxBy(_._3)
+    }
+    assert(last(1L)._2 === "a1")
+    assert(last(2L)._4 === "d") // delete is the terminal state for key 2
+    assert(last(3L)._2 === "c0")
+  }
+
+  test("checkpointed partitioned sink conserves event counts") {
+    val src = tmp("graft-sink-src")
+    val out = tmp("graft-sink-out")
+    val chk = tmp("graft-sink-chk")
+    val events = Tables.events(spark, sf)
+    events.coalesce(4).write.mode("overwrite").json(src)
+
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src,
+      maxFilesPerTrigger = 2)
+    val partitioned = Cdc.withTimePartitions(stream, $"ts")
+    val q = CdcStream.startPartitionedSink(partitioned, out, chk,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === events.count()) // count conservation
+    assert(back.columns.contains("hour"))
+
+    // exactly-once on restart: rerunning with the same checkpoint adds 0
+    val q2 = CdcStream.startPartitionedSink(
+      Cdc.withTimePartitions(
+        CdcStream.jsonEventStream(spark, events.schema, src), $"ts"),
+      out, chk, trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === events.count())
+  }
+}
