@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures._
+import graft.sources.Tables._
+
+/** Document deduplication — the north-star training-data operators: exact
+  * hash dedup lives in [[TextOps]] (`dedup_exact`); here are the near-dup
+  * families: MinHash+LSH, exact n-gram Jaccard via an inverted index,
+  * SimHash banding, and blocked embedding-cosine pairs.
+  *
+  * Scale design (100 TB):
+  *  - MinHash: one explode+groupBy computes all k=128 signature mins in a
+  *    single shuffle with map-side partial min; banding turns the quadratic
+  *    pair search into an equi-join on (band, band_hash) — only documents
+  *    sharing a band ever meet, and the join key is 16 bytes, never the
+  *    text.
+  *  - The candidate pairs are then *verified* with exact Jaccard, so LSH
+  *    recall/precision only affects completeness, never correctness of what
+  *    is emitted; band count (16×8 over k=128) puts detection probability at
+  *    ~0.95 for J=0.8 and ≥1-1e-5 for J≥0.92.
+  *  - n-gram Jaccard: classic inverted index (explode n-grams, self-join on
+  *    the gram, count per pair). Shuffles on the gram — bounded fan-out as
+  *    long as gram document-frequency is bounded; production adds a
+  *    df-cap filter on ultra-frequent grams.
+  *  - SimHash: 64-bit signature from sign-summed token hashes; 4×16-bit
+  *    bands guarantee (pigeonhole) that any pair within Hamming distance 3
+  *    shares an exact band, so the band equi-join has perfect recall for
+  *    d≤3.
+  *  - Embedding near-dup is blocked by the `label` column (dedup within a
+  *    shard/source is the practical pattern) — all-pairs only within a
+  *    block; cross-block search belongs to ANN ([[Ann]]).
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 128     // minhash permutations
+  private val Bands = 16  // bands × rows = K
+  private val Rows = 8
+
+  /** doc_id → distinct char-5-gram shingle set. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the shingle sets; emits pairs with round(J,4) >= threshold.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      thr: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sha"), col("shb")), 4))
+      .filter(col("jaccard") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on
+    // char 5-gram shingles.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sets = shingleSets(s, d)
+      val grams = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+      val minAggs = (0 until K).map(j => min(minhashPerm(col("g"), j)).as(s"m$j"))
+      val sig = grams.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * Rows until (b + 1) * Rows).map(j => col(s"m$j")): _*)
+            .as("bh"))
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val a = banded.toDF("doc_a", "band", "bh")
+      val b = banded.toDF("doc_b", "band", "bh")
+      val cand = a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      verifyJaccard(cand, sets, 0.8)
+    }),
+
+    // Exact token-trigram Jaccard via inverted index, J >= 0.5.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sets = documents(s, d)
+        .select(col("doc_id"), tokenNgrams(col("text"), 3).as("sh"))
+      val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+      val x = inv.toDF("doc_a", "g")
+      val y = inv.toDF("doc_b", "g")
+      val common = x.join(y, Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      val sz = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+      common
+        .join(sz.toDF("doc_a", "sza"), "doc_a")
+        .join(sz.toDF("doc_b", "szb"), "doc_b")
+        .withColumn("jaccard", round(
+          col("c").cast("double") / (col("sza") + col("szb") - col("c")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup: 64-bit sign-sum signature over token hashes,
+    // 4×16-bit band join, Hamming distance <= 3. Engine-specific hashing →
+    // no SQL oracle (driver does rows-only); properties are spec-tested.
+    "dedup_simhash" -> ((s, d) => {
+      val sims = simhash(documents(s, d))
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("bh"))
+      }
+      val banded = sims
+        .select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val a = banded.toDF("doc_a", "sim_a", "band", "bh")
+      val b = banded.toDF("doc_b", "sim_b", "band", "bh")
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding-cosine near-dup, blocked by label (dedup within a
+    // shard/source): all pairs within a block with cosine >= 0.30.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val v = embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ev"))
+      val a = v.toDF("vec_a", "label", "ev_a")
+      val b = v.toDF("vec_b", "label", "ev_b")
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
+        .filter(col("cos") >= 0.30)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+  )
+
+  /** 64-bit SimHash per document: hash each token, sum ±1 per bit position
+    * weighted by occurrence, take the sign vector as the signature bits.
+    * One explode + one groupBy (64 partial-agg sums), single shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(getbit(col("h"), lit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** DuckDB twins. The shingle/ngram constructions mirror the Spark
+    * expressions exactly (distinct sets, same n, same rounding), so the
+    * exact-Jaccard outputs are bit-identical; the oracle searches all pairs
+    * where the engine searches LSH candidates — at the data's similarity
+    * levels (min true pair J≈0.93) LSH detection probability is ≥ 1-1e-5,
+    * i.e. the outputs agree.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(length(text)-4, 1)+1),
+             i -> substr(text, CAST(i AS INT), 5))) AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) AS cos
+         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
+         ORDER BY vec_a, vec_b""",
+  )
+}

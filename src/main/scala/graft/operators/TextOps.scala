@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFeatures
 import graft.sources.Tables._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -59,6 +60,44 @@ object TextOps {
         .limit(20)
     }),
 
+    // Language-ID by n-gram/marker-word heuristic: per-language stopword
+    // occurrence scores, argmax with fixed priority. Pure scalar regexes —
+    // zero shuffles at any scale.
+    "text_lang_id" -> ((s, d) => {
+      val scored = TextFeatures.LangMarkers.foldLeft(documents(s, d)) {
+        case (df, (lang, pat)) =>
+          df.withColumn(s"s_$lang", TextFeatures.langScore(col("text"), pat))
+      }
+      val scores = TextFeatures.LangMarkers.map {
+        case (lang, _) => lang -> col(s"s_$lang")
+      }
+      scored
+        .withColumn("pred_lang", TextFeatures.langPredict(scores))
+        .select(col("doc_id") +: scores.map(_._2) :+ col("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: polynomial rolling hash over the character
+    // stream (order-sensitive, unlike bag-of-words hashes).
+    "text_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          TextFeatures.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish token classes: word / number / punctuation token counts per
+    // document (the tokenizer-regex shape used for token-count estimates).
+    "text_token_classes" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_word", regexp_count(col("text"), lit("[A-Za-z]+")))
+        .withColumn("n_num", regexp_count(col("text"), lit("[0-9]+")))
+        .withColumn("n_punct",
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
+        .select(col("doc_id"), col("n_word"), col("n_num"), col("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -71,6 +110,35 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lang_id" ->
+      """SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\b(the|a|is|of|and)\b')) AS INT) AS s_en,
+           CAST(length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INT) AS s_de,
+           CAST(length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS INT) AS s_fr,
+           CAST(length(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS INT) AS s_es,
+           CAST(length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INT) AS s_zh,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh'
+           END AS pred_lang
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, greatest(length(text),1)+1),
+                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "text_token_classes" ->
+      """SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_word,
+           CAST(length(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+           CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_punct
+         FROM documents ORDER BY doc_id""",
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS len,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS word_cnt,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, DedupOps, SimilarityOps}
+
+/** Specs for the approximate / engine-specific training-data operators that
+  * have no exact DuckDB twin (ANN, SimHash), plus LSH-vs-exact agreement.
+  */
+class DedupAnnSpec extends SparkSpec {
+
+  test("ann_ivf_topk has recall@20 >= 0.5 vs brute-force cosine") {
+    val ann = Ann.queries("ann_ivf_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = SimilarityOps.queries("sim_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.size == 20)
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@20 = $recall")
+  }
+
+  test("minhash LSH finds every pair that exact ngram-Jaccard>=0.8 finds") {
+    // LSH candidates are verified with exact Jaccard, so precision is exact
+    // by construction; this checks recall against the all-pairs truth.
+    val lsh = DedupOps.queries("dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.TextFeatures._
+    import graft.sources.Tables
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
+    val a = sets.toDF("doc_a", "sha")
+    val b = sets.toDF("doc_b", "shb")
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(round(jaccard(col("sha"), col("shb")), 4) >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain near-duplicate pairs")
+    assert(lsh == truth, s"missed=${truth -- lsh} extra=${lsh -- truth}")
+  }
+
+  test("simhash: identical docs share signatures; banding finds dup pairs") {
+    val out = DedupOps.queries("dedup_simhash")(spark, sf)
+    // exact duplicates (same text) have Hamming distance 0 and must appear
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val exactDupPairs = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .toDF("doc_a", "h")
+      .join(docs.select(col("doc_id").as("doc_b"), sha2(col("text"), 256).as("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = out.filter(col("hamming") === 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDupPairs.subsetOf(found),
+      s"missing exact dups: ${exactDupPairs -- found}")
+  }
+}
