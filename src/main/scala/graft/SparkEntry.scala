@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, DedupOps, EventOps, Relational, SimilarityOps, TextOps}
+import graft.operators.{Ann, DedupOps, EventOps, Relational, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries
+      SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
+      TemporalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles
+      SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles ++
+      TemporalOps.oracles
 }
