@@ -17,11 +17,22 @@ object TextFeatures {
   /** Distinct character n-gram shingles of `text` (MinHash/Jaccard input).
     * Texts shorter than n yield one truncated shingle rather than none, so
     * every document has a non-empty set.
+    *
+    * NOTE `array_distinct` on an m-element array is O(m²) string compares
+    * in interpreted (non-codegen) HOF eval — fine for specs and small
+    * columns, but hot paths should use [[charShinglesAll]] + `explode` +
+    * `distinct()` so the dedup runs in Spark's codegen'd hash aggregate.
     */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(transform(
+    array_distinct(charShinglesAll(text, n))
+
+  /** All (non-distinct) character n-gram shingles — pair with
+    * `explode(...).distinct()` for the scalable distinct-shingle postings.
+    */
+  def charShinglesAll(text: Column, n: Int): Column =
+    transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n))))
+      i => text.substr(i, lit(n)))
 
   /** Distinct word n-grams (token shingles) of whitespace-tokenized text. */
   def tokenNgrams(text: Column, n: Int): Column = {
