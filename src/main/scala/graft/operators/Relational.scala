@@ -195,6 +195,51 @@ object Relational {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- cube (all grouping combinations) ----
+    "q18_cube_qty" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- grouping sets (SQL surface; parsed by Catalyst) ----
+    "q19_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty, count(*) AS n
+               FROM lineitem_v
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // ---- approximate distinct (HLL++): the 100 TB substitute for exact
+    //      count(DISTINCT) — mergeable sketch state, single shuffle, no
+    //      per-key explosion. Engine-specific estimate → no SQL oracle
+    //      (driver rows-only); PlanSpec bounds the error vs exact. ----
+    "q20_approx_distinct_parts" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- scalar subquery: filter against a computed global aggregate;
+    //      the 1-row aggregate is broadcast, the fact scan never shuffles.
+    //      l_quantity is integer-valued so the avg is exact in IEEE double
+    //      on both engines. ----
+    "q21_above_avg_qty" -> ((s, d) => {
+      val avgQ = lineitem(s, d).agg(avg(col("l_quantity")).as("aq"))
+      lineitem(s, d)
+        .join(broadcast(avgQ))
+        .filter(col("l_quantity") > col("aq"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- window: ranking (top-3 orders per customer) ----
     "q15_top3_orders_per_cust" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -316,6 +361,19 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q18_cube_qty" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q21_above_avg_qty" ->
+      """SELECT l_returnflag, count(*) AS n_above
+         FROM lineitem
+         WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q15_top3_orders_per_cust" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

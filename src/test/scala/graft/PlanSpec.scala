@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Physical-plan shape assertions — the 100 TB design claims, checked
+  * against what Catalyst actually planned, so a regression that silently
+  * de-optimizes a query (lost pushdown, broadcast fallback to shuffle,
+  * global sort instead of top-k) fails CI rather than only showing up in
+  * BENCH numbers.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filters and projection are pushed to the parquet scan") {
+    val p = plan(Relational.queries("q02_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)") ||
+      p.contains("GreaterThan(l_quantity,45)"), p)
+    // projection pruning: ReadSchema carries only the 5 selected columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_discount") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q03: dimension join is a broadcast, not a shuffle") {
+    val p = plan(Relational.queries("q03_shipping_priority")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.queries("q07_top_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial (map-side) + final, whole-stage codegen") {
+    val df = Relational.queries("q01_pricing_summary")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    // AQE finalizes the plan (incl. codegen stages) only after execution
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*("),
+      executed)
+  }
+
+  test("q08: anti join semantics keep only customers without orders") {
+    val p = plan(Relational.queries("q08_customers_no_orders")(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("approx_count_distinct is within 5% of exact per group") {
+    val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+}
