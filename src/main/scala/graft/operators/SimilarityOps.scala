@@ -31,7 +31,19 @@ object SimilarityOps {
   def l2norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine as a composition of built-in higher-order functions — the
+    * reference formulation [[graft.functions.VectorExprs.CosineSimilarity]]
+    * is spec-checked against (HOFs evaluate interpreted, so the hot paths
+    * use the fused codegen'd expression instead).
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Fused single-traversal codegen'd cosine (bit-identical to
+    * [[cosineHof]]; see VectorExprsSpec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+/** The custom codegen'd CosineSimilarity expression: bit-equality with the
+  * HOF reference formulation, null semantics, SQL registration, and that
+  * it actually stays inside whole-stage codegen.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+
+  test("cosine_sim is bit-identical to the aggregate/zip_with formulation") {
+    val q = vecs.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+    val both = vecs.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorExprs.cosineSim(col("ev"), col("qv")).as("fused"),
+        SimilarityOps.cosineHof(col("ev"), col("qv")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r)
+    }
+  }
+
+  test("null semantics: null array, length mismatch, null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorExprs.cosineSim(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1).isDefined && math.abs(out(1).get - 1.0) < 1e-12)
+    assert(out(2).isEmpty, "length mismatch must be null")
+    val withNulls = df.select(col("id"),
+      VectorExprs.cosineSim(lit(null).cast("array<double>"), col("b")).as("c"))
+      .collect()
+    assert(withNulls.forall(_.isNullAt(1)), "null array must be null")
+  }
+
+  test("cosine_sim registers and resolves in SQL") {
+    VectorExprs.registerFunctions(spark)
+    vecs.createOrReplaceTempView("vecs_v")
+    val r = spark.sql(
+      """SELECT v.vec_id, cosine_sim(v.ev, q.ev) AS sim
+         FROM vecs_v v CROSS JOIN (SELECT ev FROM vecs_v WHERE vec_id = 0) q
+         ORDER BY sim DESC, vec_id LIMIT 3""").collect()
+    assert(r.length == 3 && r.head.getLong(0) == 0L &&
+      math.abs(r.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    val q = vecs.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+    val df = vecs.crossJoin(broadcast(q))
+      .select(VectorExprs.cosineSim(col("ev"), col("qv")).as("sim"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*("),
+      executed)
+  }
+}
