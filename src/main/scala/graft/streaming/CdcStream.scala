@@ -44,6 +44,38 @@ object CdcStream {
       .select(col("window.start").as("ws"), col(keyCol), col("n"),
         col("sum_value"))
 
+  /** T6: watermarked SLIDING-window counts (overlapping windows; each event
+    * lands in windowLen/slide windows).
+    */
+  def slidingStats(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col(keyCol), col("n"))
+
+  /** T6: watermarked SESSION windows — a gap of `gap` silence closes the
+    * session; state is bounded by the watermark.
+    */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col(keyCol), col("n"))
+
+  /** T2: idempotence under at-least-once redelivery — drop duplicate
+    * event ids with state bounded by the watermark (the streaming face of
+    * the reference's Kafka-offset-replay tolerance,
+    * connect-distributed.properties:13).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** T7/W1 (streaming): stateful upsert view — keep the maximal-order event
     * per key via flatMapGroupsWithState, emitting the new current row for
     * every key updated in the micro-batch. `ord` must be monotone per key

@@ -76,6 +76,86 @@ class StreamingSpec extends SparkSpec {
     assert(last(3L)._2 === "c0")
   }
 
+  test("streaming sliding windows == batch sliding windows") {
+    val src = tmp("graft-slide-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(2).write.mode("overwrite").json(src)
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src)
+    val agg = CdcStream.slidingStats(stream, "ts", "event_type",
+      "1 hour", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("slidestats")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slidestats")
+      .orderBy($"ws", $"event_type").collect().toSeq
+    val want = events
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .orderBy($"ws", $"event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val src = tmp("graft-sess-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(2).write.mode("overwrite").json(src)
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src)
+    val agg = CdcStream.sessionStats(stream, "ts", "user_id", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessstats")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessstats")
+      .orderBy($"user_id", $"ss").collect().toSeq
+    // batch reference over the SAME round-tripped data — the JSON wire
+    // format carries millisecond precision, so comparing against the
+    // microsecond parquet would diff in session bounds, not semantics
+    val roundtripped = spark.read.schema(events.schema).json(src)
+    val want = roundtripped
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ss"), $"session_window.end".as("se"),
+        $"user_id", $"n")
+      .orderBy($"user_id", $"ss").collect().toSeq
+    assert(got.nonEmpty && got === want)
+    // conservation: every event lands in exactly one session
+    val total = spark.table("sessstats").agg(sum($"n")).collect()(0).getLong(0)
+    assert(total === events.count())
+  }
+
+  test("dropDuplicatesWithinWatermark makes redelivery idempotent") {
+    val src = tmp("graft-dedup-src")
+    val events = Tables.events(spark, sf).limit(200)
+    // deliver everything twice (at-least-once redelivery)
+    events.coalesce(1).write.mode("overwrite").json(src)
+    events.coalesce(1).write.mode("append").json(src)
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src)
+    val deduped = CdcStream.dedupWithinWatermark(stream, Seq("event_id"), "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedupstream").count() === events.count())
+  }
+
+  test("stream-static enrichment join matches the batch join") {
+    val src = tmp("graft-enrich-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(2).write.mode("overwrite").json(src)
+    val dim = events.select($"user_id").distinct()
+      .withColumn("tier", when($"user_id" % 2 === 0, "even").otherwise("odd"))
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src)
+    val joined = stream.join(dim, Seq("user_id"))
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich").orderBy($"tier").collect().toSeq
+    val want = events.join(dim, Seq("user_id"))
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .orderBy($"tier").collect().toSeq
+    assert(got === want)
+  }
+
   test("checkpointed partitioned sink conserves event counts") {
     val src = tmp("graft-sink-src")
     val out = tmp("graft-sink-out")
