@@ -124,6 +124,16 @@ object Cdc {
       .filter(not(coalesce(col("__deleted") === "true", lit(false))))
   }
 
+  /** W1 (time travel): table state AS OF a given LSN — filter the log to
+    * events at-or-before the target, then compact. This is the CDC
+    * state-at-time query the reference's soft-delete/unwrap chain exists
+    * to make possible; same single shuffle as [[latestState]].
+    */
+  def stateAt(events: DataFrame, keys: Seq[String], lsnCol: Column,
+      asOfLsn: Long): DataFrame =
+    latestState(events.filter(lsnOrd(lsnCol) <= asOfLsn), keys,
+      Seq(lsnOrd(lsnCol)))
+
   /** S7: derive the reference sink's time-partition columns
     * `year=/month=/day=/hour=` from the record timestamp
     * (timestamp.extractor=Record, cdc_pipeline_dag.py:193-195).

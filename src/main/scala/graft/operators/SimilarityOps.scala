@@ -69,6 +69,21 @@ object SimilarityOps {
           round(l2norm(asDouble(col("embedding"))), 4).as("norm"))
         .orderBy(col("vec_id"))
     }),
+
+    // Per-label centroids: posexplode to (label, pos, x), one shuffle on
+    // (label, pos). Elements are rounded to 6 decimals in double FIRST
+    // (float→decimal cast rules differ across engines at the 9th digit),
+    // then summed as exact DECIMAL(18,6) — order-independent, safe under
+    // any partitioning — and divided by the count in double.
+    "sim_label_centroids" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .withColumn("pos", (col("p") + 1).cast("int"))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +101,13 @@ object SimilarityOps {
       """SELECT vec_id, CAST(length(embedding) AS INT) AS dim,
          round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS norm
          FROM embeddings ORDER BY vec_id""",
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS pos
+                    FROM embeddings)
+         SELECT label, CAST(pos AS INT) AS pos,
+           CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
   )
 }

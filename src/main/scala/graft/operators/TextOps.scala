@@ -98,6 +98,28 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms: tf and df from one tokenization pass, the
+    // vocabulary-sized df table broadcast back, idf as exact integer ratio
+    // N/df in IEEE double (deterministic across engines). Top-k via
+    // TakeOrderedAndProject.
+    "text_tfidf_top" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * (col("n").cast("double") / col("df")), 4))
+        .select(col("doc_id"), col("token"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("token"))
+        .limit(20)
+    }),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -156,6 +178,16 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "text_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, token,
+           round(tf * (CAST(n AS DOUBLE) / df), 4) AS score
+         FROM tf JOIN df USING (token), n
+         ORDER BY score DESC, doc_id, token LIMIT 20""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS text_hash

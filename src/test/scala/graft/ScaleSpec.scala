@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Skew}
+import graft.sources.Tables
+
+/** Scale-technique specs: bucketed co-located joins (no exchange), salted
+  * joins for skew (identical results), and CDC state-at-LSN time travel.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val db = "graft_buckets"
+    // the in-memory catalog forgets tables between JVMs but their physical
+    // locations survive — clear them or CTAS fails LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+    spark.sql(s"DROP TABLE IF EXISTS $db.customer_b")
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"$db.db")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(warehouse)
+    }
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"$db.orders_b")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(s"$db.customer_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.customer_b"),
+          $"o_custkey" === $"c_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the key: no Exchange in the plan
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() === Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+        .count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("salted join == plain join on a skewed key") {
+    val events = Tables.events(spark, sf) // event_type: 5 hot values
+    val dim = events.select($"event_type").distinct()
+      .withColumn("weight", length($"event_type"))
+    val plain = events.join(dim, Seq("event_type"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"weight").as("w"))
+      .orderBy($"event_type").collect().toSeq
+    val salted = Skew.saltedJoin(events, dim, "event_type", salts = 8)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"weight").as("w"))
+      .orderBy($"event_type").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("salted two-stage count == plain groupBy count") {
+    val events = Tables.events(spark, sf)
+    val plain = events.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(events, $"event_type", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("stateAt reconstructs table state as of an LSN") {
+    val log = Seq(
+      // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
+      (1L, "a0", "c", "0/10"), (2L, "b0", "c", "0/20"),
+      (1L, "a1", "u", "0/30"), (2L, null, "d", "0/40"),
+      (3L, "c0", "c", "1/00")) // 1/00 > 0/FF numerically
+      .toDF("id", "name", "op", "lsn")
+    val events = Cdc.softDeleteRewrite(log)
+    def state(asOf: Long) =
+      Cdc.stateAt(events, Seq("id"), $"lsn", asOf)
+        .select($"id", $"name").collect().map(r =>
+          r.getLong(0) -> r.getString(1)).toMap
+    // after 0/20: both inserts visible
+    assert(state(0x20L) === Map(1L -> "a0", 2L -> "b0"))
+    // after 0/30: key 1 updated
+    assert(state(0x30L) === Map(1L -> "a1", 2L -> "b0"))
+    // after 0/40: key 2 deleted
+    assert(state(0x40L) === Map(1L -> "a1"))
+    // after 1/00 (hi word): key 3 exists
+    assert(state((1L << 32)) === Map(1L -> "a1", 3L -> "c0"))
+  }
+}
