@@ -85,6 +85,17 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // S2/P5: regex include-list filter — the reference's table.include.list
+    // / topics.regex predicate (cdc_pipeline_dag.py:137,186) over the
+    // event-type dimension.
+    "cdc_type_filter" -> ((s, d) => {
+      events(s, d)
+        .filter(col("event_type").rlike("^(click|view)$"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // W2: per-user event ordering with lag — inter-event gap in seconds.
     "cdc_event_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -124,6 +135,10 @@ object EventOps {
          CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_type_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE regexp_matches(event_type, '^(click|view)$')
+         GROUP BY event_type ORDER BY event_type""",
     "cdc_event_gaps" ->
       """SELECT user_id, event_id,
          CAST(date_diff('second',

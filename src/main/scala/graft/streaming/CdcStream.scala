@@ -102,6 +102,28 @@ object CdcStream {
           }
       }
 
+  /** T4: liveness heartbeats — the reference's Debezium
+    * heartbeat.interval.ms=5000 (cdc_pipeline_dag.py:141) maps to
+    * StreamingQueryListener progress events. Records (batchId,
+    * numInputRows, timestamp) per progress tick; `beats` is the monitor's
+    * read surface.
+    */
+  final class ProgressHeartbeat extends
+      org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val log =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def beats: Seq[(Long, Long, String)] = {
+      import scala.jdk.CollectionConverters._
+      log.iterator().asScala.toSeq
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      log.add((e.progress.batchId, e.progress.numInputRows,
+        e.progress.timestamp))
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
   /** S6/S7: checkpointed, time-partitioned sink. Requires year/month/day/
     * hour columns (from Cdc.withTimePartitions). Parquet by default;
     * format="json" + compression="gzip" reproduces the reference's wire

@@ -156,6 +156,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("progress heartbeats fire per micro-batch and conserve row counts") {
+    val src = tmp("graft-beat-src")
+    val events = Tables.events(spark, sf).limit(300)
+    events.coalesce(3).write.mode("overwrite").json(src)
+    val monitor = new CdcStream.ProgressHeartbeat
+    spark.streams.addListener(monitor)
+    try {
+      val stream = CdcStream.jsonEventStream(spark, events.schema, src,
+        maxFilesPerTrigger = 1)
+      val q = stream.groupBy($"event_type").count()
+        .writeStream.format("memory").queryName("beatq")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      while (monitor.beats.map(_._2).sum < events.count() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val beats = monitor.beats
+      assert(beats.nonEmpty, "no progress heartbeat recorded")
+      assert(beats.map(_._2).sum === events.count())
+    } finally spark.streams.removeListener(monitor)
+  }
+
   test("checkpointed partitioned sink conserves event counts") {
     val src = tmp("graft-sink-src")
     val out = tmp("graft-sink-out")
