@@ -50,7 +50,10 @@ object Ann {
     * Returns k centroids. Each iteration: broadcast-assign (narrow) +
     * one posexplode/groupBy shuffle emitting k·dim averaged rows.
     */
-  def kmeans(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+  def kmeans(vecsIn: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    // the training loop scans the vectors iters+2 times — materialize once
+    // (at 100 TB you train on a cached sample instead of the full table)
+    val vecs = vecsIn.localCheckpoint(false)
     val dim = vecs.select(size(col("vec"))).first().getInt(0)
     var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
       .select(col("vec")).collect().map(_.getSeq[Double](0)).toSeq

@@ -8,8 +8,13 @@ import graft.sources.Tables._
 
 /** Document deduplication — the north-star training-data operators: exact
   * hash dedup lives in [[TextOps]] (`dedup_exact`); here are the near-dup
-  * families: MinHash+LSH, exact n-gram Jaccard via an inverted index,
-  * SimHash banding, and blocked embedding-cosine pairs.
+  * families: MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", SEQUENCES'97; banding analysis per Leskovec/Rajaraman/
+  * Ullman, Mining of Massive Datasets ch.3), exact n-gram Jaccard via an
+  * inverted index, SimHash banding (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC'02; Manku/Jain/Sarma,
+  * "Detecting near-duplicates for web crawling", WWW'07), and blocked
+  * embedding-cosine pairs.
   *
   * Scale design (100 TB):
   *  - Postings, not arrays: every pipeline works on narrow (doc_id, gram)

@@ -240,6 +240,21 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- full outer join: reconcile two aggregates, preserving keys
+    //      present on either side only ----
+    "q22_full_outer_status" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val open = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o")).agg(count(lit(1)).as("n_o"))
+      f.join(open, col("ck_f") === col("ck_o"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_o")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy(col("custkey"))
+    }),
+
     // ---- window: ranking (top-3 orders per customer) ----
     "q15_top3_orders_per_cust" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -361,6 +376,15 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q22_full_outer_status" ->
+      """WITH f AS (SELECT o_custkey AS ck_f, count(*) AS n_f FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY 1),
+         o AS (SELECT o_custkey AS ck_o, count(*) AS n_o FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY 1)
+         SELECT coalesce(ck_f, ck_o) AS custkey,
+           coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o
+         FROM f FULL JOIN o ON ck_f = ck_o
+         ORDER BY custkey""",
     "q18_cube_qty" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
