@@ -22,14 +22,14 @@ import graft.sources.Tables._
   *    array-typed set columns, whose `array_distinct`/`array_intersect`
   *    are O(m²) interpreted evals and whose recomputation across join
   *    branches dominated the naive plans.
-  *  - MinHash: one groupBy computes all k=128 signature mins in a single
+  *  - MinHash: one groupBy computes all K signature mins in a single
   *    shuffle with map-side partial min; banding turns the quadratic pair
   *    search into an equi-join on (band, band_hash) — only documents
   *    sharing a band ever meet, and the join key is 16 bytes, never the
   *    text. Candidates are then *verified* with exact Jaccard, so LSH
   *    recall/precision only affects completeness, never correctness of
-  *    what is emitted; 16 bands × 8 rows puts detection probability at
-  *    ~0.95 for J=0.8 and ≥1-1e-5 for J≥0.92.
+  *    what is emitted; 16 bands × 4 rows puts detection probability at
+  *    0.9998 for J=0.8 and ≥1-3e-9 for J≥0.92.
   *  - Pair counts come from per-gram combination generation (groupBy gram,
   *    collect doc list, explode ordered pairs): Σ df² rows, one shuffle.
   *    At 100 TB the guard for hot grams is prefix filtering (Bayardo et
@@ -49,9 +49,14 @@ import graft.sources.Tables._
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 128     // minhash permutations
+  private val K = 64      // minhash permutations
   private val Bands = 16  // bands × rows = K
-  private val Rows = 8
+  private val Rows = 4    // short rows RAISE recall at the threshold:
+                          // P(detect J) = 1-(1-J^4)^16 → 0.9998 at J=0.8,
+                          // 1-3e-9 at J=0.92; false candidates (verified
+                          // away exactly) only matter from J≳0.3, which
+                          // real corpora barely populate. Half the hashing
+                          // and half the generated agg code of K=128×8.
 
   /** Distinct (doc_id, char-5-gram) postings; dedup via codegen'd hash
     * aggregate rather than per-row array_distinct.
@@ -115,7 +120,7 @@ object DedupOps {
       // both sides of the verification join); materializing it once stops
       // the distinct-shuffle subtree from re-running per branch.
       val posts = shinglePosts(s, d).localCheckpoint(false)
-      // one pass computes the 128 signature mins AND the set size
+      // one pass computes the K signature mins AND the set size
       val minAggs = (0 until K).map(j => min(minhashPerm(col("g"), j)).as(s"m$j")) :+
         count(lit(1)).as("sz")
       val sig = posts.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
