@@ -28,8 +28,9 @@ import graft.sources.Tables._
   *    sharing a band ever meet, and the join key is 16 bytes, never the
   *    text. Candidates are then *verified* with exact Jaccard, so LSH
   *    recall/precision only affects completeness, never correctness of
-  *    what is emitted; 16 bands × 4 rows puts detection probability at
-  *    0.9998 for J=0.8 and ≥1-3e-9 for J≥0.92.
+  *    what is emitted; 16 bands × 6 rows puts detection probability at
+  *    0.992 for J=0.8 and ~1 for J≥0.92, while passing only ~2e-4 of
+  *    the dissimilar-pair mass to verification.
   *  - Pair counts come from per-gram combination generation (groupBy gram,
   *    collect doc list, explode ordered pairs): Σ df² rows, one shuffle.
   *    At 100 TB the guard for hot grams is prefix filtering (Bayardo et
@@ -49,14 +50,16 @@ import graft.sources.Tables._
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 64      // minhash permutations
+  private val K = 96      // minhash permutations
   private val Bands = 16  // bands × rows = K
-  private val Rows = 4    // short rows RAISE recall at the threshold:
-                          // P(detect J) = 1-(1-J^4)^16 → 0.9998 at J=0.8,
-                          // 1-3e-9 at J=0.92; false candidates (verified
-                          // away exactly) only matter from J≳0.3, which
-                          // real corpora barely populate. Half the hashing
-                          // and half the generated agg code of K=128×8.
+  private val Rows = 6    // the bands/rows S-curve balances BOTH tails:
+                          // P(candidate) = 1-(1-J^r)^b = 0.992 at J=0.8
+                          // (recall at the threshold) and 1.8e-4 at J=0.15
+                          // (the random-pair mass) — shorter rows (r=4)
+                          // admitted ~1% of the n² dissimilar pairs and the
+                          // exact-verification join exploded; longer (r=8)
+                          // costs recall at J≈0.8 and doubles the
+                          // signature-aggregate codegen.
 
   /** Distinct (doc_id, char-5-gram) postings; dedup via codegen'd hash
     * aggregate rather than per-row array_distinct.
@@ -137,6 +140,11 @@ object DedupOps {
       val b = banded.toDF("doc_b", "szb", "band", "bh")
       val cand = a.join(b, Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
+        // length filter (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+        // J >= 0.8 needs set sizes within 25% — prunes cross-length band
+        // collisions before the posting-level verification join
+        .filter(least(col("sza"), col("szb")) >=
+          lit(0.8) * greatest(col("sza"), col("szb")))
         .select(col("doc_a"), col("doc_b"), col("sza"), col("szb")).distinct()
       // Exact |A∩B| for candidates only: expand each pair by A's postings,
       // inner-join on (doc_b, gram) to keep the common grams, count.
