@@ -98,6 +98,34 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality scoring: the training-data filter — ratio features plus a
+    // composite keep/drop decision, all integer-ratio arithmetic (IEEE
+    // division of exact ints → deterministic across engines).
+    "text_quality_score" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("len", length(col("text")))
+        .withColumn("n_alpha", regexp_count(col("text"), lit("[A-Za-z]")))
+        .withColumn("n_punct",
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
+        .withColumn("n_stop",
+          regexp_count(col("text"), lit("\\b(the|a|is|of|and)\\b")))
+        .withColumn("word_cnt",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")) + lit(1)))
+        .withColumn("alpha_ratio",
+          round(col("n_alpha").cast("double") / col("len"), 4))
+        .withColumn("punct_ratio",
+          round(col("n_punct").cast("double") / col("len"), 4))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("word_cnt"), 4))
+        .withColumn("keep",
+          col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
+            col("punct_ratio") <= 0.2)
+        .select(col("doc_id"), col("len"), col("alpha_ratio"),
+          col("punct_ratio"), col("stop_ratio"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms: tf and df from one tokenization pass, the
     // vocabulary-sized df table broadcast back, idf as exact integer ratio
     // N/df in IEEE double (deterministic across engines). Top-k via
@@ -178,6 +206,21 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "text_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(length(text) AS INT) AS len,
+             length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             length(regexp_extract_all(text, '\b(the|a|is|of|and)\b')) AS n_stop,
+             length(text) - length(replace(text, ' ', '')) + 1 AS word_cnt
+           FROM documents)
+         SELECT doc_id, len,
+           round(CAST(n_alpha AS DOUBLE) / len, 4) AS alpha_ratio,
+           round(CAST(n_punct AS DOUBLE) / len, 4) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / word_cnt, 4) AS stop_ratio,
+           (len >= 50 AND round(CAST(n_alpha AS DOUBLE) / len, 4) >= 0.5
+             AND round(CAST(n_punct AS DOUBLE) / len, 4) <= 0.2) AS keep
+         FROM t ORDER BY doc_id""",
     "text_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),

@@ -48,4 +48,47 @@ class CdcPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("stateAt(maxSeq prefix) == compaction of the prefix, for any cut") {
+    val prop = Prop.forAll(genLog, Gen.choose(0, 59)) { (log, cut) =>
+      log.isEmpty || {
+        val df = Cdc.softDeleteRewrite(log.toDF())
+        // stateAt orders by numeric LSN; reuse seq as an X/Y-format lsn 0/<hex>
+        val withLsn = df.withColumn("lsn", concat(lit("0/"), hex($"seq")))
+        val got = Cdc.stateAt(withLsn, Seq("id"), $"lsn", cut.toLong)
+          .select($"id", $"name").as[(Long, String)].collect().toMap
+        got == naiveFold(log.filter(_.seq <= cut))
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("salted join == plain join for any salt count") {
+    import graft.operators.Skew
+    val genRows: Gen[List[(Long, String)]] = Gen.listOfN(40, for {
+      k <- Gen.choose(1L, 5L) // few hot keys
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 7)) { (rows, salts) =>
+      rows.isEmpty || {
+        val fact = rows.toDF("k", "v")
+        val dim = rows.map(_._1).distinct.map(k => (k, s"dim$k"))
+          .toDF("k", "label")
+        val plain = fact.join(dim, Seq("k"))
+          .select($"k", $"v", $"label").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sorted.toSeq
+        val salted = Skew.saltedJoin(fact, dim, "k", salts)
+          .select($"k", $"v", $"label").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sorted.toSeq
+        plain == salted
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
