@@ -85,6 +85,30 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Pivot (wide aggregation): per-user event counts, one column per
+    // event type — the reshaping step feature pipelines use. Explicit
+    // value list so the plan needs no extra distinct-collection job.
+    "cdc_pivot_counts" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // Exact interpolated percentiles per type (median + p95). Both engines
+    // define the continuous quantile identically (rank = p·(n-1), linear
+    // interpolation); round(4) absorbs the last-ulp arithmetic differences.
+    "cdc_value_percentiles" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+        .orderBy(col("event_type"))
+    }),
+
     // S2/P5: regex include-list filter — the reference's table.include.list
     // / topics.regex predicate (cdc_pipeline_dag.py:137,186) over the
     // event-type dimension.
@@ -134,6 +158,19 @@ object EventOps {
       """SELECT event_type,
          CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_pivot_counts" ->
+      """SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "cdc_value_percentiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_type_filter" ->
       """SELECT event_type, count(*) AS n FROM events

@@ -54,6 +54,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("AQE upgrades a small sort-merge join to broadcast at runtime") {
+    import spark.implicits._
+    // no broadcast() hint, threshold says SMJ statically; runtime stats say
+    // the filtered side is tiny → AQE should re-plan to BroadcastHashJoin
+    val small = graft.sources.Tables.customer(spark, sf)
+      .filter($"c_custkey" <= 20)
+    val joined = graft.sources.Tables.orders(spark, sf)
+      .join(small, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").count()
+    joined.collect()
+    val executed = joined.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+  }
+
+  test("one repartition serves two aggregations on the same key") {
+    import spark.implicits._
+    val byKey = graft.sources.Tables.orders(spark, sf)
+      .repartition($"o_custkey")
+    val agg = byKey.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("s"))
+    agg.collect()
+    // AdaptiveSparkPlan.toString prints final AND initial plans — count
+    // Exchanges in the final section only
+    val executed = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the groupBy reuses the repartition's hash partitioning: exactly one
+    // Exchange in the plan, not one per operator
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(executed).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$executed")
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
