@@ -109,6 +109,39 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Moment-based statistics (single-pass, mergeable — safe under any
+    // partitioning; round(4) absorbs merge-order ulps).
+    "cdc_value_stats" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          round(min(col("value")), 4).as("mn"),
+          round(max(col("value")), 4).as("mx"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Funnel analysis: signup → first click after signup → first purchase
+    // after that click. Each stage is a tiny per-user aggregate (≤ one row
+    // per user), so the stage joins broadcast; the event table is scanned
+    // per stage with the stage predicate pushed down.
+    "cdc_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val click = ev.filter(col("event_type") === "click")
+        .join(broadcast(signup), "user_id")
+        .filter(col("ts") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(click), "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      signup.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // S2/P5: regex include-list filter — the reference's table.include.list
     // / topics.regex predicate (cdc_pipeline_dag.py:137,186) over the
     // event-type dimension.
@@ -159,6 +192,24 @@ object EventOps {
          CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_value_stats" ->
+      """SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS variance,
+           round(min(value), 4) AS mn, round(max(value), 4) AS mx
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.t0 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+         SELECT (SELECT count(*) FROM s) AS n_signup,
+                (SELECT count(*) FROM c) AS n_click_after,
+                (SELECT count(*) FROM p) AS n_purchase_after""",
     "cdc_pivot_counts" ->
       """SELECT user_id,
            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
