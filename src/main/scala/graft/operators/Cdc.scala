@@ -157,6 +157,47 @@ object Cdc {
       .format(format)
       .save(path)
 
+  /** Backfill / reprocess: overwrite ONLY the partitions present in `df`
+    * (dynamic partition overwrite), leaving all other partitions intact —
+    * the idempotent re-run semantics a time-partitioned lake needs. The
+    * reference's append-mode sink can only duplicate on replay
+    * (cdc_pipeline_dag.py:206-207); this is the repair path.
+    */
+  def overwriteTimePartitions(df: DataFrame, path: String,
+      format: String = "parquet"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour")
+      .format(format)
+      .save(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Small-files compaction: a streaming sink with frequent triggers
+    * (flush.size=10 in the reference, cdc_pipeline_dag.py:191) leaves many
+    * tiny files per partition; rewrite each time-partition into
+    * `filesPerPartition` files. Idempotent (dynamic overwrite), content
+    * preserving — the routine maintenance job of any event lake.
+    */
+  def compactTimePartitions(spark: SparkSession, path: String,
+      filesPerPartition: Int = 1): Unit = {
+    // eager localCheckpoint breaks lineage from the input files — Spark
+    // (rightly) refuses to overwrite a path its plan still reads from
+    val snapshot = spark.read.parquet(path).localCheckpoint()
+    try {
+      val compacted = snapshot.repartition(filesPerPartition,
+        col("year"), col("month"), col("day"), col("hour"))
+      overwriteTimePartitions(compacted, path)
+    } finally snapshot.unpersist()
+  }
+
   /** Count-conservation probe (reference monitor-pipeline.sh:55-58 vs
     * :109): events in == events at rest, per table.
     */

@@ -142,6 +142,18 @@ object EventOps {
         .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
     }),
 
+    // Approximate percentiles — the sketch path for 100 TB (bounded-memory
+    // mergeable state, one shuffle; the exact variant sorts per group).
+    // Engine-specific estimate → no SQL oracle; PlanSpec bounds the error
+    // against the exact interpolated quantile.
+    "cdc_value_percentiles_approx" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
+          approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95"))
+        .orderBy(col("event_type"))
+    }),
+
     // S2/P5: regex include-list filter — the reference's table.include.list
     // / topics.regex predicate (cdc_pipeline_dag.py:137,186) over the
     // event-type dimension.

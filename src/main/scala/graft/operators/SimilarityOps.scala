@@ -70,6 +70,26 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     }),
 
+    // Batched top-k: all query vectors at once (the realistic serving
+    // shape). Queries broadcast against one base scan; per-query top-5 by
+    // a rank window partitioned on the query id — one shuffle on qid,
+    // bounded by k per query.
+    "sim_batch_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+        .crossJoin(broadcast(qs))
+        .withColumn("sim", round(cosine(col("ev"), col("qv")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Per-label centroids: posexplode to (label, pos, x), one shuffle on
     // (label, pos). Elements are rounded to 6 decimals in double FIRST
     // (float→decimal cast rules differ across engines at the 9th digit),
@@ -101,6 +121,22 @@ object SimilarityOps {
       """SELECT vec_id, CAST(length(embedding) AS INT) AS dim,
          round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS norm
          FROM embeddings ORDER BY vec_id""",
+    "sim_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         sims AS (
+           SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(
+                 list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), p -> p[1]*p[2]))
+               / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 4) AS sim
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT qid, vec_id, sim, row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+           FROM sims)
+         SELECT qid, CAST(rk AS INT) AS rk, vec_id, sim FROM ranked
+         WHERE rk <= 5 ORDER BY qid, rk""",
     "sim_label_centroids" ->
       """WITH e AS (SELECT label, embedding,
                       unnest(range(1, len(embedding) + 1)) AS pos

@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n$executed")
   }
 
+  test("approx_percentile tracks the exact interpolated quantile") {
+    import graft.operators.EventOps
+    val approx = EventOps.queries("cdc_value_percentiles_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = EventOps.queries("cdc_value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      // accuracy=1000 ⇒ rank error ≤ n/1000; generous value-space bound
+      assert(math.abs(a50 - p50) <= math.max(2.0, 0.05 * p50), s"$k p50")
+      assert(math.abs(a95 - p95) <= math.max(2.0, 0.05 * p95), s"$k p95")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -74,6 +74,54 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("dynamic partition overwrite repairs one partition, leaves the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dyn").toString
+    val events = Tables.events(spark, sf).limit(500)
+    val parted = Cdc.withTimePartitions(events, $"ts")
+    Cdc.writeTimePartitioned(parted, dir)
+    val before = spark.read.parquet(dir)
+    val total = before.count()
+    // pick one (year,month,day,hour) cell and rewrite it with doubled value
+    val cell = before.select($"year", $"month", $"day", $"hour").limit(1)
+      .collect()(0)
+    val repaired = parted
+      .filter($"year" === cell.getInt(0) && $"month" === cell.getInt(1) &&
+        $"day" === cell.getInt(2) && $"hour" === cell.getInt(3))
+      .withColumn("value", $"value" * 2)
+    Cdc.overwriteTimePartitions(repaired, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === total) // same rows: replaced, not appended
+    val inCell = after.filter($"year" === cell.getInt(0) &&
+      $"month" === cell.getInt(1) && $"day" === cell.getInt(2) &&
+      $"hour" === cell.getInt(3))
+    val origCell = parted.filter($"year" === cell.getInt(0) &&
+      $"month" === cell.getInt(1) && $"day" === cell.getInt(2) &&
+      $"hour" === cell.getInt(3))
+    assert(inCell.agg(sum($"value")).collect()(0).getDouble(0) ===
+      origCell.agg(sum($"value") * 2).collect()(0).getDouble(0))
+  }
+
+  test("compaction reduces file count and preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, sf).limit(300)
+    // simulate the frequent-flush sink: many tiny files per partition
+    Cdc.writeTimePartitioned(
+      Cdc.withTimePartitions(events.repartition(8), $"ts"), dir)
+    def files() = spark.read.parquet(dir).select(input_file_name())
+      .distinct().count()
+    val checksum = spark.read.parquet(dir)
+      .agg(sum(hash($"event_id", $"value")).as("h"), count(lit(1)).as("n"))
+      .collect()(0)
+    val nBefore = files()
+    Cdc.compactTimePartitions(spark, dir, filesPerPartition = 1)
+    val nAfter = files()
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(sum(hash($"event_id", $"value")).as("h"), count(lit(1)).as("n"))
+      .collect()(0)
+    assert(nAfter < nBefore, s"files $nBefore -> $nAfter")
+    assert(checksum === checksumAfter)
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
