@@ -124,6 +124,41 @@ object CdcStream {
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
+  /** T7 (sink shape): MERGE-style upsert sink via foreachBatch — each
+    * micro-batch is folded into a parquet state table: union with the
+    * current state, compact to the max-`ord` row per key, drop soft-deleted
+    * keys, atomically replace. This is what a lakehouse MERGE INTO does;
+    * with plain parquet the replace is a rewrite, so state-table size, not
+    * event volume, bounds the per-batch cost. Exactly-once: the streaming
+    * checkpoint replays a failed batch and the fold is idempotent
+    * (latest-state keeps the same winner on redelivery).
+    */
+  def startUpsertSink(df: DataFrame, keys: Seq[String], ordCol: String,
+      statePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(statePath)
+          catch { case _: Exception => spark.emptyDataFrame }
+        val all =
+          if (current.columns.isEmpty) batch
+          else batch.unionByName(current, allowMissingColumns = true)
+        // eager snapshot: breaks lineage so the overwrite below doesn't
+        // read from the path it replaces
+        val next = graft.operators.Cdc
+          .latestState(all, keys, Seq(org.apache.spark.sql.functions.col(ordCol)))
+          .localCheckpoint()
+        try next.write.mode("overwrite").parquet(statePath)
+        finally next.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
+      .start()
+
   /** S6/S7: checkpointed, time-partitioned sink. Requires year/month/day/
     * hour columns (from Cdc.withTimePartitions). Parquet by default;
     * format="json" + compression="gzip" reproduces the reference's wire

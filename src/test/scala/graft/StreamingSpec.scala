@@ -179,6 +179,32 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(monitor)
   }
 
+  test("foreachBatch upsert sink converges to the batch latest state") {
+    val src = tmp("graft-upsink-src")
+    val state = tmp("graft-upsink-state") + "/t"
+    val chk = tmp("graft-upsink-chk")
+    val log = Seq(
+      Ev("t", 1, "a0", 0, "c"), Ev("t", 2, "b0", 1, "c"),
+      Ev("t", 1, "a1", 2, "u"), Ev("t", 3, "c0", 3, "c"),
+      Ev("t", 2, "", 4, "d"), Ev("t", 4, "d0", 5, "c"))
+    // three files → multiple micro-batches with maxFilesPerTrigger=1
+    log.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().withColumn("__deleted",
+        when($"op" === "d", "true").otherwise("false"))
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .json(src)
+    }
+    val schema = spark.read.json(src).schema
+    val stream = CdcStream.jsonEventStream(spark, schema, src,
+      maxFilesPerTrigger = 1)
+    val q = CdcStream.startUpsertSink(stream, Seq("table_name", "id"), "seq",
+      state, chk, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(state)
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a1", 3L -> "c0", 4L -> "d0")) // 2 deleted
+  }
+
   test("checkpointed partitioned sink conserves event counts") {
     val src = tmp("graft-sink-src")
     val out = tmp("graft-sink-out")
