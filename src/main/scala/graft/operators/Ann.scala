@@ -46,6 +46,12 @@ object Ann {
       struct(dist2(v, c).as("d"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
+  /** Public face of the cell assignment — used to build the at-rest
+    * cell-partitioned index (`partitionBy("cell")`), so a probe's
+    * `filter(cell isin ...)` prunes to the probed cells' files.
+    */
+  def cellOf(v: Column, cents: Seq[Seq[Double]]): Column = nearestCell(v, cents)
+
   /** Distributed Lloyd k-means over an (id, vec: array<double>) frame.
     * Returns k centroids. Each iteration: broadcast-assign (narrow) +
     * one posexplode/groupBy shuffle emitting k·dim averaged rows.

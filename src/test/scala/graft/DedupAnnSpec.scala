@@ -19,6 +19,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@20 = $recall")
   }
 
+  test("IVF at-rest layout: cell-partitioned index prunes probe reads") {
+    import graft.sources.Tables
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    val cents = Ann.kmeans(
+      base.select(col("vec_id").as("id"), col("ev").as("vec")), k = 10, iters = 2)
+    val indexed = base.withColumn("cell", Ann.cellOf(col("ev"), cents))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // probing 3 cells must read only those cells' files (partition pruning)
+    val probed = spark.read.parquet(dir).filter(col("cell").isin(0, 1, 2))
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("cell=0") || f.contains("cell=1") ||
+      f.contains("cell=2")), files.mkString("\n"))
+    // and the index is complete: every vector is in exactly one cell
+    assert(spark.read.parquet(dir).count() === base.count())
+  }
+
   test("minhash LSH finds every pair that exact ngram-Jaccard>=0.8 finds") {
     // LSH candidates are verified with exact Jaccard, so precision is exact
     // by construction; this checks recall against the all-pairs truth.
