@@ -102,6 +102,23 @@ object Cdc {
     out
   }
 
+  /** S9/risk-register: schema-drift detector. An explicit read schema
+    * null-pads absent fields and silently DROPS unknown ones — so a source
+    * that starts sending a new column (ALTER TABLE upstream) degrades
+    * invisibly. This probe parses each raw JSON line's top-level keys and
+    * reports fields not in the declared schema, with occurrence counts —
+    * run it as a monitoring query beside the main pipeline.
+    */
+  def unknownFieldStats(raw: DataFrame, schema: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val declared = schema.fieldNames.toSeq
+    raw.filter(col(valueCol).isNotNull)
+      .select(explode(json_object_keys(col(valueCol))).as("field"))
+      .filter(not(col("field").isin(declared: _*)))
+      .groupBy(col("field")).agg(count(lit(1)).as("n"))
+      .orderBy(col("field"))
+  }
+
   /** LSN sort key: the reference's lsn is a Postgres `X/Y` hex pair; order
     * events by its numeric value ((hi << 32) | lo), never lexically.
     */

@@ -89,6 +89,17 @@ class CdcSpec extends SparkSpec {
     assert(df.filter(col("_corrupt").isNull).count() === 1)
   }
 
+  test("unknownFieldStats surfaces fields the declared schema would drop") {
+    val raw = Seq(
+      """{"id":1,"name":"a","op":"c","new_col":"x","lsn":"0/1"}""",
+      """{"id":2,"name":"b","op":"c","new_col":"y","other":"z","lsn":"0/2"}""",
+      null
+    ).toDF("value")
+    val drift = Cdc.unknownFieldStats(raw, CdcSchemas.unified)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drift === Map("new_col" -> 2L, "other" -> 1L))
+  }
+
   test("time-partition derivation matches the sink layout") {
     val df = Seq("2024-03-05 17:45:00").toDF("s")
       .withColumn("ts", to_timestamp($"s"))
