@@ -43,6 +43,21 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // W1 time travel as a query: the per-user state as of a cutoff —
+    // filter the log to the prefix, compact. Same single shuffle as
+    // latest-state.
+    "cdc_state_at_time" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // A3: event counts + exact money sums per type.
     "cdc_counts_by_type" -> ((s, d) => {
       events(s, d)
@@ -204,6 +219,12 @@ object EventOps {
          CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_state_at_time" ->
+      """SELECT user_id, event_type AS last_type, ts AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') t
+         WHERE rn = 1 ORDER BY user_id""",
     "cdc_value_stats" ->
       """SELECT event_type,
            round(stddev_samp(value), 4) AS sd,

@@ -177,6 +177,14 @@ object Relational {
       f.except(op).orderBy(col("o_custkey"))
     }),
 
+    // ---- set intersection ----
+    "q23_intersect_customers" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(op).orderBy(col("o_custkey"))
+    }),
+
     // ---- distinct aggregate ----
     "q13_distinct_parts" -> ((s, d) => {
       lineitem(s, d)
@@ -367,6 +375,11 @@ object Relational {
     "q12_f_not_o_customers" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q23_intersect_customers" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          ORDER BY o_custkey""",
     "q13_distinct_parts" ->
