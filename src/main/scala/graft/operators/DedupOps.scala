@@ -69,23 +69,21 @@ object DedupOps {
       .select(col("doc_id"), explode(charShinglesAll(col("text"), 5)).as("g"))
       .distinct()
 
-  /** Distinct (doc_id, token-trigram) postings via posexplode + lead
-    * windows — whole-stage-codegen'd end to end; the transform/concat_ws
-    * lambda formulation re-evaluated split() per element in interpreted
-    * HOF eval and was ~10× slower.
+  /** Distinct (doc_id, token-trigram) postings via zipped shifted array
+    * slices — fully codegen'd, ZERO shuffles before the distinct (a
+    * posexplode + lead-window formulation costs an extra shuffle + sort;
+    * a transform/concat_ws lambda evaluates interpreted and re-runs
+    * split() per element, ~10× slower).
     */
   private def ngramPosts(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = split(col("text"), " ")
+    val n = greatest(size(toks) - 2, lit(0)).cast("int")
     documents(s, d)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), n), slice(toks, lit(2), n),
+        slice(toks, lit(3), n))).as("z"))
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-          lead(col("tok"), 2).over(w)).as("g"),
-        lead(col("tok"), 2).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("g"))
+        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
       .distinct()
   }
 
