@@ -180,6 +180,48 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // W2: first/last event per user via frame-spec windows (full-frame
+    // last_value needs an explicit unbounded frame — the default frame
+    // ends at CURRENT ROW).
+    "cdc_first_last" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .withColumn("first_type", first(col("event_type")).over(full))
+        .withColumn("last_type", last(col("event_type")).over(full))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_type"), col("last_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W2: distribution ranks — quartile (ntile) and percent_rank per value
+    // within type; deterministic under the (value, event_id) total order.
+    "cdc_value_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n"), round(max(col("pr")), 4).as("max_pr"))
+        .orderBy(col("event_type"), col("quartile"))
+    }),
+
+    // S5 (MapType face): props JSON → typed map, exploded to key rows.
+    "cdc_props_keys" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+            .as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+    }),
+
     // W2: per-user event ordering with lag — inter-event gap in seconds.
     "cdc_event_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -260,6 +302,33 @@ object EventOps {
       """SELECT event_type, count(*) AS n FROM events
          WHERE regexp_matches(event_type, '^(click|view)$')
          GROUP BY event_type ORDER BY event_type""",
+    "cdc_first_last" ->
+      """SELECT user_id, first_type, last_type FROM (
+           SELECT user_id,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_type,
+             row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_value_quartiles" ->
+      """WITH t AS (
+           SELECT event_type,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 4) AS pr
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+         SELECT event_type, quartile, count(*) AS n,
+           round(max(pr), 4) AS max_pr
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "cdc_props_keys" ->
+      """SELECT 'k' AS k, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_v
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "cdc_event_gaps" ->
       """SELECT user_id, event_id,
          CAST(date_diff('second',
