@@ -169,6 +169,21 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct per (cohort_week, active_week). The per-user cohort is a
+    // small aggregate → broadcast back onto the event scan; one final
+    // shuffle on the (cohort, week) pair.
+    "cdc_weekly_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week"))
+    }),
+
     // S2/P5: regex include-list filter — the reference's table.include.list
     // / topics.regex predicate (cdc_pipeline_dag.py:137,186) over the
     // event-type dimension.
@@ -261,6 +276,12 @@ object EventOps {
          CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_weekly_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+         SELECT cohort_week, week, count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN c ON ev.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "cdc_state_at_time" ->
       """SELECT user_id, event_type AS last_type, ts AS last_ts
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
