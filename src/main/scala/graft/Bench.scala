@@ -18,7 +18,11 @@ object Bench {
     // fixed alphabetical order: deterministic run-to-run comparisons
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // collect(), not count(): count() lets Catalyst prune every column
+      // and EliminateSorts drop the final ordering, so the timed plan
+      // would not be the plan the oracle verifies. All query outputs are
+      // aggregate/top-k bounded, so full driver materialization is safe.
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -117,5 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
         VectorExprs.CosineSimilarity.getClass.getCanonicalName, "cosine_sim"),
-      (args: Seq[Expression]) => VectorExprs.CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+        VectorExprs.CosineSimilarity(args(0), args(1))
+      }))
 }

@@ -209,8 +209,15 @@ object Cdc {
     // (rightly) refuses to overwrite a path its plan still reads from
     val snapshot = spark.read.parquet(path).localCheckpoint()
     try {
-      val compacted = snapshot.repartition(filesPerPartition,
-        col("year"), col("month"), col("day"), col("hour"))
+      // hash-partitioning on the time columns alone would land each
+      // time-partition cell in exactly ONE task (one output file) whatever
+      // filesPerPartition says — a stable row-hash salt splits each cell
+      // across up to filesPerPartition tasks/files. Shuffle width stays the
+      // session default so compaction parallelism is not capped by the
+      // per-cell file target.
+      val compacted = snapshot.repartition(
+        col("year"), col("month"), col("day"), col("hour"),
+        pmod(xxhash64(snapshot.columns.map(col): _*), lit(filesPerPartition)))
       overwriteTimePartitions(compacted, path)
     } finally snapshot.unpersist()
   }

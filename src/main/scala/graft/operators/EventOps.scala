@@ -137,19 +137,21 @@ object EventOps {
     }),
 
     // Funnel analysis: signup → first click after signup → first purchase
-    // after that click. Each stage is a tiny per-user aggregate (≤ one row
-    // per user), so the stage joins broadcast; the event table is scanned
-    // per stage with the stage predicate pushed down.
+    // after that click. Each stage is a per-user aggregate — user-cardinality
+    // data, NOT broadcastable at 100 TB (a forced broadcast of "≤ one row
+    // per user" is an OOM at a billion users). The stage joins are plain
+    // shuffle joins on user_id; AQE upgrades them to broadcast at runtime
+    // when the stage output is genuinely small.
     "cdc_funnel" -> ((s, d) => {
       val ev = events(s, d)
       val signup = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
       val click = ev.filter(col("event_type") === "click")
-        .join(broadcast(signup), "user_id")
+        .join(signup, "user_id")
         .filter(col("ts") > col("t0"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
       val purchase = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(click), "user_id")
+        .join(click, "user_id")
         .filter(col("ts") > col("t1"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
       signup.agg(count(lit(1)).as("n_signup"))
@@ -170,15 +172,15 @@ object EventOps {
     }),
 
     // Cohort retention: users grouped by first-activity week, counted
-    // distinct per (cohort_week, active_week). The per-user cohort is a
-    // small aggregate → broadcast back onto the event scan; one final
-    // shuffle on the (cohort, week) pair.
+    // distinct per (cohort_week, active_week). The per-user cohort table is
+    // user-cardinality — no broadcast hint (see cdc_funnel); the join
+    // shuffles on user_id and AQE broadcasts only when actually small.
     "cdc_weekly_retention" -> ((s, d) => {
       val ev = events(s, d)
         .withColumn("week", date_trunc("week", col("ts")).cast("date"))
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
-      ev.join(broadcast(cohort), "user_id")
+      ev.join(cohort, "user_id")
         .groupBy(col("cohort_week"), col("week"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week"))
@@ -235,6 +237,25 @@ object EventOps {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
         .orderBy(col("k"))
+    }),
+
+    // Pipeline lag / offset reconciliation — the monitoring query the
+    // reference's monitor runs against Kafka offsets vs Hive counts vs the
+    // sink tail (monitor-pipeline.sh:55-58,109,33-34): per stream, the
+    // record count (offset-sum analog), the high-water event time, and the
+    // freshness lag behind the global head. One shuffle on a tiny keyspace;
+    // the 1-row global head is genuinely bounded → broadcast join.
+    "cdc_lag_monitor" -> ((s, d) => {
+      val per = events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"),
+          max(col("event_id")).as("max_id"))
+      per.crossJoin(broadcast(per.agg(max(col("max_ts")).as("head_ts"))))
+        .withColumn("lag_s",
+          col("head_ts").cast("long") - col("max_ts").cast("long"))
+        .select(col("event_type"), col("n"), col("max_ts"), col("max_id"),
+          col("lag_s"))
+        .orderBy(col("event_type"))
     }),
 
     // W2: per-user event ordering with lag — inter-event gap in seconds.
@@ -306,13 +327,15 @@ object EventOps {
          SELECT (SELECT count(*) FROM s) AS n_signup,
                 (SELECT count(*) FROM c) AS n_click_after,
                 (SELECT count(*) FROM p) AS n_purchase_after""",
+    // CAST AS BIGINT: DuckDB sum() returns HUGEINT; Spark's pivot count is
+    // BIGINT, and the driver's hash compare is type-sensitive.
     "cdc_pivot_counts" ->
       """SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
     "cdc_value_percentiles" ->
       """SELECT event_type,
@@ -345,11 +368,23 @@ object EventOps {
          SELECT event_type, quartile, count(*) AS n,
            round(max(pr), 4) AS max_pr
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Enumerate the actual keys via json_keys/unnest (don't hardcode a key
+    // list — the twin must diverge loudly if the props shape ever widens).
     "cdc_props_keys" ->
-      """SELECT 'k' AS k, count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_v
-         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
+      """WITH kv AS (
+           SELECT unnest(json_keys(props)) AS k, props FROM events
+           WHERE props IS NOT NULL)
+         SELECT k, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT) AS sum_v
+         FROM kv GROUP BY k ORDER BY k""",
+    "cdc_lag_monitor" ->
+      """WITH p AS (SELECT event_type, count(*) AS n, max(ts) AS max_ts,
+                      max(event_id) AS max_id
+                    FROM events GROUP BY event_type)
+         SELECT event_type, n, max_ts, max_id,
+           CAST(date_diff('second', max_ts, (SELECT max(max_ts) FROM p))
+             AS BIGINT) AS lag_s
+         FROM p ORDER BY event_type""",
     "cdc_event_gaps" ->
       """SELECT user_id, event_id,
          CAST(date_diff('second',

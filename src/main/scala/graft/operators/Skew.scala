@@ -26,6 +26,12 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit each unmatched dim row `salts` times
+    // (the replicas have no fact partner), breaking the identical-results
+    // contract — only fact-side-preserving join types are sound here
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, got $joinType")
     // deterministic salt: stable row hash of all fact columns, not rand()
     // (re-execution of a task must salt identically for exactly-once sinks)
     val saltCol = pmod(xxhash64(fact.columns.map(col): _*), lit(salts))

@@ -126,9 +126,14 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // TF-IDF top terms: tf and df from one tokenization pass, the
-    // vocabulary-sized df table broadcast back, idf as exact integer ratio
-    // N/df in IEEE double (deterministic across engines). Top-k via
+    // TF-IDF top terms: tf and df from one tokenization pass, idf as exact
+    // integer ratio N/df in IEEE double (deterministic across engines).
+    // The df table is VOCABULARY-sized — heavy-tailed and unbounded at
+    // 100 TB, so it is NOT broadcast-hinted: the tf⋈df join shuffles on the
+    // token (both sides already hash-partitioned by the token from their
+    // aggregations, so the join adds no extra exchange on the df side), and
+    // AQE broadcasts at runtime only when the vocabulary is actually small.
+    // The 1-row corpus count is genuinely bounded → broadcast. Top-k via
     // TakeOrderedAndProject.
     "text_tfidf_top" -> ((s, d) => {
       val docs = documents(s, d)
@@ -139,7 +144,7 @@ object TextOps {
       val dfreq = tok.groupBy(col("token"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      tf.join(broadcast(dfreq), "token")
+      tf.join(dfreq, "token")
         .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * (col("n").cast("double") / col("df")), 4))

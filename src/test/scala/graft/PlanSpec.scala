@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n$executed")
   }
 
+  test("no forced broadcast on user-cardinality aggregates") {
+    import graft.operators.{EventOps, TextOps}
+    // per-user aggregates are "small" only at test scale — a broadcast()
+    // hint on them is an OOM at 100 TB; AQE must make the runtime call
+    for (q <- Seq("cdc_funnel", "cdc_weekly_retention")) {
+      val analyzed = EventOps.queries(q)(spark, sf).queryExecution.analyzed
+      assert(!analyzed.toString.contains("ResolvedHint"),
+        s"$q carries a forced broadcast hint")
+    }
+    // tfidf: the vocabulary-sized df table must not be hinted; the single
+    // allowed hint is the 1-row corpus count
+    val tfidf = TextOps.queries("text_tfidf_top")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(tfidf).length
+    assert(hints == 1, s"expected only the 1-row count hint, got $hints")
+  }
+
   test("approx_percentile tracks the exact interpolated quantile") {
     import graft.operators.EventOps
     val approx = EventOps.queries("cdc_value_percentiles_approx")(spark, sf)
