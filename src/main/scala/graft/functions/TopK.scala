@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded-state per-group top-k — the scale-safe replacement for
+  * `row_number().over(Window.partitionBy(group))` + `filter(rk <= k)`.
+  *
+  * The window formulation shuffles EVERY input row into |groups| reducer
+  * tasks and sorts there: with a handful of groups (batched similarity
+  * queries, per-tenant leaderboards) that is a skew wall — all n_base ×
+  * n_query rows funnel through 3 tasks. This [[Aggregator]] instead keeps a
+  * k-bounded buffer per group: Spark plans it as a partial
+  * ObjectHashAggregate before the shuffle, so each task ships at most
+  * k rows per group and the final merge sees |partitions| × k rows, not n.
+  *
+  * Ordering contract: best = highest `sim`, ties broken by lowest `id` —
+  * identical to `row_number() OVER (ORDER BY sim DESC, id)`, so results are
+  * deterministic and oracle-comparable. k is small (≤ hundreds); the
+  * sort-on-insert buffer is O(k log k) per row, which whole-stage codegen'd
+  * arithmetic upstream dominates anyway.
+  */
+object TopK {
+
+  /** One scored row; field order (sim, id) is the struct layout consumers
+    * see after `posexplode`.
+    */
+  case class Hit(sim: Double, vec_id: Long)
+
+  class TopKBySim(k: Int)
+      extends Aggregator[(Double, Long), Seq[Hit], Seq[Hit]] {
+    require(k > 0, "k must be positive")
+    private def prune(xs: Seq[Hit]): Seq[Hit] =
+      xs.sortBy(h => (-h.sim, h.vec_id)).take(k)
+    override def zero: Seq[Hit] = Nil
+    override def reduce(b: Seq[Hit], a: (Double, Long)): Seq[Hit] =
+      prune(b :+ Hit(a._1, a._2))
+    override def merge(b1: Seq[Hit], b2: Seq[Hit]): Seq[Hit] =
+      prune(b1 ++ b2)
+    override def finish(r: Seq[Hit]): Seq[Hit] = prune(r)
+    override def bufferEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+  }
+
+  /** `topK(5)(col("sim"), col("vec_id"))` → `array<struct<sim,vec_id>>`
+    * sorted best-first, at most k elements per group.
+    */
+  def topK(k: Int)(sim: Column, id: Column): Column =
+    udaf(new TopKBySim(k), ExpressionEncoder[(Double, Long)]())
+      .apply(sim, id)
+}

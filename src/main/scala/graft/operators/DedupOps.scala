@@ -31,14 +31,19 @@ import graft.sources.Tables._
   *    what is emitted; 16 bands × 6 rows puts detection probability at
   *    0.992 for J=0.8 and ~1 for J≥0.92, while passing only ~2e-4 of
   *    the dissimilar-pair mass to verification.
-  *  - Pair counts come from per-gram combination generation (groupBy gram,
-  *    collect doc list, explode ordered pairs): Σ df² rows, one shuffle.
-  *    At 100 TB the guard for hot grams is prefix filtering (Bayardo et
-  *    al., WWW'07: order grams rarest-first; a J≥t pair must share a gram
-  *    in each side's first |d|-⌈t|d|⌉+1 grams) or a df-cap with LSH
-  *    fallback — document frequency here is bounded (max 25), so the
-  *    plain combination join is both exact and fastest.
-  *  - Doc set sizes are a 5 000-row aggregate → broadcast joined.
+  *  - Exact n-gram Jaccard uses PREFIX FILTERING (Bayardo et al.,
+  *    "Scaling up all pairs similarity search", WWW'07; Chaudhuri et al.'s
+  *    prefix principle): order each doc's grams by a global total order
+  *    (df ascending — rarest first — then gram); a pair with J ≥ t MUST
+  *    share a gram inside each side's first |d|−⌈t·|d|⌉+1 grams, so
+  *    candidates are generated only from those prefix postings and then
+  *    verified exactly. This kills the Σdf² blowup: a hot gram (high df)
+  *    sorts to the END of every doc's ordering and never enters a prefix,
+  *    so candidate volume is governed by RARE grams — exactly the property
+  *    that survives a heavy-tailed gram distribution at 100 TB. Recall is
+  *    1.0 by the prefix principle; precision is exact by verification.
+  *  - Doc set sizes ride along inside the candidate rows (collected with
+  *    the doc id), so no doc-cardinality side table is ever broadcast.
   *  - SimHash: 64-bit signature from sign-summed token hashes; 4×16-bit
   *    bands guarantee (pigeonhole) that any pair within Hamming distance 3
   *    shares an exact band, so the band equi-join has perfect recall for
@@ -87,26 +92,65 @@ object DedupOps {
       .distinct()
   }
 
-  /** |A∩B| for every co-occurring doc pair from a distinct posting list:
-    * group by gram, collect the doc list, explode ordered pairs, count.
-    * Σ df² intermediate rows, one shuffle on the gram + one on the pair.
+  /** Co-occurring doc pairs by per-gram combination generation (groupBy
+    * gram, collect doc list, explode ordered pairs): Σ df² rows. This is
+    * the NAIVE candidate generator — quadratic in the hottest gram's df —
+    * kept as the pruning baseline [[prefixCandidates]] is spec-measured
+    * against (ScaleSpec); production paths never run it.
     */
-  private def pairCounts(posts: DataFrame): DataFrame =
+  def allPairs(posts: DataFrame): DataFrame =
     posts.groupBy(col("g")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      .distinct()
 
-  /** J = c / (|A|+|B|-c) with broadcast size joins; emits pairs with
-    * round(J,4) >= thr.
+  /** Prefix-filtered candidate pairs for Jaccard threshold `t` (Bayardo
+    * WWW'07). Global gram order = (df asc, gram asc) — a total order that
+    * is a pure function of the gram, as the prefix principle requires.
+    * Each doc keeps only its first |d|−⌈t·|d|⌉+1 grams in that order; any
+    * pair with J ≥ t provably shares a kept gram (prefix principle with
+    * per-record overlap bound α=⌈t·|d|⌉ ≤ |A∩B|). Emits
+    * (doc_a, sza, doc_b, szb) with the set sizes riding along so the
+    * verifier needs no extra size join. Also applies the exact length
+    * filter J ≤ min/max ⟹ sizes within factor t.
     */
-  private def jaccardFromCounts(pairs: DataFrame, sz: DataFrame,
+  def prefixCandidates(posts: DataFrame,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = posts.join(dfreq, "g")
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk",
+        row_number().over(byDoc.orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("sz"), col("g"))
+    prefix
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.sz").as("sza"),
+        col("b.doc_id").as("doc_b"), col("b.sz").as("szb"))
+      .filter(least(col("sza"), col("szb")) >=
+        lit(t) * greatest(col("sza"), col("szb")))
+      .distinct()
+  }
+
+  /** Exact |A∩B| for candidate pairs only (posting join on (doc, gram)),
+    * then J = c / (|A|+|B|−c), emitting pairs with round(J,4) ≥ thr.
+    */
+  private def verifyJaccard(cand: DataFrame, posts: DataFrame,
       thr: Double): DataFrame =
-    pairs
-      .join(broadcast(sz.toDF("doc_a", "sza")), "doc_a")
-      .join(broadcast(sz.toDF("doc_b", "szb")), "doc_b")
+    cand
+      .join(posts.toDF("doc_a", "g"), "doc_a")
+      .join(posts.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", round(
         col("c").cast("double") / (col("sza") + col("szb") - col("c")), 4))
       .filter(col("jaccard") >= thr)
@@ -160,15 +204,16 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Exact token-trigram Jaccard, J >= 0.5: inverted-index pair counts
-    // (one posting pass, Σ df² combination rows) + broadcast size joins.
-    // Exact all-pairs semantics — no candidate/verify split needed while
-    // gram document frequency is bounded; the 100 TB hot-gram guard is
-    // prefix filtering (see the object doc).
+    // Exact token-trigram Jaccard, J >= 0.5, via prefix filtering: rank
+    // each doc's grams rarest-first, generate candidates only from the
+    // first |d|−⌈t·|d|⌉+1 grams (provably lossless for J ≥ t), verify the
+    // candidates exactly from the full postings. Exact all-pairs output,
+    // without the Σ df² combination blowup on hot grams.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val posts = ngramPosts(s, d)
-      jaccardFromCounts(pairCounts(posts),
-        posts.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")), 0.5)
+      // postings feed the df table, the prefix ranking, and both sides of
+      // the verification join — materialize once
+      val posts = ngramPosts(s, d).localCheckpoint(false)
+      verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
     }),
 
     // SimHash near-dup: 64-bit sign-sum signature over token hashes,

@@ -71,22 +71,24 @@ object SimilarityOps {
     }),
 
     // Batched top-k: all query vectors at once (the realistic serving
-    // shape). Queries broadcast against one base scan; per-query top-5 by
-    // a rank window partitioned on the query id — one shuffle on qid,
-    // bounded by k per query.
+    // shape). Queries broadcast against one base scan; per-query top-5 via
+    // the k-bounded [[graft.functions.TopK]] aggregator — the partial
+    // aggregate prunes to k rows per (partition, qid) BEFORE the shuffle,
+    // so the final merge sees |partitions|·k rows per query instead of
+    // funneling all n_base × n_query similarity rows through |queries|
+    // window reducers (the skew wall the window formulation hits at scale).
     "sim_batch_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = embeddings(s, d)
       val qs = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
       e.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
         .crossJoin(broadcast(qs))
         .withColumn("sim", round(cosine(col("ev"), col("qv")), 4))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(5)(col("sim"), col("vec_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("qid"), (col("p") + 1).cast("int").as("rk"),
+          col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
         .orderBy(col("qid"), col("rk"))
     }),
 

@@ -102,6 +102,37 @@ class PlanSpec extends SparkSpec {
     assert(hints == 1, s"expected only the 1-row count hint, got $hints")
   }
 
+  test("sim_batch_topk: partial per-partition top-k, no per-qid window funnel") {
+    import graft.operators.SimilarityOps
+    val df = SimilarityOps.queries("sim_batch_topk")(spark, sf)
+    val p = plan(df)
+    // the old formulation shuffled every similarity row into |queries|
+    // window reducers; the aggregator prunes to k per partition first
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_topkbysim") || p.contains("partial_"), p)
+    // and it still computes the exact same rows as the window form
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val windowed = e
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ev"))
+      .crossJoin(broadcast(qs))
+      .withColumn("sim",
+        round(SimilarityOps.cosine(col("ev"), col("qv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("sim"))
+      .orderBy(col("qid"), col("rk"))
+    assert(df.collect().toSeq == windowed.collect().toSeq)
+  }
+
   test("approx_percentile tracks the exact interpolated quantile") {
     import graft.operators.EventOps
     val approx = EventOps.queries("cdc_value_percentiles_approx")(spark, sf)

@@ -122,6 +122,35 @@ class ScaleSpec extends SparkSpec {
     assert(checksum === checksumAfter)
   }
 
+  test("prefix filtering prunes candidates yet loses no qualifying pair") {
+    import graft.operators.DedupOps
+    // rebuild the same distinct (doc_id, trigram) postings the query uses
+    val toks = split(col("text"), " ")
+    val n = greatest(size(toks) - 2, lit(0)).cast("int")
+    val posts = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), n), slice(toks, lit(2), n),
+        slice(toks, lit(3), n))).as("z"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
+      .distinct().localCheckpoint(false)
+    val naive = DedupOps.allPairs(posts)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = DedupOps.prefixCandidates(posts, 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // strictly fewer candidates than the Σdf² combination join generates…
+    assert(pruned.size < naive.size,
+      s"prefix=${pruned.size} naive=${naive.size}")
+    // …and recall 1.0: every truly-qualifying pair is still a candidate
+    val truth = DedupOps.queries("dedup_ngram_jaccard")(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(pruned), s"missing: ${truth -- pruned}")
+    assert(truth.nonEmpty)
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
