@@ -9,26 +9,59 @@ import graft.sources.Tables._
   * scale path beside the brute-force baseline in [[SimilarityOps]].
   *
   * IVF (inverted-file) design, the standard vector-DB layout:
-  *  1. TRAIN: k-means centroids via distributed Lloyd iterations —
-  *     assignment is a broadcast of k·dim doubles against a scan (no
-  *     shuffle); the update step is one posexplode + groupBy(cell, dim)
-  *     shuffle whose output is k·dim rows. At 100 TB you train on a sample;
-  *     the full pass here doubles as the assignment pass.
-  *  2. INDEX: each vector is assigned to its nearest centroid cell — at
-  *     rest this would be `partitionBy(cell)` so a probe reads only the
-  *     probed cells' files (partition pruning).
-  *  3. PROBE: rank cells by distance from the query (driver-side, k rows),
-  *     scan the nprobe nearest cells, exact-cosine re-rank, top-k.
+  *  1. TRAIN (once, offline): k-means centroids via distributed Lloyd
+  *     iterations over a deterministic hash SAMPLE of the vectors — never
+  *     the full table. Assignment is a broadcast of k·dim doubles against a
+  *     scan (no shuffle); the update step is one posexplode +
+  *     groupBy(cell, dim) shuffle whose output is k·dim rows, aggregated in
+  *     exact decimal so centroids are independent of shuffle merge order.
+  *  2. INDEX (once, offline): every vector is assigned to its nearest
+  *     centroid cell and written `partitionBy(cell)` — the at-rest layout
+  *     where a probe reads ONLY the probed cells' files (partition
+  *     pruning, proven in DedupAnnSpec).
+  *  3. PROBE (per query): rank cells by distance from the query vector
+  *     (driver-side over k centroid rows), scan the `nprobe` nearest
+  *     cells, exact-cosine re-rank, top-k.
   *
-  * Determinism: init = the k lowest vec_ids, fixed iteration count, exact
-  * integer tie-breaks. The result is *approximate* (probing 3 of 10 cells
-  * bounds recall below 1.0 on near-uniform vectors), so there is no exact
-  * SQL oracle — the driver does a rows-only check, and `AnnSpec` asserts
-  * recall@20 vs the brute-force baseline ([[SimilarityOps]] `sim_cosine_topk`
-  * is the exact, oracle-checked twin).
+  * The train/index cost amortizes across every subsequent query — the
+  * query-time plan contains NO k-means job, only the pruned index scan
+  * (here the index is built lazily on first use per scale directory and
+  * memoized; a production deployment runs steps 1–2 as a maintenance job).
+  *
+  * Determinism: sample = stable id-hash filter, init = the k lowest ids,
+  * fixed iteration count, decimal centroid sums, exact integer tie-breaks.
+  * The result is *approximate* — probing `Nprobe` of `Cells` cells bounds
+  * recall below 1.0 — so there is no exact SQL oracle: the driver does a
+  * rows-only check and `DedupAnnSpec` asserts recall@20 ≥ 0.9 against the
+  * brute-force baseline ([[SimilarityOps]] `sim_cosine_topk` is the exact,
+  * oracle-checked twin).
   */
 object Ann {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Index geometry. Clustering happens on the UNIT SPHERE (vectors are
+    * L2-normalized before train/assign/probe): for cosine similarity,
+    * squared L2 on normalized vectors is 2−2·cos — monotone in cosine —
+    * so spherical cells align with what the re-rank actually scores;
+    * clustering raw magnitudes would split cosine-neighbors across cells.
+    * Nprobe is corpus-dependent: the synthetic test embeddings are
+    * near-uniform on the sphere (top-20 cosine ≈ 0.24–0.33 vs corpus
+    * median 0.01, neighbors scattered across labels), the hardest case
+    * for IVF — holding recall@20 ≥ 0.9 there needs Nprobe=8 of 10.
+    * Real embedding corpora cluster, pushing the working ratio down
+    * (measured here: full-data training alone reaches 0.95 recall at
+    * Nprobe=4); the recall gate in DedupAnnSpec is what licenses any
+    * retuning.
+    */
+  val Cells = 10
+  val Iters = 5
+  val Nprobe = 8
+  /** Train on ~1/2 of the vectors: deterministic id-hash sample (stable
+    * across partitionings, unlike Bernoulli sampling). At 100 TB the
+    * sample rate drops with corpus size (centroid quality needs vector
+    * COUNT, not fraction); the hash filter scales to any rate.
+    */
+  val SampleMod = 2
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -54,11 +87,14 @@ object Ann {
 
   /** Distributed Lloyd k-means over an (id, vec: array<double>) frame.
     * Returns k centroids. Each iteration: broadcast-assign (narrow) +
-    * one posexplode/groupBy shuffle emitting k·dim averaged rows.
+    * one posexplode/groupBy shuffle emitting k·dim rows. Centroid means
+    * are exact-decimal sums of round(x,6) divided by the count — order
+    * independent, so the trained centroids are deterministic under any
+    * partitioning (same construction as sim_label_centroids).
     */
   def kmeans(vecsIn: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     // the training loop scans the vectors iters+2 times — materialize once
-    // (at 100 TB you train on a cached sample instead of the full table)
+    // (callers pass a SAMPLE, so this is a small cached frame)
     val vecs = vecsIn.localCheckpoint(false)
     val dim = vecs.select(size(col("vec"))).first().getInt(0)
     var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
@@ -68,7 +104,8 @@ object Ann {
       val byDim = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(round(col("x"), 6).cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
       val next = byDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
@@ -80,27 +117,68 @@ object Ann {
     cents
   }
 
-  val queries: Map[String, Q] = Map(
-    // IVF top-20 for the vec_id=0 query: train k=10 cells, probe the 3
-    // nearest, exact-cosine re-rank. Verified equal to brute force.
-    "ann_ivf_topk" -> ((s, d) => {
-      val base = embeddings(s, d).select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("ev"))
-      val cents = kmeans(
-        base.select(col("vec_id").as("id"), col("ev").as("vec")),
-        k = 10, iters = 5)
-      val qv = base.filter(col("vec_id") === 0)
-        .select(col("ev")).first().getSeq[Double](0)
-      val probed = cents.zipWithIndex
+  /** A built IVF index: unit-sphere centroids + the cell-partitioned
+    * at-rest path.
+    */
+  final case class IvfIndex(dir: String, cents: Seq[Seq[Double]]) {
+    /** The `nprobe` cell ids nearest to a query vector (driver-side over
+      * k centroid rows — k·dim doubles, never data-sized). The query is
+      * L2-normalized here to match the unit-sphere centroids.
+      */
+    def probeCells(qv: Seq[Double], nprobe: Int): Seq[Int] = {
+      val nrm = math.sqrt(qv.map(x => x * x).sum)
+      val uq = if (nrm == 0.0) qv else qv.map(_ / nrm)
+      cents.zipWithIndex
         .map { case (c, i) =>
-          (i, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (i, c.zip(uq).map { case (a, b) => (a - b) * (a - b) }.sum)
         }
-        .sortBy { case (i, dd) => (dd, i) }.take(3).map(_._1).toSet
-      base
-        .withColumn("cell", nearestCell(col("ev"), cents))
-        .filter(col("cell").isin(probed.toSeq: _*))
+        .sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1)
+    }
+  }
+
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** Build (once per scale dir, memoized) the IVF index for `embeddings`:
+    * train on the hash sample, assign every vector, persist
+    * cell-partitioned parquet. Columns: vec_id, label, vec, cell.
+    */
+  def ivfIndex(s: SparkSession, d: String): IvfIndex =
+    indexes.computeIfAbsent(d, _ => {
+      val base = embeddings(s, d).select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("vec"))
+      // unit-normalize for spherical clustering (see Index geometry note);
+      // the ORIGINAL vector is what gets stored and cosine-re-ranked
+      val normed = base
+        .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+        .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
+      val sample = normed
+        .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
+        .select(col("vec_id").as("id"), col("uvec").as("vec"))
+      val cents = kmeans(sample, Cells, Iters)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index-").toString
+      normed.withColumn("cell", cellOf(col("uvec"), cents))
+        .select(col("vec_id"), col("label"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      IvfIndex(dir, cents)
+    })
+
+  val queries: Map[String, Q] = Map(
+    // IVF top-20 for the vec_id=0 query against the prebuilt index: rank
+    // cells driver-side, scan only the Nprobe nearest cells' files
+    // (partition pruning), exact-cosine re-rank. Approximate by design —
+    // recall@20 ≥ 0.9 vs brute force is asserted in DedupAnnSpec; rows
+    // where the probe misses the true neighbor differ from sim_cosine_topk.
+    "ann_ivf_topk" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val probed = idx.probeCells(qv, Nprobe)
+      s.read.parquet(idx.dir)
+        .filter(col("cell").isin(probed: _*))
         .withColumn("sim", round(
-          SimilarityOps.cosine(col("ev"), typedlit(qv)), 4))
+          SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(20)
@@ -108,7 +186,7 @@ object Ann {
   )
 
   /** Approximate operator — no exact SQL twin; the driver records the
-    * rows-only check and `AnnSpec` asserts recall against brute force.
+    * rows-only check and `DedupAnnSpec` asserts recall against brute force.
     */
   val oracles: Map[String, String] = Map.empty
 }

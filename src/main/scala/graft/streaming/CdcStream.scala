@@ -34,6 +34,61 @@ object CdcStream {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** S4 (production shape): Kafka topic source matching the reference's
+    * consumer side — `topics.regex` subscription, offset resume, tombstone
+    * drop, schemaed JSON decode (cdc_pipeline_dag.py:97-102,148-151,186).
+    * Emits the decoded columns plus kafka (topic, partition, offset, key)
+    * metadata — the offset columns are what the lag/reconciliation monitor
+    * sums (monitor-pipeline.sh:33-34).
+    *
+    * NOT RUNNABLE IN THIS SANDBOX: there is no broker and no
+    * spark-sql-kafka connector jar (zero egress), so tests exercise the
+    * file-backed twin [[jsonEventStream]] instead — the downstream
+    * operators are identical. This method compiles against the stable
+    * DataSource-string API only; on a cluster with the connector on the
+    * classpath it is the drop-in source.
+    */
+  def kafkaEventStream(spark: SparkSession, schema: StructType,
+      bootstrapServers: String, topicPattern: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribePattern", topicPattern)       // topics.regex (P5)
+      .option("startingOffsets", startingOffsets)     // snapshot-then-stream
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // T1 batching
+      .option("failOnDataLoss", "false")              // errors.tolerance=all
+      .load()
+      .filter(col("value").isNotNull)                 // P4 tombstone drop
+      .select(
+        from_json(col("value").cast("string"), schema,
+          Map("mode" -> "PERMISSIVE")).as("r"),
+        col("topic"), col("partition"), col("offset"),
+        col("key").cast("string").as("key"))
+      .select(col("r.*"), col("topic"), col("partition"), col("offset"),
+        col("key"))
+
+  /** S4/S6 (production shape): Kafka sink twin of the partitioned file
+    * sink — JSON-serialized value keyed by the record id, exactly the wire
+    * format the reference's connect sink consumes. Same sandbox caveat as
+    * [[kafkaEventStream]].
+    */
+  def startKafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+      keyCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** T6: watermarked tumbling-window counts + sums over event time. */
   def windowedStats(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, windowLen: String = "1 hour",

@@ -9,14 +9,38 @@ import graft.operators.{Ann, DedupOps, SimilarityOps}
   */
 class DedupAnnSpec extends SparkSpec {
 
-  test("ann_ivf_topk has recall@20 >= 0.5 vs brute-force cosine") {
+  test("ann_ivf_topk has recall@20 >= 0.9 vs brute-force cosine") {
     val ann = Ann.queries("ann_ivf_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val exact = SimilarityOps.queries("sim_cosine_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ann.size == 20)
     val recall = (ann intersect exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall@20 = $recall")
+    assert(recall >= 0.9, s"recall@20 = $recall")
+  }
+
+  test("ann_ivf_topk query plan probes the prebuilt index, no k-means job") {
+    val df = Ann.queries("ann_ivf_topk")(spark, sf)
+    // the returned plan reads ONLY the cell-partitioned index path — the
+    // sampled k-means training and index write happened once, offline
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft-ivf-index-"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    // and only the probed cells' files feed the probe scan (partition
+    // pruning; input_file_name() read before the top-k shuffle)
+    val idx = Ann.ivfIndex(spark, sf)
+    val probed = idx.probeCells(
+      graft.sources.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .first().getSeq[Double](0), Ann.Nprobe)
+    val read = spark.read.parquet(idx.dir)
+      .filter(col("cell").isin(probed: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(read.nonEmpty)
+    assert(read.forall(f => probed.exists(c => f.contains(s"cell=$c"))),
+      s"probed=$probed files=${read.mkString(",")}")
   }
 
   test("IVF at-rest layout: cell-partitioned index prunes probe reads") {
