@@ -89,9 +89,82 @@ object VectorExprs {
         newRight: Expression): Expression = copy(newLeft, newRight)
   }
 
+  /** Fused codegen'd Σ(aᵢ−bᵢ)² — the k-means / IVF assignment kernel.
+    * Same shape and null semantics as [[CosineSimilarity]]; sequential
+    * IEEE-754 fold in array order, bit-identical to the
+    * `aggregate(zip_with(...))` HOF formulation it replaces (which pays an
+    * interpreted lambda dispatch and array allocation per element — ruinous
+    * when evaluated once per row PER CENTROID).
+    */
+  case class SquaredL2Distance(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dist2 expects (array<double>, array<double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "dist2"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+        final int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            final double $d = $a.getDouble($i) - $b.getDouble($i);
+            $acc += $d * $d;
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
+        }
+        """
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(newLeft, newRight)
+  }
+
   /** Column-API face of [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-API face of [[SquaredL2Distance]]. */
+  def dist2(a: Column, b: Column): Column =
+    Bridge.column(SquaredL2Distance(
       Bridge.expression(a), Bridge.expression(b)))
 
   private val fnId = FunctionIdentifier("cosine_sim")

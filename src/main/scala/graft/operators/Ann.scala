@@ -65,11 +65,13 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Squared L2 distance between an array column and a literal centroid. */
+  /** Squared L2 distance between an array column and a literal centroid —
+    * the fused codegen'd kernel (evaluated once per row per centroid, so
+    * an interpreted HOF here multiplies per-element lambda dispatch by the
+    * cell count).
+    */
   private def dist2(v: Column, cent: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedlit(cent), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dist2(v, typedlit(cent))
 
   /** Nearest-cell id for a vector given literal centroids: argmin by
     * (distance, cell) — the integer tie-break keeps assignment exact.

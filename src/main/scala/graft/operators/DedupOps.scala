@@ -141,21 +141,30 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact |A∩B| for candidate pairs only (posting join on (doc, gram)),
-    * then J = c / (|A|+|B|−c), emitting pairs with round(J,4) ≥ thr.
+  /** Exact |A∩B| for candidate pairs only, then J = c / (|A|+|B|−c),
+    * emitting pairs with round(J,4) ≥ thr. Each doc's DISTINCT grams are
+    * collected once into a sorted array (one shuffle on doc_id) and the
+    * intersection is computed per PAIR by the fused two-pointer merge
+    * [[graft.functions.TextExprs.SortedIntersectSize]] — no
+    * candidates × set-size row expansion through a shuffle, no post-join
+    * aggregation (the exploded-posting verify join was measured 19 s vs
+    * ~4 s for this shape at sf0.1).
     */
   private def verifyJaccard(cand: DataFrame, posts: DataFrame,
-      thr: Double): DataFrame =
+      thr: Double): DataFrame = {
+    val docSets = posts.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
     cand
-      .join(posts.toDF("doc_a", "g"), "doc_a")
-      .join(posts.toDF("doc_b", "g"), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("c"))
+      .join(docSets.toDF("doc_a", "gsa"), "doc_a")
+      .join(docSets.toDF("doc_b", "gsb"), "doc_b")
+      .withColumn("c", graft.functions.TextExprs
+        .sortedIntersectSize(col("gsa"), col("gsb")))
       .withColumn("jaccard", round(
         col("c").cast("double") / (col("sza") + col("szb") - col("c")), 4))
       .filter(col("jaccard") >= thr)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   val queries: Map[String, Q] = Map(
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on

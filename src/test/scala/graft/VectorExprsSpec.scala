@@ -6,9 +6,9 @@ import graft.functions.VectorExprs
 import graft.operators.SimilarityOps
 import graft.sources.Tables
 
-/** The custom codegen'd CosineSimilarity expression: bit-equality with the
-  * HOF reference formulation, null semantics, SQL registration, and that
-  * it actually stays inside whole-stage codegen.
+/** The custom codegen'd expressions (CosineSimilarity, PolyFingerprint):
+  * bit-equality with their HOF reference formulations, null semantics, SQL
+  * registration, and that they actually stay inside whole-stage codegen.
   */
 class VectorExprsSpec extends SparkSpec {
 
@@ -29,6 +29,44 @@ class VectorExprsSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)), r)
     }
+  }
+
+  test("dist2 is bit-identical to the aggregate/zip_with formulation") {
+    val q = vecs.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+    val both = vecs.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorExprs.dist2(col("ev"), col("qv")).as("fused"),
+        aggregate(zip_with(col("ev"), col("qv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r)
+    }
+  }
+
+  test("poly_fingerprint == HOF rolling hash on every document + edges") {
+    import graft.functions.{TextExprs, TextFeatures}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextExprs.polyFingerprint(col("text")).as("fused"),
+        TextFeatures.rollingFingerprintHof(col("text")).as("hof"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach(r => assert(r.getLong(1) == r.getLong(2), r))
+    // edges: empty string → 0 (matches ascii('')=0 fold), null → null,
+    // multibyte code points step once per character
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, null), (3L, "日本語 text"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextExprs.polyFingerprint(col("text")).as("fused"),
+        TextFeatures.rollingFingerprintHof(col("text")).as("hof"))
+      .collect().sortBy(_.getLong(0))
+    assert(edge(0).getLong(1) == 0L && edge(0).getLong(2) == 0L)
+    assert(edge(1).isNullAt(1) && edge(1).isNullAt(2))
+    assert(edge(2).getLong(1) == edge(2).getLong(2))
   }
 
   test("null semantics: null array, length mismatch, null element") {
