@@ -45,6 +45,45 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streamed envelope fixture == batch unified change log") {
+    // the flagship chain (readJsonEvents → unwrap → rewrite → unify) run
+    // as a STREAM over the committed Debezium fixture must emit exactly
+    // the rows the batch path (oracle-gated cdc_unified_counts/latest)
+    // computes — same operators, streaming frames
+    import graft.operators.CdcEnvelope
+    import graft.sources.CdcSchemas
+    val parts = Seq(
+      "customers" -> CdcSchemas.customer,
+      "products" -> CdcSchemas.product,
+      "orders" -> CdcSchemas.order,
+      "order_items" -> CdcSchemas.orderItem
+    ).map { case (t, sch) =>
+      // the file stream source takes a directory — stage each fixture file
+      val dir = tmp(s"graft-env-$t")
+      Files.copy(java.nio.file.Paths.get(s"${CdcEnvelope.FixtureDir}/$t.jsonl"),
+        java.nio.file.Paths.get(dir, s"$t.jsonl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Cdc.softDeleteRewrite(Cdc.unwrap(
+        CdcStream.jsonEventStream(spark, CdcSchemas.envelope(sch), dir,
+          maxFilesPerTrigger = 1)))
+    }
+    val unified = Cdc.unify(parts)
+    val q = unified.writeStream.format("memory").queryName("envstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val key = Seq("table_name", "lsn")
+    val got = spark.table("envstream")
+      .select($"table_name", $"id", $"op", $"lsn", $"__deleted", $"name",
+        $"status", $"quantity")
+      .orderBy(key.map(col): _*).collect().toSeq
+    val want = CdcEnvelope.unified(spark)
+      .select($"table_name", $"id", $"op", $"lsn", $"__deleted", $"name",
+        $"status", $"quantity")
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(got === want)
+    assert(got.size === 25) // every fixture line survives the chain
+  }
+
   test("stateful latest-state upsert converges across micro-batches") {
     val evSchema = Encoders.product[Ev].schema
     val src = tmp("graft-upsert-src")
