@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe replacement for rank-family window functions over
+  * LOW-CARDINALITY partition keys.
+  *
+  * `Window.partitionBy(group)` routes every row of a group through ONE
+  * reducer task: with a handful of groups (event types, tenants, labels)
+  * that is a skew wall no matter how many executors exist — the same
+  * failure class the bounded [[graft.functions.TopK]] aggregator fixes for
+  * top-k, but rank/ntile/percent_rank genuinely need each row's global
+  * position within its group, so they cannot be partially aggregated.
+  *
+  * [[groupRanks]] is the classic two-phase distributed ranking:
+  *
+  *  1. range-partition by (group ++ order) and sort within partitions —
+  *     each group spans MANY partitions, each partition holds a
+  *     contiguous slice of one or more groups' total order;
+  *  2. count rows per (partition, group) — a tiny side collect of
+  *     O(partitions × groups) longs, never data-sized;
+  *  3. prefix-sum those counts into per-(partition, group) offsets,
+  *     broadcast, and stream each partition once adding
+  *     offset + local position.
+  *
+  * Emits `__pos` (0-based position within the group's total order) and
+  * `__cnt` (group size), from which the rank family derives in closed
+  * form: row_number = pos+1, percent_rank = pos/(cnt−1), ntile per the
+  * SQL bucket rule ([[ntileOf]]). Requires `order` to be a TOTAL order
+  * within each group (ties would make rank ≠ row_number and the result
+  * partition-dependent) and non-null group keys.
+  *
+  * This is one of the rare places `mapPartitions` over rows is the right
+  * tool: the per-partition running counter is genuinely imperative, and
+  * both passes are single sequential scans of already-sorted partitions.
+  */
+object ScaleWindows {
+
+  def groupRanks(df: DataFrame, group: Seq[String], order: Seq[String],
+      numPartitions: Int): DataFrame = {
+    require(group.nonEmpty && order.nonEmpty)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val sortCols = (group ++ order).map(col)
+    // materialize the sorted layout once — both passes read it
+    val parted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
+    // pass 1: per-(partition, group) counts. LinkedHashMap keeps partition
+    // encounter order, but correctness only needs the (pid, key) pairs.
+    val counts: Array[(Int, Seq[Any], Long)] =
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r =>
+          val k = group.map(r.getAs[Any])
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.map { case (k, n) => (pid, k, n) }
+      }.collect()
+    val totals: Map[Seq[Any], Long] =
+      counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+    val offsets: Map[(Int, Seq[Any]), Long] =
+      counts.groupBy(_._2).flatMap { case (k, rs) =>
+        val inPidOrder = rs.sortBy(_._1)
+        val cum = inPidOrder.map(_._3).scanLeft(0L)(_ + _)
+        inPidOrder.zip(cum).map { case ((pid, _, _), off) => (pid, k) -> off }
+      }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    // pass 2: sequential scan per partition, global position = offset +
+    // running local index
+    val outSchema = parted.schema.add("__pos", LongType)
+      .add("__cnt", LongType)
+    val out = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      it.map { r =>
+        val k = group.map(r.getAs[Any])
+        val i = local.getOrElse(k, 0L)
+        local.update(k, i + 1L)
+        Row.fromSeq(r.toSeq :+ (bcOff.value((pid, k)) + i) :+ bcTot.value(k))
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** SQL NTILE bucket (1-based) for 0-based `pos` in a group of `cnt`
+    * rows: the first cnt % n buckets carry ⌈cnt/n⌉ rows, the rest ⌊cnt/n⌋
+    * — identical to Spark's/DuckDB's NTILE.
+    */
+  def ntileOf(pos: Long, cnt: Long, n: Int): Long = {
+    val q = cnt / n
+    val r = cnt % n
+    if (pos < r * (q + 1)) pos / (q + 1) + 1
+    else r + (pos - r * (q + 1)) / math.max(q, 1L) + 1
+  }
+}

@@ -151,6 +151,47 @@ class ScaleSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("two-phase groupRanks == window ranks, without the 1-task-per-group funnel") {
+    import graft.operators.ScaleWindows
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sf)
+      .select($"event_type", $"value", $"event_id")
+    // scale path: range partitions + offset pass
+    val ranked = ScaleWindows.groupRanks(events,
+      group = Seq("event_type"), order = Seq("value", "event_id"),
+      numPartitions = 8)
+    val ntileUdfFree = ranked.select($"event_type", $"event_id",
+        ($"__pos" + 1).as("rn"), $"__pos", $"__cnt")
+      .collect()
+      .map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          ScaleWindows.ntileOf(r.getLong(3), r.getLong(4), 4),
+          if (r.getLong(4) == 1) 0.0
+          else r.getLong(3).toDouble / (r.getLong(4) - 1))
+      }.sortBy(t => (t._1, t._3))
+    // reference: the window formulation
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val win = events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .select($"event_type", $"event_id", $"rn", $"nt", $"pr")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(ntileUdfFree.length == win.length)
+    ntileUdfFree.zip(win).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // and the scale claim: each group's rows span MULTIPLE partitions
+    // (the window form necessarily funnels each group through one task)
+    val spread = events
+      .repartitionByRange(8, $"event_type", $"value", $"event_id")
+      .select(spark_partition_id().as("pid"), $"event_type")
+      .distinct().groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spread.values.exists(_ > 1), spread.toString)
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
