@@ -227,4 +227,33 @@ object Cdc {
     */
   def countsByTable(df: DataFrame): DataFrame =
     df.groupBy(col("table_name")).agg(count(lit(1)).as("n"))
+
+  /** A4: at-rest file metrics for a (possibly partitioned) lake path —
+    * one row per data file with its size and partition subdirectory, the
+    * reference monitor's `hdfs dfs -du`/file-count checks
+    * (monitor-pipeline.sh:103-112) as a queryable frame. Metadata-only:
+    * a recursive filesystem listing (driver-side, like every lake-metrics
+    * tool — the NameNode call is O(files), no data is read). Feed it to
+    * [[compactTimePartitions]] decisions: small-file counts per partition,
+    * bytes per partition, total footprint.
+    */
+  def fileMetrics(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootStr = root.toUri.getPath
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (st.isFile && !p.split('/').last.startsWith("_")) {
+        val rel = p.stripPrefix(rootStr).stripPrefix("/")
+        val dir = rel.split('/').dropRight(1).mkString("/")
+        files += ((rel, dir, st.getLen))
+      }
+    }
+    import spark.implicits._
+    files.toSeq.toDF("file", "partition", "bytes")
+  }
 }

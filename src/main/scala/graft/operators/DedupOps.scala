@@ -92,6 +92,31 @@ object DedupOps {
       .distinct()
   }
 
+  /** Blocked all-pairs is quadratic PER BLOCK: cap = 20k rows ≈ 200M
+    * pairs for the hottest block — tune to the pair budget a stage can
+    * chew, not to row counts.
+    */
+  val MaxCosineBlockRows = 20000L
+
+  /** Fail-fast guard for blocked all-pairs operators: a block whose row
+    * count exceeds `maxBlockRows` would generate n²/2 pairs inside one
+    * join — at scale that is a silent stage meltdown, so surface it as an
+    * immediate, named error instead. The check is one tiny aggregation
+    * (|blocks| rows); oversized blocks belong on the ANN path ([[Ann]])
+    * or need a finer blocking key.
+    */
+  def requireBoundedBlocks(v: DataFrame, blockCol: String,
+      maxBlockRows: Long): DataFrame = {
+    val hot = v.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockRows)
+      .orderBy(col("n").desc).limit(5).collect()
+    require(hot.isEmpty,
+      s"block(s) over $maxBlockRows rows for all-pairs dedup: " +
+        hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ") +
+        " — use Ann (IVF) or a finer blocking key for these")
+    v
+  }
+
   /** Co-occurring doc pairs by per-gram combination generation (groupBy
     * gram, collect doc list, explode ordered pairs): Σ df² rows. This is
     * the NAIVE candidate generator — quadratic in the hottest gram's df —
@@ -252,10 +277,15 @@ object DedupOps {
     }),
 
     // Embedding-cosine near-dup, blocked by label (dedup within a
-    // shard/source): all pairs within a block with cosine >= 0.30.
+    // shard/source): all pairs within a block with cosine >= 0.30. The
+    // within-block join is quadratic in the block size — guarded by
+    // [[requireBoundedBlocks]] so a hot block fails FAST with a routing
+    // hint instead of silently melting a stage at 100 TB.
     "dedup_embedding_cosine" -> ((s, d) => {
-      val v = embeddings(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("ev"))
+      val v = requireBoundedBlocks(
+        embeddings(s, d).select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("ev")),
+        "label", MaxCosineBlockRows)
       val a = v.toDF("vec_a", "label", "ev_a")
       val b = v.toDF("vec_b", "label", "ev_b")
       a.join(b, Seq("label"))

@@ -192,6 +192,39 @@ class ScaleSpec extends SparkSpec {
     assert(spread.values.exists(_ > 1), spread.toString)
   }
 
+  test("file metrics report every data file with its partition and size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val events = Tables.events(spark, sf).limit(400)
+    Cdc.writeTimePartitioned(Cdc.withTimePartitions(events, $"ts"), dir)
+    val m = Cdc.fileMetrics(spark, dir)
+    val files = m.collect()
+    assert(files.nonEmpty)
+    // every row is a real parquet data file inside a year=/month=... dir
+    files.foreach { r =>
+      assert(r.getString(0).endsWith(".parquet"), r)
+      assert(r.getString(1).startsWith("year="), r)
+      assert(r.getLong(2) > 0, r)
+    }
+    // the listing agrees with what a scan actually reads
+    val scanned = spark.read.parquet(dir).select(input_file_name())
+      .distinct().count()
+    assert(files.length.toLong === scanned)
+  }
+
+  test("blocked all-pairs dedup fails fast on an oversized block") {
+    import graft.operators.DedupOps
+    val v = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("ev"))
+    // under the cap: pass-through, query unchanged
+    assert(DedupOps.requireBoundedBlocks(v, "label", 1000000L) eq v)
+    // a cap below the hottest block: immediate named error, no join runs
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.requireBoundedBlocks(v, "label", 3L)
+    }
+    assert(e.getMessage.contains("Ann"), e.getMessage)
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
