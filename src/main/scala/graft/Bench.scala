@@ -23,7 +23,13 @@ object Bench {
       // would not be the plan the oracle verifies. All query outputs are
       // aggregate/top-k bounded, so full driver materialization is safe.
       try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks from dedup/ANN queries are reclaimed by the
+      // ContextCleaner only after a driver GC notices the RDD is dead —
+      // without this they accumulate across the session and bleed memory
+      // pressure into later queries' times. Outside the timed window.
+      System.gc()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
