@@ -144,12 +144,16 @@ object DedupOps {
   def prefixCandidates(posts: DataFrame,
       t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("doc_id"))
+    // one ordered window spec serves both rank and size (the count takes
+    // the explicit full frame), so Catalyst plans a single Window node —
+    // one shuffle + one sort per doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val full = byDoc.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val prefix = posts.join(dfreq, "g")
-      .withColumn("sz", count(lit(1)).over(byDoc))
-      .withColumn("rk",
-        row_number().over(byDoc.orderBy(col("df"), col("g"))))
+      .withColumn("sz", count(lit(1)).over(full))
+      .withColumn("rk", row_number().over(byDoc))
       .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("doc_id"), col("sz"), col("g"))
     prefix
