@@ -117,6 +117,46 @@ object DedupOps {
     v
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup DECISIONS: every document gets the
+    * minimum doc id reachable through dup edges as its cluster id; the
+    * cluster representative (id == cluster) is the canonical copy to keep.
+    *
+    * Min-label propagation: each iteration every node takes the min of
+    * its own and its neighbors' labels (one join + one groupBy), until a
+    * fixpoint — at most graph-diameter iterations, and dup graphs are
+    * shallow (near-clique clusters), so convergence is fast. Per
+    * iteration the frame is localCheckpoint'd to keep lineage flat. At
+    * 100 TB the same loop holds (labels/edges are (long, long) rows);
+    * pathological long-chain graphs want the large-star/small-star
+    * variant (Kiveris et al., "Connected components in MapReduce and
+    * beyond", SoCC'14) — same join-groupBy primitives, fewer rounds.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(false)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val next = labels
+        .join(edges, labels("id") === edges("v"))
+        .select(edges("u").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters")
+    labels
+  }
+
   /** Co-occurring doc pairs by per-gram combination generation (groupBy
     * gram, collect doc list, explode ordered pairs): Σ df² rows. This is
     * the NAIVE candidate generator — quadratic in the hottest gram's df —
@@ -254,6 +294,21 @@ object DedupOps {
       verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
     }),
 
+    // Pairs → clusters → keep/drop: connected components over the exact
+    // ngram-Jaccard pairs; cluster id = min reachable doc id, the
+    // representative (doc_id == cluster_id) is the kept copy. The full
+    // dedup pipeline's decision step, oracle-checked against a recursive
+    // CTE over the same pair semantics.
+    "dedup_clusters" -> ((s, d) => {
+      val posts = ngramPosts(s, d).localCheckpoint(false)
+      val pairs = verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: 64-bit sign-sum signature over token hashes,
     // 4×16-bit band join, Hamming distance <= 3. Engine-specific hashing →
     // no SQL oracle (driver does rows-only); properties are spec-tested.
@@ -356,6 +411,29 @@ object DedupOps {
          WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         n AS (SELECT DISTINCT u AS id FROM e),
+         reach(id, v) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u)
+         SELECT id AS doc_id, min(v) AS cluster_id,
+           (id = min(v)) AS keep
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)
