@@ -47,7 +47,48 @@ object SimilarityOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Symmetric per-vector int8 quantization — the embedding STORAGE path
+    * at 100 TB (4× smaller than float32 at rest; a 100 TB float corpus
+    * becomes 25 TB of tinyint + one float scale per vector). scale =
+    * max|x|/127, q = round(x/scale) ∈ [−127, 127]. For COSINE the scale
+    * cancels (cos(s·q) = cos(q)), so similarity search runs on the int8
+    * arrays directly — only ranking error from rounding remains, bounded
+    * in DedupAnnSpec (recall@20 vs exact, max sim deviation).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val s = greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+    transform(v, x => round(x / s).cast("tinyint"))
+  }
+
+  /** Inverse of [[quantizeInt8]] given the same source vector's scale —
+    * for magnitude-sensitive consumers (L2, dot); cosine needs no
+    * dequantization.
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** The scale [[quantizeInt8]] used, for storage beside the codes. */
+  def int8Scale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+
   val queries: Map[String, Q] = Map(
+    // Cosine top-20 on int8-QUANTIZED embeddings (per-vector scales
+    // cancel in cosine): the storage-scale twin of sim_cosine_topk.
+    // Approximate by construction (rounding) → rows-only driver check;
+    // DedupAnnSpec bounds recall and similarity deviation vs exact.
+    "sim_quantized_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          quantizeInt8(asDouble(col("embedding"))).as("q8"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(transform(col("q8"), x => x.cast("double")).as("qv"))
+      e.crossJoin(broadcast(qv))
+        .withColumn("sim", round(
+          cosine(transform(col("q8"), x => x.cast("double")), col("qv")), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
     // Brute-force cosine top-20 against the vec_id=0 embedding.
     "sim_cosine_topk" -> ((s, d) => {
       val e = embeddings(s, d)

@@ -63,6 +63,37 @@ class DedupAnnSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === base.count())
   }
 
+  test("int8-quantized cosine: recall@20 >= 0.9, sim error <= 0.02, 4x smaller") {
+    import graft.sources.Tables
+    val quant = SimilarityOps.queries("sim_quantized_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = SimilarityOps.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val recall = (quant.keySet intersect exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@20 = $recall")
+    // rounding error bound on the overlapping hits
+    (quant.keySet intersect exact.keySet).foreach { id =>
+      assert(math.abs(quant(id) - exact(id)) <= 0.02,
+        s"vec $id: quant=${quant(id)} exact=${exact(id)}")
+    }
+    // the storage claim: int8 codes round-trip through parquet at ~1/4
+    // the float32 footprint
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        SimilarityOps.quantizeInt8(
+          transform(col("embedding"), x => x.cast("double"))).as("q8"),
+        SimilarityOps.int8Scale(
+          transform(col("embedding"), x => x.cast("double"))).as("scale"))
+    val d8 = java.nio.file.Files.createTempDirectory("graft-q8").toString
+    val d32 = java.nio.file.Files.createTempDirectory("graft-f32").toString
+    v.write.mode("overwrite").parquet(d8)
+    Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(d32)
+    def bytes(p: String) = graft.operators.Cdc.fileMetrics(spark, p)
+      .agg(sum(col("bytes"))).collect()(0).getLong(0)
+    assert(bytes(d8) < bytes(d32) / 2, s"q8=${bytes(d8)} f32=${bytes(d32)}")
+  }
+
   test("minhash LSH finds every pair that exact ngram-Jaccard>=0.8 finds") {
     // LSH candidates are verified with exact Jaccard, so precision is exact
     // by construction; this checks recall against the all-pairs truth.
