@@ -133,6 +133,29 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().toSeq == windowed.collect().toSeq)
   }
 
+  // formatted explain prints every node twice (tree + details) — count
+  // physical Window operators on the simple tree string instead
+  private def windowNodes(df: DataFrame): Int =
+    "\\bWindow\\b".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("dedup_ngram_jaccard plans ONE Window node (fused size+rank)") {
+    import graft.operators.DedupOps
+    val n = windowNodes(DedupOps.queries("dedup_ngram_jaccard")(spark, sf))
+    assert(n == 1, s"$n Window nodes")
+  }
+
+  test("cdc_unified_latest: one compaction shuffle, no nested-loop joins") {
+    import graft.operators.CdcEnvelope
+    val df = CdcEnvelope.queries("cdc_unified_latest")(spark, sf)
+    // latest-state = exactly one Window (the single key shuffle CDC
+    // compaction needs); a regression to per-table windows or a
+    // BroadcastNestedLoopJoin would show here
+    assert(windowNodes(df) == 1)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("approx_percentile tracks the exact interpolated quantile") {
     import graft.operators.EventOps
     val approx = EventOps.queries("cdc_value_percentiles_approx")(spark, sf)
