@@ -16,13 +16,17 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
     // fixed alphabetical order: deterministic run-to-run comparisons
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // collect(), not count(): count() lets Catalyst prune every column
       // and EliminateSorts drop the final ordering, so the timed plan
       // would not be the plan the oracle verifies. All query outputs are
       // aggregate/top-k bounded, so full driver materialization is safe.
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // localCheckpoint blocks from dedup/ANN queries are reclaimed by the
       // ContextCleaner only after a driver GC notices the RDD is dead —
@@ -33,8 +37,11 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query's time is meaningless — surface the names instead of
+    // letting a crash read as a fast run
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
