@@ -23,11 +23,15 @@ object Bench {
       // and EliminateSorts drop the final ordering, so the timed plan
       // would not be the plan the oracle verifies. All query outputs are
       // aggregate/top-k bounded, so full driver materialization is safe.
+      var ok = true
       try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
+        ok = false
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query's elapsed time is meaningless — excluding it keeps
+      // the per-query map and total honest (a crash must not read as fast)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       // localCheckpoint blocks from dedup/ANN queries are reclaimed by the
       // ContextCleaner only after a driver GC notices the RDD is dead —
       // without this they accumulate across the session and bleed memory
@@ -35,12 +39,11 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val timed = results.filterNot { case (_, v) => v.isNaN }
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // a failed query's time is meaningless — surface the names instead of
-    // letting a crash read as a fast run
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }

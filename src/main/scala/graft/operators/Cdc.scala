@@ -247,8 +247,14 @@ object Cdc {
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toUri.getPath
-      if (st.isFile && !p.split('/').last.startsWith("_")) {
-        val rel = p.stripPrefix(rootStr).stripPrefix("/")
+      val rel = p.stripPrefix(rootStr).stripPrefix("/")
+      // mirror Spark/Hadoop's hidden-path rule: ANY path segment starting
+      // with '_' or '.' (e.g. _temporary/…/part-*.parquet, .crc files) is
+      // invisible to a scan and must be invisible here too, or the
+      // listing==scan contract breaks on in-flight/failed writes
+      val hidden = rel.split('/')
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (st.isFile && !hidden) {
         val dir = rel.split('/').dropRight(1).mkString("/")
         files += ((rel, dir, st.getLen))
       }

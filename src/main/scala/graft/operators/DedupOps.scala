@@ -80,7 +80,7 @@ object DedupOps {
     * a transform/concat_ws lambda evaluates interpreted and re-runs
     * split() per element, ~10× slower).
     */
-  private def ngramPosts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramPosts(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val n = greatest(size(toks) - 2, lit(0)).cast("int")
     documents(s, d)
@@ -133,28 +133,45 @@ object DedupOps {
     * beyond", SoCC'14) — same join-groupBy primitives, fewer rounds.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // persist (not localCheckpoint) so superseded generations can be
+    // UNPERSISTED as soon as they are dead — checkpoint blocks are only
+    // reclaimed at a driver GC, and an iterative loop that pins every
+    // generation is exactly the leak NOTES.md measured degrading later
+    // queries. Live cached frames stay bounded at 2 (edges + current
+    // labels); lineage depth equals the iteration count, bounded by the
+    // dup graph's diameter (shallow: near-clique clusters).
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(false)
+      .persist()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(false)
+      .withColumn("lbl", col("id")).persist()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
-      val next = labels
-        .join(edges, labels("id") === edges("v"))
-        .select(edges("u").as("id"), col("lbl"))
+      // explicit aliases: labels shares lineage with edges (persist does
+      // not truncate lineage the way a checkpoint would), so unqualified
+      // column refs would be ambiguous self-join refs
+      val next = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.v"))
+        .select(col("e.u").as("id"), col("l.lbl").as("lbl"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels.unpersist(false)
       labels = next
       iters += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIters")
-    labels
+    // snapshot the converged labels, then release every cached input —
+    // the returned frame owns its data and holds no live cache entries
+    val result = labels.localCheckpoint(false)
+    labels.unpersist(false)
+    edges.unpersist(false)
+    result
   }
 
   /** Co-occurring doc pairs by per-gram combination generation (groupBy

@@ -50,26 +50,33 @@ object SimilarityOps {
   /** Symmetric per-vector int8 quantization — the embedding STORAGE path
     * at 100 TB (4× smaller than float32 at rest; a 100 TB float corpus
     * becomes 25 TB of tinyint + one float scale per vector). scale =
-    * max|x|/127, q = round(x/scale) ∈ [−127, 127]. For COSINE the scale
-    * cancels (cos(s·q) = cos(q)), so similarity search runs on the int8
-    * arrays directly — only ranking error from rounding remains, bounded
-    * in DedupAnnSpec (recall@20 vs exact, max sim deviation).
+    * max|x|/127 ([[int8Scale]], the single definition), q =
+    * round(x/scale) ∈ [−127, 127]. For COSINE the scale cancels
+    * (cos(s·q) = cos(q)), so similarity search runs on the int8 arrays
+    * directly — only ranking error from rounding remains, bounded in
+    * DedupAnnSpec (recall@20 vs exact, max sim deviation).
+    *
+    * `scale` must be a pre-computed COLUMN (from [[int8Scale]] via
+    * `withColumn`), never an inline expression: anything referenced
+    * inside a `transform` lambda is re-evaluated per ELEMENT, so an
+    * embedded scale subtree would pay an O(dim) array scan dim times per
+    * row — the interpreted-HOF anti-pattern NOTES.md measures at 60×.
     */
-  def quantizeInt8(v: Column): Column = {
-    val s = greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
-    transform(v, x => round(x / s).cast("tinyint"))
-  }
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("tinyint"))
 
-  /** Inverse of [[quantizeInt8]] given the same source vector's scale —
-    * for magnitude-sensitive consumers (L2, dot); cosine needs no
+  /** The per-vector scale for [[quantizeInt8]]/[[dequantizeInt8]] —
+    * compute once per row with `withColumn` and store beside the codes.
+    */
+  def int8Scale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+
+  /** Inverse of [[quantizeInt8]] given the stored scale — for
+    * magnitude-sensitive consumers (L2, dot); cosine needs no
     * dequantization.
     */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
-
-  /** The scale [[quantizeInt8]] used, for storage beside the codes. */
-  def int8Scale(v: Column): Column =
-    greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
 
   val queries: Map[String, Q] = Map(
     // Cosine top-20 on int8-QUANTIZED embeddings (per-vector scales
@@ -78,8 +85,10 @@ object SimilarityOps {
     // DedupAnnSpec bounds recall and similarity deviation vs exact.
     "sim_quantized_topk" -> ((s, d) => {
       val e = embeddings(s, d)
+        .withColumn("ev", asDouble(col("embedding")))
+        .withColumn("s8", int8Scale(col("ev")))
         .select(col("vec_id"), col("label"),
-          quantizeInt8(asDouble(col("embedding"))).as("q8"))
+          quantizeInt8(col("ev"), col("s8")).as("q8"))
       val qv = e.filter(col("vec_id") === 0)
         .select(transform(col("q8"), x => x.cast("double")).as("qv"))
       e.crossJoin(broadcast(qv))

@@ -29,8 +29,9 @@ object Skew {
     // right/full outer would emit each unmatched dim row `salts` times
     // (the replicas have no fact partner), breaking the identical-results
     // contract — only fact-side-preserving join types are sound here
-    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-        "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase),
+    // same normalization as Spark's JoinType.apply: lowercase, drop '_'
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti")(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left_outer/left_semi/left_anti, got $joinType")
     // deterministic salt: stable row hash of all fact columns, not rand()
     // (re-execution of a task must salt identically for exactly-once sinks)

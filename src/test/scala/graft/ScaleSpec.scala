@@ -124,16 +124,9 @@ class ScaleSpec extends SparkSpec {
 
   test("prefix filtering prunes candidates yet loses no qualifying pair") {
     import graft.operators.DedupOps
-    // rebuild the same distinct (doc_id, trigram) postings the query uses
-    val toks = split(col("text"), " ")
-    val n = greatest(size(toks) - 2, lit(0)).cast("int")
-    val posts = Tables.documents(spark, sf)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(toks, lit(1), n), slice(toks, lit(2), n),
-        slice(toks, lit(3), n))).as("z"))
-      .select(col("doc_id"),
-        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
-      .distinct().localCheckpoint(false)
+    // the SAME postings the query uses — a copy here would silently stop
+    // covering the production construction if tokenization ever changes
+    val posts = DedupOps.ngramPosts(spark, sf).localCheckpoint(false)
     val naive = DedupOps.allPairs(posts)
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
