@@ -218,6 +218,17 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("Ann"), e.getMessage)
   }
 
+  test("connected components: chains converge, cliques collapse") {
+    import graft.operators.DedupOps
+    // chain 1-2-3-4 (needs multiple propagation rounds), a pair, a clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
