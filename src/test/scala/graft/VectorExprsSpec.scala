@@ -69,6 +69,49 @@ class VectorExprsSpec extends SparkSpec {
     assert(edge(2).getLong(1) == edge(2).getLong(2))
   }
 
+  test("sorted_intersect_size == array_intersect size on random sorted sets") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      def set() = rnd.shuffle((0 to 60).toList).take(rnd.nextInt(25))
+        .map(x => s"t$x").distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val out = rows.toDF("id", "a", "b")
+      .select($"id",
+        TextExprs.sortedIntersectSize($"a", $"b").as("fused"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), r))
+  }
+
+  test("TopK aggregator == window top-k on random grouped data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // duplicate sims across groups force the tie-break path
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(7).toLong, math.round(rnd.nextDouble() * 20) / 20.0,
+        i.toLong)
+    }
+    val df = rows.toDF("qid", "sim", "vec_id")
+    val viaAgg = df.groupBy($"qid")
+      .agg(graft.functions.TopK.topK(5)($"sim", $"vec_id").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("p", "t")))
+      .select($"qid", ($"p" + 1).cast("long").as("rk"),
+        $"t.vec_id".as("vec_id"), $"t.sim".as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    val viaWin = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id", $"sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg === viaWin)
+  }
+
   test("null semantics: null array, length mismatch, null element") {
     import spark.implicits._
     val df = Seq(
