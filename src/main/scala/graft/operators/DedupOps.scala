@@ -80,15 +80,15 @@ object DedupOps {
     * a transform/concat_ws lambda evaluates interpreted and re-runs
     * split() per element, ~10× slower).
     */
-  private[graft] def ngramPosts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramPosts(s: SparkSession, d: String,
+      n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
-    val n = greatest(size(toks) - 2, lit(0)).cast("int")
+    val cnt = greatest(size(toks) - (n - 1), lit(0)).cast("int")
     documents(s, d)
       .select(col("doc_id"), explode(arrays_zip(
-        slice(toks, lit(1), n), slice(toks, lit(2), n),
-        slice(toks, lit(3), n))).as("z"))
+        (1 to n).map(j => slice(toks, lit(j), cnt)): _*)).as("z"))
       .select(col("doc_id"),
-        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
+        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*).as("g"))
       .distinct()
   }
 
@@ -311,6 +311,24 @@ object DedupOps {
       verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
     }),
 
+    // Benchmark decontamination (Brown et al. GPT-3 appendix C; Dodge et
+    // al. "Documenting large webtext corpora", EMNLP'21): flag training
+    // documents sharing any long n-gram (8 tokens here) with the
+    // benchmark set — doc_id < 10 stands in for the eval-benchmark table.
+    // Benchmark postings are tiny at any scale (benchmarks are MBs), so
+    // AQE broadcasts the distinct-gram side; the training corpus is
+    // scanned once and never shuffled on text.
+    "dedup_contamination" -> ((s, d) => {
+      val posts8 = ngramPosts(s, d, n = 8)
+      val bench = posts8.filter(col("doc_id") < 10)
+        .select(col("g")).distinct()
+      posts8.filter(col("doc_id") >= 10)
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pairs → clusters → keep/drop: connected components over the exact
     // ngram-Jaccard pairs; cluster id = min reachable doc id, the
     // representative (doc_id == cluster_id) is the kept copy. The full
@@ -428,6 +446,17 @@ object DedupOps {
          WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "dedup_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g8 AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+               i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
+                 'string_agg', ' '))) AS g
+           FROM d),
+         bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
+         SELECT doc_id, count(*) AS n_shared_8grams
+         FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -153,6 +153,26 @@ object TextOps {
         .limit(20)
     }),
 
+    // Repetition detection: the within-document quality signal (heavily
+    // repeated n-grams mark boilerplate/spam; cf. Rae et al., Gopher
+    // appendix A "repetition filters"). rep_ratio = 1 − distinct/total
+    // trigrams. Distinct counting runs on narrow postings (codegen'd
+    // hash aggregate), never per-row array_distinct.
+    "text_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val total = documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(toks) - 2, lit(0)).cast("long").as("n_tri"))
+      val distinctTri = DedupOps.ngramPosts(s, d)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      total.join(distinctTri, "doc_id")
+        .withColumn("rep_ratio", round(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tri"), 4))
+        .select(col("doc_id"), col("n_tri"), col("n_distinct"),
+          col("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -236,6 +256,18 @@ object TextOps {
            round(tf * (CAST(n AS DOUBLE) / df), 4) AS score
          FROM tf JOIN df USING (token), n
          ORDER BY score DESC, doc_id, token LIMIT 20""",
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tri AS (SELECT doc_id,
+             CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_tri,
+             CAST(len(list_distinct(list_transform(
+               range(1, greatest(len(t)-2, 0)+1),
+               i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+                    || ' ' || t[CAST(i AS INT)+2]))) AS BIGINT) AS n_distinct
+           FROM d)
+         SELECT doc_id, n_tri, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tri, 4) AS rep_ratio
+         FROM tri WHERE n_tri > 0 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS text_hash
