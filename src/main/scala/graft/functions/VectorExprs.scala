@@ -157,6 +157,98 @@ object VectorExprs {
         newRight: Expression): Expression = copy(newLeft, newRight)
   }
 
+  /** Fused symmetric int8 quantization: q = round(x / (max|x|/127)) per
+    * element, scale computed ONCE in the same traversal pair. A
+    * composition of built-ins cannot express this safely — hoisting the
+    * scale into an aliased column looks right but Catalyst's
+    * CollapseProject re-inlines a once-referenced alias into the
+    * `transform` lambda, silently restoring the O(dim²)-per-row
+    * interpreted scan (verified on the optimized plan). Null array → null;
+    * any null element → null. Output `array<tinyint>` in [−127, 127].
+    */
+  case class Int8Quantize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"int8_quantize expects array<double>, got ${other.simpleString}")
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "int8_quantize"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var mx = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val a = math.abs(x.getDouble(i))
+        if (a > mx) mx = a
+        i += 1
+      }
+      val scale = math.max(mx, 1e-12) / 127.0
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        // HALF_UP away from zero, matching Spark's round(); Math.round
+        // would differ on negative halves (-2.5 -> -2 instead of -3)
+        val r = x.getDouble(i) / scale
+        out(i) =
+          (if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)).toByte
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val mx = ctx.freshName("mx")
+        val a = ctx.freshName("a")
+        val scale = ctx.freshName("scale")
+        val out = ctx.freshName("out")
+        val r = ctx.freshName("r")
+        s"""
+        final int $n = $c.numElements();
+        double $mx = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+          final double $a = java.lang.Math.abs($c.getDouble($i));
+          if ($a > $mx) { $mx = $a; }
+        }
+        if (!${ev.isNull}) {
+          final double $scale = java.lang.Math.max($mx, 1e-12) / 127.0;
+          final byte[] $out = new byte[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            final double $r = $c.getDouble($i) / $scale;
+            $out[$i] = (byte) ($r >= 0 ? java.lang.Math.floor($r + 0.5d)
+                                       : java.lang.Math.ceil($r - 0.5d));
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions
+            .UnsafeArrayData.fromPrimitiveArray($out);
+        }
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  /** Column-API face of [[Int8Quantize]]. */
+  def int8Quantize(v: Column): Column =
+    Bridge.column(Int8Quantize(Bridge.expression(v)))
+
   /** Column-API face of [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(

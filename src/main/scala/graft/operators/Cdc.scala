@@ -241,17 +241,23 @@ object Cdc {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootStr = root.toUri.getPath
+    // qualify the root so its string form matches the listed files'
+    // (a relative `path` would otherwise never prefix-strip, and the
+    // hidden-segment rule below would judge ANCESTOR directories of the
+    // root — e.g. a '_work' checkout dir would hide every file)
+    val rootStr = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toUri.getPath
-      val rel = p.stripPrefix(rootStr).stripPrefix("/")
-      // mirror Spark/Hadoop's hidden-path rule: ANY path segment starting
-      // with '_' or '.' (e.g. _temporary/…/part-*.parquet, .crc files) is
-      // invisible to a scan and must be invisible here too, or the
-      // listing==scan contract breaks on in-flight/failed writes
+      val rel =
+        if (p.startsWith(rootStr + "/")) p.substring(rootStr.length + 1)
+        else p.split('/').last
+      // mirror Spark/Hadoop's hidden-path rule INSIDE the root: any
+      // segment starting with '_' or '.' (e.g. _temporary/…/part-*.parquet,
+      // .crc files) is invisible to a scan and must be invisible here too,
+      // or the listing==scan contract breaks on in-flight/failed writes
       val hidden = rel.split('/')
         .exists(s => s.startsWith("_") || s.startsWith("."))
       if (st.isFile && !hidden) {

@@ -146,32 +146,39 @@ object DedupOps {
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).persist()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      // explicit aliases: labels shares lineage with edges (persist does
-      // not truncate lineage the way a checkpoint would), so unqualified
-      // column refs would be ambiguous self-join refs
-      val next = labels.as("l")
-        .join(edges.as("e"), col("l.id") === col("e.v"))
-        .select(col("e.u").as("id"), col("l.lbl").as("lbl"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
+    try {
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < maxIters) {
+        // explicit aliases: labels shares lineage with edges (persist does
+        // not truncate lineage the way a checkpoint would), so unqualified
+        // column refs would be ambiguous self-join refs
+        val next = labels.as("l")
+          .join(edges.as("e"), col("l.id") === col("e.v"))
+          .select(col("e.u").as("id"), col("l.lbl").as("lbl"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        try changed = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.lbl") =!= col("p.lbl")).count()
+        catch { case t: Throwable => next.unpersist(false); throw t }
+        labels.unpersist(false)
+        labels = next
+        iters += 1
+      }
+      require(changed == 0,
+        s"label propagation did not converge in $maxIters")
+      // EAGER snapshot of the converged labels BEFORE the finally block
+      // releases the caches backing it — a lazy checkpoint here would
+      // materialize after the unpersists and recompute the whole chain
+      labels.localCheckpoint()
+    } finally {
+      // release every cached input even on failure; the returned frame
+      // owns its (already materialized) data
       labels.unpersist(false)
-      labels = next
-      iters += 1
+      edges.unpersist(false)
     }
-    require(changed == 0, s"label propagation did not converge in $maxIters")
-    // snapshot the converged labels, then release every cached input —
-    // the returned frame owns its data and holds no live cache entries
-    val result = labels.localCheckpoint(false)
-    labels.unpersist(false)
-    edges.unpersist(false)
-    result
   }
 
   /** Co-occurring doc pairs by per-gram combination generation (groupBy

@@ -56,14 +56,14 @@ object SimilarityOps {
     * directly — only ranking error from rounding remains, bounded in
     * DedupAnnSpec (recall@20 vs exact, max sim deviation).
     *
-    * `scale` must be a pre-computed COLUMN (from [[int8Scale]] via
-    * `withColumn`), never an inline expression: anything referenced
-    * inside a `transform` lambda is re-evaluated per ELEMENT, so an
-    * embedded scale subtree would pay an O(dim) array scan dim times per
-    * row — the interpreted-HOF anti-pattern NOTES.md measures at 60×.
+    * Implemented as the fused codegen'd
+    * [[graft.functions.VectorExprs.Int8Quantize]] — a `transform` lambda
+    * would re-evaluate the scale subtree per ELEMENT (CollapseProject
+    * re-inlines even a hoisted alias), paying an O(dim) scan dim times
+    * per row.
     */
-  def quantizeInt8(v: Column, scale: Column): Column =
-    transform(v, x => round(x / scale).cast("tinyint"))
+  def quantizeInt8(v: Column): Column =
+    graft.functions.VectorExprs.int8Quantize(v)
 
   /** The per-vector scale for [[quantizeInt8]]/[[dequantizeInt8]] —
     * compute once per row with `withColumn` and store beside the codes.
@@ -85,10 +85,8 @@ object SimilarityOps {
     // DedupAnnSpec bounds recall and similarity deviation vs exact.
     "sim_quantized_topk" -> ((s, d) => {
       val e = embeddings(s, d)
-        .withColumn("ev", asDouble(col("embedding")))
-        .withColumn("s8", int8Scale(col("ev")))
         .select(col("vec_id"), col("label"),
-          quantizeInt8(col("ev"), col("s8")).as("q8"))
+          quantizeInt8(asDouble(col("embedding"))).as("q8"))
       val qv = e.filter(col("vec_id") === 0)
         .select(transform(col("q8"), x => x.cast("double")).as("qv"))
       e.crossJoin(broadcast(qv))

@@ -80,10 +80,9 @@ class DedupAnnSpec extends SparkSpec {
     // the float32 footprint
     val v = Tables.embeddings(spark, sf)
       .withColumn("ev", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("scale", SimilarityOps.int8Scale(col("ev")))
       .select(col("vec_id"),
-        SimilarityOps.quantizeInt8(col("ev"), col("scale")).as("q8"),
-        col("scale"))
+        SimilarityOps.quantizeInt8(col("ev")).as("q8"),
+        SimilarityOps.int8Scale(col("ev")).as("scale"))
     val d8 = java.nio.file.Files.createTempDirectory("graft-q8").toString
     val d32 = java.nio.file.Files.createTempDirectory("graft-f32").toString
     v.write.mode("overwrite").parquet(d8)

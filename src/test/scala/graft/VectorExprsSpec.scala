@@ -69,6 +69,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(edge(2).getLong(1) == edge(2).getLong(2))
   }
 
+  test("int8_quantize == HOF round(x/scale) incl. negative-half rounding") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    // corpus parity
+    val both = Tables.embeddings(spark, sf)
+      .withColumn("ev", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("s8", SimilarityOps.int8Scale(col("ev")))
+      .select(col("vec_id"),
+        SimilarityOps.quantizeInt8(col("ev")).as("fused"),
+        transform(col("ev"), x => round(x / col("s8")).cast("tinyint"))
+          .as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Byte](1) == r.getSeq[Byte](2), r))
+    // explicit negative-half case: -2.5/scale with scale chosen so a
+    // quotient lands exactly on ±x.5 — HALF_UP must round away from zero
+    val edge = Seq((1L, Seq(-2.5, 2.5, 127.0)))
+      .toDF("id", "v")
+      .select(SimilarityOps.quantizeInt8(col("v")).as("q"))
+      .collect()(0).getSeq[Byte](0)
+    // scale = 127/127 = 1.0 → codes are round(±2.5), round(127)
+    assert(edge == Seq((-3).toByte, 3.toByte, 127.toByte), edge)
+  }
+
   test("sorted_intersect_size == array_intersect size on random sorted sets") {
     import spark.implicits._
     import graft.functions.TextExprs
