@@ -126,20 +126,38 @@ object Cdc {
     shiftleft(conv(substring_index(lsn, "/", 1), 16, 10).cast("long"), 32) +
       conv(substring_index(lsn, "/", -1), 16, 10).cast("long")
 
-  /** W1: latest-state materialization — compact the change log to the
-    * current row per key, excluding soft-deleted rows. One shuffle on the
-    * key columns; ordering within key by the supplied monotone order
-    * columns (lsn, ts, …).
+  /** W1 (tombstone-retaining): compact the change log to the winning row
+    * per key — INCLUDING soft-deleted winners. This is the form persisted
+    * state must take: dropping a delete's tombstone lets any later
+    * redelivery of a pre-delete event resurrect the key (the tombstone's
+    * order value is what out-ranks stale replays). One shuffle on the key
+    * columns; ordering within key by the supplied monotone order columns.
     */
-  def latestState(events: DataFrame, keys: Seq[String],
+  def compactLog(events: DataFrame, keys: Seq[String],
       order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order.map(_.desc): _*)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .filter(not(coalesce(col("__deleted") === "true", lit(false))))
   }
+
+  /** Hide soft-deleted rows — the read/serve face over a compacted log
+    * (no-op when the frame carries no `__deleted` column).
+    */
+  def dropDeleted(df: DataFrame): DataFrame =
+    if (df.columns.contains("__deleted"))
+      df.filter(not(coalesce(col("__deleted") === "true", lit(false))))
+    else df
+
+  /** W1: latest-state materialization — the SERVING view: compact the
+    * change log and hide soft-deleted rows. For state that will be folded
+    * again (upsert sinks), persist [[compactLog]] instead and apply
+    * [[dropDeleted]] at read time.
+    */
+  def latestState(events: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame =
+    dropDeleted(compactLog(events, keys, order))
 
   /** W1 (time travel): table state AS OF a given LSN — filter the log to
     * events at-or-before the target, then compact. This is the CDC

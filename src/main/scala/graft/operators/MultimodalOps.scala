@@ -49,7 +49,8 @@ object MultimodalOps {
         (lit(16) + pmod(col("n_chars") * 2, lit(64))).cast("int").as("height"),
         (lit(8000) + pmod(col("n_chars"), lit(3)) * 8000).cast("int")
           .as("sample_rate"),
-        (lit(8) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"))
+        (lit(8) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"),
+        col("n_chars").cast("int").as("n_chars"))
         .as("meta"))
 
   /** Batched partition-wise decode + feature extraction + "resize"
@@ -63,6 +64,12 @@ object MultimodalOps {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch => // record-batch shape
+          // the batch IS the unit of work: one scratch thumb buffer is
+          // allocated per record-batch and reused across its records —
+          // the allocation pattern a real vectorized codec (mapInPandas /
+          // Arrow batch) has, so batch-size invariance is a property of
+          // the code, not a vacuous claim
+          val thumb = new Array[Byte](64)
           batch.map { case (id, modality, bytes) =>
             // --- STUBBED CODEC: a real pipeline hands `bytes` to an
             // image/audio/video library here. Deterministic fake below. ---
@@ -71,12 +78,18 @@ object MultimodalOps {
               if (n == 0) 0.0
               else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / n
             val maxB = if (n == 0) 0 else bytes.map(_ & 0xFF).max
-            // "resize": stride-subsample to <=64 bytes, then fingerprint
+            // "resize": stride-subsample to <=64 bytes into the batch
+            // scratch buffer, then fingerprint
             val stride = math.max(n / 64, 1)
-            val thumb = bytes.indices.by(stride).take(64).map(bytes(_))
-            val thumbCk = thumb.foldLeft(0L)((a, b) =>
-              (a * 31 + (b & 0xFF)) % 1000000007L)
-            (id, modality, n, mean, maxB, thumb.length, thumbCk)
+            var i = 0; var k = 0
+            while (i < n && k < 64) { thumb(k) = bytes(i); k += 1; i += stride }
+            var thumbCk = 0L
+            var j = 0
+            while (j < k) {
+              thumbCk = (thumbCk * 31 + (thumb(j) & 0xFF)) % 1000000007L
+              j += 1
+            }
+            (id, modality, n, mean, maxB, k, thumbCk)
           }
         }
       }
@@ -113,11 +126,12 @@ object MultimodalOps {
     // character-addressed so the DuckDB twin is exact; the byte-addressed
     // path is decodeFeatures (spec-tested).
     "mm_frame_sample" -> ((s, d) => {
+      // frames come from the asset's own payload — no second documents
+      // scan / re-join to recover the text (meta carries n_chars)
       val vids = assets(s, d).filter(col("modality") === "video")
-        .join(documents(s, d).select(col("doc_id").as("asset_id"),
-          col("text"), col("n_chars")), "asset_id")
+        .withColumn("text", col("payload").cast("string"))
         .withColumn("stride",
-          greatest(expr("n_chars div meta.n_frames"), lit(1)))
+          greatest(expr("meta.n_chars div meta.n_frames"), lit(1)))
       vids
         .select(col("asset_id"), col("text"), col("stride"),
           posexplode(sequence(lit(0), col("meta.n_frames") - 1))

@@ -212,12 +212,14 @@ object Relational {
           col("l_linestatus").asc_nulls_first)
     }),
 
-    // ---- grouping sets (SQL surface; parsed by Catalyst) ----
+    // ---- grouping sets (SQL surface; parsed by Catalyst). Direct
+    //      parquet-path FROM clause — a shared temp view here would be a
+    //      session-global name that concurrent invocations with different
+    //      scale dirs race on. ----
     "q19_grouping_sets" -> ((s, d) => {
-      lineitem(s, d).createOrReplaceTempView("lineitem_v")
-      s.sql("""SELECT l_returnflag, l_linestatus,
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
                  sum(l_quantity) AS sum_qty, count(*) AS n
-               FROM lineitem_v
+               FROM parquet.`$d/lineitem.parquet`
                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                ORDER BY l_returnflag ASC NULLS FIRST,
                  l_linestatus ASC NULLS FIRST""")

@@ -41,11 +41,18 @@ object TemporalOps {
     // user at-or-before it (left semantics: errors with no prior click keep
     // NULLs). Merge-scan formulation — no join operator at all.
     "asof_last_click" -> ((s, d) => {
+      // secondary sort key `kind` puts clicks BEFORE other events at equal
+      // (user_id, ts): ASOF semantics are ts-inclusive (click.ts <=
+      // error.ts matches), so an equal-ts click must be visible to the
+      // error row regardless of event-id order. (Multiple clicks at the
+      // same ts remain unspecified in ASOF; none exist in the testdata.)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withColumn("kind",
+          when(col("event_type") === "click", 0).otherwise(1))
         .withColumn("click_id",
           when(col("event_type") === "click", col("event_id")))
         .withColumn("click_ts",

@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * (untrusted JSON ingest goes through [[CdcSchemas]] with explicit schemas).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every timestamp literal/truncation in the query registry assumes
+    // UTC (the oracle's timestamps are timezone-naive); pin it here so
+    // results don't depend on the calling session's zone — same pattern
+    // as the nanosAsLong flag in events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

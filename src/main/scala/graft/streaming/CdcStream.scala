@@ -163,9 +163,12 @@ object CdcStream {
     * numInputRows, timestamp) per progress tick; `beats` is the monitor's
     * read surface.
     */
-  final class ProgressHeartbeat extends
+  final class ProgressHeartbeat(maxBeats: Int = 1024) extends
       org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // bounded ring: liveness monitoring needs recent ticks, and an
+    // unbounded log on a monitor that outlives the queries it watches is
+    // its own leak (60 s triggers ≈ 1 440 beats/day forever)
     private val log =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
     def beats: Seq[(Long, Long, String)] = {
@@ -173,40 +176,86 @@ object CdcStream {
       log.iterator().asScala.toSeq
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit =
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
       log.add((e.progress.batchId, e.progress.numInputRows,
         e.progress.timestamp))
+      while (log.size > maxBeats) log.poll()
+    }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
+  /** List the committed state versions under an upsert-state dir: `v=<n>`
+    * children carrying the parquet job's `_SUCCESS` marker (a version
+    * without it is a torn write from a crash and must be ignored).
+    */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+
+  /** Current upsert state INCLUDING delete tombstones (the fold input).
+    * Empty frame when no committed version exists.
+    */
+  def readUpsertStateRaw(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, root).sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$statePath/v=$v")
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** Current upsert state as a SERVING view — tombstones hidden. */
+  def readUpsertState(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Cdc.dropDeleted(readUpsertStateRaw(spark, statePath))
+
   /** T7 (sink shape): MERGE-style upsert sink via foreachBatch — each
-    * micro-batch is folded into a parquet state table: union with the
-    * current state, compact to the max-`ord` row per key, drop soft-deleted
-    * keys, atomically replace. This is what a lakehouse MERGE INTO does;
-    * with plain parquet the replace is a rewrite, so state-table size, not
-    * event volume, bounds the per-batch cost. Exactly-once: the streaming
-    * checkpoint replays a failed batch and the fold is idempotent
-    * (latest-state keeps the same winner on redelivery).
+    * micro-batch is folded into a versioned parquet state table: union
+    * with the current state, compact to the max-`ord` row per key
+    * KEEPING delete tombstones (a dropped tombstone lets a redelivered
+    * pre-delete event resurrect the key), and commit as `v=<batchId>`.
+    * Read through [[readUpsertState]], which picks the newest
+    * `_SUCCESS`-committed version and hides tombstones.
+    *
+    * Crash story (what "exactly-once" actually means here): the new
+    * version directory is fully written and `_SUCCESS`-marked before the
+    * previous one is removed, so every crash window leaves at least one
+    * committed version; a replayed batch rewrites its own `v=<batchId>`
+    * idempotently (same winners — the fold is order-insensitive under
+    * redelivery). No rename games, no window where the only state is a
+    * half-written directory — the failure mode of overwrite-in-place.
+    * This is what a lakehouse MERGE INTO provides transactionally; with
+    * plain parquet the rewrite cost per batch is bounded by state-table
+    * size, not event volume.
     */
   def startUpsertSink(df: DataFrame, keys: Seq[String], ordCol: String,
       statePath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val current =
-          try spark.read.parquet(statePath)
-          catch { case _: Exception => spark.emptyDataFrame }
+        val current = readUpsertStateRaw(spark, statePath)
         val all =
           if (current.columns.isEmpty) batch
           else batch.unionByName(current, allowMissingColumns = true)
-        // eager snapshot: breaks lineage so the overwrite below doesn't
-        // read from the path it replaces
+        // eager snapshot: breaks lineage so the write below doesn't read
+        // from a version it may be about to delete
         val next = graft.operators.Cdc
-          .latestState(all, keys, Seq(org.apache.spark.sql.functions.col(ordCol)))
+          .compactLog(all, keys, Seq(org.apache.spark.sql.functions.col(ordCol)))
           .localCheckpoint()
-        try next.write.mode("overwrite").parquet(statePath)
-        finally next.unpersist()
+        try {
+          next.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+          // only after the new version is committed: drop superseded ones
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          committedVersions(fs, root).filter(_ < batchId).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+          }
+        } finally next.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)

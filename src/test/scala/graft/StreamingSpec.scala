@@ -239,9 +239,21 @@ class StreamingSpec extends SparkSpec {
     val q = CdcStream.startUpsertSink(stream, Seq("table_name", "id"), "seq",
       state, chk, trigger = Trigger.AvailableNow())
     q.awaitTermination(120000)
-    val got = spark.read.parquet(state)
+    val got = CdcStream.readUpsertState(spark, state)
       .select($"id", $"name").as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "a1", 3L -> "c0", 4L -> "d0")) // 2 deleted
+    // the PERSISTED state retains key 2's tombstone (dropping it would
+    // let a redelivered pre-delete event resurrect the key)…
+    val raw = CdcStream.readUpsertStateRaw(spark, state)
+    assert(raw.filter($"id" === 2 && $"__deleted" === "true").count() === 1)
+    // …and a stale redelivery folded into the state loses to it
+    val stale = Seq(Ev("t", 2, "b0-stale", 1, "u")).toDF()
+      .withColumn("__deleted", lit("false"))
+    val refolded = graft.operators.Cdc.compactLog(
+      raw.unionByName(stale, allowMissingColumns = true),
+      Seq("table_name", "id"), Seq($"seq"))
+    assert(graft.operators.Cdc.dropDeleted(refolded)
+      .filter($"id" === 2).count() === 0)
   }
 
   test("checkpointed partitioned sink conserves event counts") {
