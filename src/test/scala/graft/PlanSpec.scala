@@ -156,6 +156,16 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no query in the registry plans a CartesianProduct") {
+    // cross joins in the registry are all tiny broadcast sides (1–3 rows,
+    // planned as BroadcastNestedLoop) — an unhinted CartesianProduct
+    // would mean a real |A|×|B| shuffle product slipped in somewhere
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+
   test("approx_percentile tracks the exact interpolated quantile") {
     import graft.operators.EventOps
     val approx = EventOps.queries("cdc_value_percentiles_approx")(spark, sf)
