@@ -256,6 +256,25 @@ class StreamingSpec extends SparkSpec {
       .filter($"id" === 2).count() === 0)
   }
 
+  test("upsert state reader ignores torn (uncommitted) versions") {
+    val state = tmp("graft-torn-state")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$state/v=0")
+    // a crash mid-write leaves a version directory without _SUCCESS —
+    // the reader must treat it as if it does not exist
+    Seq((1L, "TORN")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$state/v=1")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/v=1/_SUCCESS"), false)
+    val got = CdcStream.readUpsertStateRaw(spark, state)
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "b"))
+    // and an empty/missing state dir reads as an empty frame, not an error
+    assert(CdcStream.readUpsertStateRaw(spark,
+      tmp("graft-empty-state") + "/none").columns.isEmpty)
+  }
+
   test("checkpointed partitioned sink conserves event counts") {
     val src = tmp("graft-sink-src")
     val out = tmp("graft-sink-out")
