@@ -70,6 +70,18 @@ object CdcEnvelope {
         .orderBy(col("table_name"), col("id"))
     }),
 
+    // W1 time travel over the real envelope: table state AS OF WAL
+    // position 0/100 (numeric 256) — before customer 3's delete and every
+    // later mutation, so the reconstructed state differs from
+    // cdc_unified_latest on all four tables.
+    "cdc_unified_state_at" -> ((s, _) => {
+      Cdc.stateAt(unified(s), Seq("table_name", "id"), col("lsn"), 0x100L)
+        .select(col("table_name"), col("id"), col("name"), col("email"),
+          col("category"), col("price").cast("double").as("price"),
+          col("status"), col("quantity"), col("op"), col("lsn"))
+        .orderBy(col("table_name"), col("id"))
+    }),
+
     // A3 over the real envelope: change-volume per (table, op) — the
     // count-conservation face of monitor-pipeline.sh:55-58.
     "cdc_unified_counts" -> ((s, _) => {
@@ -178,5 +190,18 @@ object CdcEnvelope {
       s"""$unifiedCte
           SELECT table_name, op, count(*) AS n FROM u
           GROUP BY table_name, op ORDER BY table_name, op""",
+    "cdc_unified_state_at" ->
+      s"""$unifiedCte,
+          o AS (SELECT *,
+            ${hexSql("split_part(lsn, '/', 1)")} * 4294967296
+              + ${hexSql("split_part(lsn, '/', 2)")} AS lsn_ord
+          FROM u),
+          ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY table_name, id ORDER BY lsn_ord DESC) AS rn
+          FROM o WHERE lsn_ord <= 256)
+          SELECT table_name, id, name, email, category, price, status,
+                 quantity, op, lsn
+          FROM ranked WHERE rn = 1 AND __deleted <> 'true'
+          ORDER BY table_name, id""",
   )
 }
