@@ -96,27 +96,34 @@ object Ann {
     */
   def kmeans(vecsIn: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     // the training loop scans the vectors iters+2 times — materialize once
-    // (callers pass a SAMPLE, so this is a small cached frame)
+    // (callers pass a SAMPLE, so this is a small cached frame); released
+    // in the finally, or the blocks pin memory for the session
     val vecs = vecsIn.localCheckpoint(false)
-    val dim = vecs.select(size(col("vec"))).first().getInt(0)
-    var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
-      .select(col("vec")).collect().map(_.getSeq[Double](0)).toSeq
-    for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cell", nearestCell(col("vec"), cents))
-      val byDim = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(round(col("x"), 6).cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .collect()
-      val next = byDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    try {
+      var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
+        .select(col("vec")).collect().map(_.getSeq[Double](0)).toSeq
+      require(cents.nonEmpty, "kmeans needs a non-empty training frame")
+      // a sample smaller than k trains that many cells (each init vector
+      // is its own centroid) instead of indexing out of bounds below
+      val kEff = cents.length
+      val dim = cents.head.length
+      for (_ <- 0 until iters) {
+        val assigned = vecs.withColumn("cell", nearestCell(col("vec"), cents))
+        val byDim = assigned
+          .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(round(col("x"), 6).cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        val next = byDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        // empty cells keep their previous centroid
+        cents = (0 until kEff).map(c => next.getOrElse(c, cents(c)))
+        require(cents.forall(_.length == dim))
       }
-      // empty cells keep their previous centroid
-      cents = (0 until k).map(c => next.getOrElse(c, cents(c)))
-      require(cents.forall(_.length == dim))
-    }
-    cents
+      cents
+    } finally vecs.unpersist(false)
   }
 
   /** A built IVF index: unit-sphere centroids + the cell-partitioned
@@ -128,6 +135,11 @@ object Ann {
       * L2-normalized here to match the unit-sphere centroids.
       */
     def probeCells(qv: Seq[Double], nprobe: Int): Seq[Int] = {
+      // zip would silently truncate a wrong-dimension query to a prefix
+      // and return confidently wrong cells (the executor-side dist2
+      // kernel returns null on mismatch — keep the semantics aligned)
+      require(cents.isEmpty || qv.length == cents.head.length,
+        s"query dim ${qv.length} != index dim ${cents.head.length}")
       val nrm = math.sqrt(qv.map(x => x * x).sum)
       val uq = if (nrm == 0.0) qv else qv.map(_ / nrm)
       cents.zipWithIndex
@@ -158,8 +170,17 @@ object Ann {
         .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
       val cents = kmeans(sample, Cells, Iters)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index-").toString
+      // index location: a SHARED path on a real cluster (set
+      // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
+      // works on local[*] masters, where executors share the filesystem;
+      // on a cluster, executor task outputs to a file:// temp path would
+      // scatter across machines and the probe would read partial cells
+      val dir = s.conf.getOption("graft.ann.indexDir") match {
+        case Some(base) =>
+          s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}"
+        case None => java.nio.file.Files
+          .createTempDirectory("graft-ivf-index-").toString
+      }
       normed.withColumn("cell", cellOf(col("uvec"), cents))
         .select(col("vec_id"), col("label"), col("vec"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)

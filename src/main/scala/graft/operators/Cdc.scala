@@ -85,6 +85,8 @@ object Cdc {
     * risk register).
     */
   def unify(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty,
+      "unify needs at least one per-table frame (got an empty sequence)")
     val target = CdcSchemas.unified
     val padded = parts.map { df =>
       val have = df.columns.toSet
@@ -199,21 +201,16 @@ object Cdc {
     * (cdc_pipeline_dag.py:206-207); this is the repair path.
     */
   def overwriteTimePartitions(df: DataFrame, path: String,
-      format: String = "parquet"): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode("overwrite")
+      format: String = "parquet"): Unit =
+    // per-writer option, NOT the session conf: mutating the global
+    // partitionOverwriteMode races every concurrent writer on the session
+    // (a static-mode writer picking up a temporary dynamic setting — or
+    // the reverse, which deletes every partition not in the frame)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day", "hour")
       .format(format)
       .save(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 
   /** Small-files compaction: a streaming sink with frequent triggers
     * (flush.size=10 in the reference, cdc_pipeline_dag.py:191) leaves many

@@ -31,13 +31,11 @@ object EventOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // W1: compact the event log to the latest row per user.
+    // W1: compact the event log to the latest row per user — the same
+    // Cdc.compactLog the envelope path uses (one compaction definition).
     "cdc_latest_state" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      Cdc.compactLog(events(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
         .select(col("user_id"), col("event_type").as("last_type"),
           col("value").as("last_value"), col("ts").as("last_ts"))
         .orderBy(col("user_id"))
@@ -47,12 +45,10 @@ object EventOps {
     // filter the log to the prefix, compact. Same single shuffle as
     // latest-state.
     "cdc_state_at_time" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      events(s, d)
-        .filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      Cdc.compactLog(
+          events(s, d)
+            .filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00"))),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
         .select(col("user_id"), col("event_type").as("last_type"),
           col("ts").as("last_ts"))
         .orderBy(col("user_id"))
@@ -375,7 +371,7 @@ object EventOps {
            SELECT unnest(json_keys(props)) AS k, props FROM events
            WHERE props IS NOT NULL)
          SELECT k, count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT) AS sum_v
+           CAST(sum(CAST(json_extract_string(props, '$."' || k || '"') AS INT)) AS BIGINT) AS sum_v
          FROM kv GROUP BY k ORDER BY k""",
     "cdc_lag_monitor" ->
       """WITH p AS (SELECT event_type, count(*) AS n, max(ts) AS max_ts,

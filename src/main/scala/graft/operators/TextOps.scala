@@ -109,9 +109,7 @@ object TextOps {
           regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
         .withColumn("n_stop",
           regexp_count(col("text"), lit("\\b(the|a|is|of|and)\\b")))
-        .withColumn("word_cnt",
-          (length(col("text")) -
-            length(regexp_replace(col("text"), " ", "")) + lit(1)))
+        .withColumn("word_cnt", wordCnt(col("text")))
         .withColumn("alpha_ratio",
           round(col("n_alpha").cast("double") / col("len"), 4))
         .withColumn("punct_ratio",
