@@ -259,10 +259,10 @@ object VectorExprs {
     Bridge.column(SquaredL2Distance(
       Bridge.expression(a), Bridge.expression(b)))
 
-  private val fnId = FunctionIdentifier("cosine_sim")
-  private val fnInfo = new ExpressionInfo(
-    CosineSimilarity.getClass.getCanonicalName, "cosine_sim")
-  private val fnBuilder = (args: Seq[Expression]) => {
+  private[functions] val fnId = FunctionIdentifier("cosine_sim")
+  private[functions] val fnInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
+  private[functions] val fnBuilder = (args: Seq[Expression]) => {
     require(args.length == 2, "cosine_sim takes exactly 2 arguments")
     CosineSimilarity(args(0), args(1)): Expression
   }
@@ -278,12 +278,8 @@ object VectorExprs {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(
-        VectorExprs.CosineSimilarity.getClass.getCanonicalName, "cosine_sim"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-        VectorExprs.CosineSimilarity(args(0), args(1))
-      }))
+    // same (id, info, builder) triple as registerFunctions — one
+    // definition of the SQL surface, arity guard included
+    ext.injectFunction(
+      (VectorExprs.fnId, VectorExprs.fnInfo, VectorExprs.fnBuilder))
 }

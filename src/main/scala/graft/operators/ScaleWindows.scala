@@ -40,6 +40,20 @@ object ScaleWindows {
   def groupRanks(df: DataFrame, group: Seq[String], order: Seq[String],
       numPartitions: Int): DataFrame = {
     require(group.nonEmpty && order.nonEmpty)
+    // the offset maps key on the collected JVM values, which requires
+    // VALUE equality — binary (Array[Byte]) and nested types compare by
+    // reference, so pass 2's lookup would never find the re-read key
+    group.foreach { g =>
+      import org.apache.spark.sql.types._
+      val bad = df.schema(g).dataType match {
+        case BinaryType | _: StructType | _: ArrayType | _: MapType => true
+        case _ => false
+      }
+      require(!bad,
+        s"groupRanks group column $g has type " +
+          s"${df.schema(g).dataType.simpleString}; only atomic " +
+          "value-comparable types are supported (no binary/nested)")
+    }
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     val sortCols = (group ++ order).map(col)

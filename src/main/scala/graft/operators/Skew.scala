@@ -33,14 +33,19 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "semi",
         "leftanti", "anti")(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left_outer/left_semi/left_anti, got $joinType")
+    // unique internal column name — a fixed "__salt" would silently
+    // REPLACE a user column of that name (and drop it on output), and
+    // would break composing saltedJoin twice
+    val saltName =
+      s"__salt_${java.util.UUID.randomUUID().toString.take(8)}"
     // deterministic salt: stable row hash of all fact columns, not rand()
     // (re-execution of a task must salt identically for exactly-once sinks)
     val saltCol = pmod(xxhash64(fact.columns.map(col): _*), lit(salts))
-    val saltedFact = fact.withColumn("__salt", saltCol)
+    val saltedFact = fact.withColumn(saltName, saltCol)
     val replicatedDim = dim
-      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
-      .drop("__salt")
+      .withColumn(saltName, explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(replicatedDim, Seq(key, saltName), joinType)
+      .drop(saltName)
   }
 
   /** Two-stage (salted) aggregation for heavy-hitter group keys: first
@@ -48,9 +53,14 @@ object Skew {
     * for algebraic aggregates; Spark's own partial aggregation already
     * covers the common case — this is for when the per-key partial state
     * itself is too hot for one task (e.g. huge collect-style state).
+    *
+    * The salt MUST vary WITHIN a key (here: the input partition id) — a
+    * salt derived from the key alone is one constant per key, so stage 1
+    * would still funnel every hot-key row through a single reducer and
+    * the whole construction would be a no-op with an extra shuffle.
     */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(key), lit(salts)))
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("partial_n"))
       .groupBy(col("k"))
