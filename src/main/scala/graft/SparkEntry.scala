@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, CdcEnvelope, DedupOps, EventOps, MultimodalOps, Relational, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Relational, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
-      TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries
+      TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
+      CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles ++
-      TemporalOps.oracles ++ MultimodalOps.oracles ++ CdcEnvelope.oracles
+      TemporalOps.oracles ++ MultimodalOps.oracles ++ CdcEnvelope.oracles ++
+      CurationOps.oracles
 }

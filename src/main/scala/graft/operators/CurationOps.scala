@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Training-corpus curation — the planning/apply operators a large-scale
+  * data pipeline runs AFTER per-document analysis ([[TextOps]]) and
+  * near-dup detection ([[DedupOps]]): decide a source mixture, sample
+  * deterministically toward it, pack documents into fixed token budgets,
+  * and apply dedup keep/drop decisions to the corpus.
+  *
+  * Scale design (100 TB):
+  *  - Mixture planning is pure aggregation: one groupBy(lang) pass emits
+  *    |langs| rows; the corpus-total join is a 1-row broadcast. Nothing
+  *    data-sized ever reaches the driver.
+  *  - Sampling is a deterministic FILTER (doc_id mod 100 vs a per-lang
+  *    rate), not Bernoulli `sample()`: re-execution of a task keeps
+  *    exactly the same rows (exactly-once sinks, reproducible corpora),
+  *    and the predicate is codegen'd straight onto the scan. The rate
+  *    table is a handful of rows — broadcast by size, not by hint.
+  *  - Packing assigns each doc a bin = floor(cumulative-tokens-before /
+  *    budget) within a (lang, source) stream — one window over the
+  *    stream key. The partition key is the STREAM, never the whole
+  *    corpus: a global pack order would funnel 100 TB through one task
+  *    (the [[ScaleWindows]] two-phase rank exists for when even a stream
+  *    outgrows a task).
+  *  - Dedup-apply is a broadcast-sized join only at test scale; the pair
+  *    table it consumes is the one [[DedupOps]] materializes once per
+  *    session, and the join key is (doc_id) — longs, never text.
+  */
+object CurationOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token budget per packed sequence (the context-window stand-in). */
+  val PackBudget = 512
+
+  /** Percent of docs kept per lang by the deterministic sampler; langs
+    * absent from the map keep 100%. The 25% English rate mirrors the
+    * usual "downsample the head language toward the target mixture" move.
+    */
+  val SampleRatePct: Map[String, Int] = Map("en" -> 25)
+
+  private def nTokens = size(split(col("text"), " "))
+
+  val queries: Map[String, Q] = Map(
+    // Mixture planning: per-lang doc/token counts and the sampling rate
+    // that would level every lang to a uniform 1/|langs| token share.
+    // rate = min(1, target_tokens / lang_tokens); the corpus total is a
+    // 1-row broadcast, so the plan is scan → partial agg → 5-row join.
+    "curate_corpus_mix" -> ((s, d) => {
+      val per = documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t"),
+        count(lit(1)).as("n_langs"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("sample_rate", round(
+          least(lit(1.0),
+            (col("t") / col("n_langs")) / col("n_tokens")), 4))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("sample_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic stratified sampling: keep doc iff
+    // doc_id mod 100 < rate(lang). Same rows on every run and every
+    // re-executed task — reproducibility a rand()-based sampler cannot
+    // give. Reports the surviving per-(lang, source) doc/token counts.
+    "curate_stratified_sample" -> ((s, d) => {
+      val rate = SampleRatePct.foldLeft(lit(100)) { case (acc, (l, p)) =>
+        when(col("lang") === l, p).otherwise(acc)
+      }
+      documents(s, d)
+        .filter(pmod(col("doc_id"), lit(100)) < rate)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Sequence packing: within each (lang, source) stream ordered by
+    // doc_id, a doc joins bin floor(tokens-before-it / budget) — the
+    // streaming-concatenation layout (docs are chunked across a bin
+    // boundary at training time; bin identity is what matters here).
+    // Reports per-bin doc and token counts.
+    "curate_pack_sequences" -> ((s, d) => {
+      val stream = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          nTokens.as("nt"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("nt")).over(stream), lit(0L)) /
+            lit(PackBudget.toDouble)))
+        .groupBy(col("lang"), col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("bin_tokens"))
+        .orderBy(col("lang"), col("source"), col("bin"))
+    }),
+
+    // Apply the dedup decision: every document outside a near-dup
+    // cluster survives; inside a cluster only the representative
+    // (doc_id == cluster_id) does. Reports per-lang corpus shrinkage.
+    // Consumes the session-materialized pair table from [[DedupOps]].
+    "curate_dedup_apply" -> ((s, d) => {
+      val keep = DedupOps
+        .connectedComponents(DedupOps.ngramJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"),
+          (col("id") === col("lbl")).as("keep"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), nTokens.as("nt"))
+        .join(keep, Seq("doc_id"), "left_outer")
+        .withColumn("kept", coalesce(col("keep"), lit(true)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("nt")).as("n_tokens"),
+          sum(when(col("kept"), col("nt")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+  )
+
+  /** DuckDB twins. Token counts mirror the Spark expression exactly
+    * (whitespace split length); sums are CAST to BIGINT because DuckDB
+    * sum() returns HUGEINT while Spark emits BIGINT and the driver's
+    * hash compare is type-sensitive.
+    */
+  val oracles: Map[String, String] = Map(
+    "curate_corpus_mix" ->
+      """WITH per AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                        count(*) AS n_langs FROM per)
+         SELECT lang, n_docs, n_tokens,
+           round(least(1.0, (CAST(t AS DOUBLE) / n_langs) / n_tokens), 4)
+             AS sample_rate
+         FROM per, tot ORDER BY lang""",
+    "curate_stratified_sample" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents
+         WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+         GROUP BY lang, source ORDER BY lang, source""",
+    "curate_pack_sequences" ->
+      """WITH d AS (
+           SELECT lang, source, doc_id,
+             len(string_split(text, ' ')) AS nt
+           FROM documents),
+         c AS (
+           SELECT lang, source, nt,
+             coalesce(sum(nt) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM d)
+         SELECT lang, source,
+           CAST(floor(cb / 512.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS bin_tokens
+         FROM c GROUP BY lang, source, bin
+         ORDER BY lang, source, bin""",
+    "curate_dedup_apply" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4)
+             >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         n AS (SELECT DISTINCT u AS id FROM e),
+         reach(id, v) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u),
+         keepers AS (
+           SELECT id AS doc_id, (id = min(v)) AS keep
+           FROM reach GROUP BY id),
+         docs AS (
+           SELECT d.lang, len(string_split(d.text, ' ')) AS nt,
+             coalesce(k.keep, TRUE) AS kept
+           FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+         FROM docs GROUP BY lang ORDER BY lang""",
+  )
+}

@@ -259,6 +259,32 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The verified token-trigram Jaccard pair table (J ≥ 0.5), materialized
+    * ONCE per (session, scale dir) and shared by every consumer —
+    * `dedup_ngram_jaccard` reports it, `dedup_clusters` clusters it. A
+    * production pipeline persists this pair table as a maintenance output
+    * and each downstream job reads it; recomputing the candidate+verify
+    * pipeline per consumer doubles the most expensive dedup stage for no
+    * reason. Keyed by the session too (not just the dir) because the
+    * cached frame's checkpoint blocks live inside that session. The
+    * eager checkpoint materializes the (tiny: pairs-above-threshold)
+    * result immediately so the posting-list checkpoint backing it can be
+    * released right away instead of waiting on a driver GC.
+    */
+  private val pairTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairTables.computeIfAbsent((s, d), _ => {
+      // postings feed the df table, the prefix ranking, and both sides of
+      // the verification join — materialize once, release after the eager
+      // pair checkpoint below has consumed it
+      val posts = ngramPosts(s, d).localCheckpoint(false)
+      try verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
+        .localCheckpoint(true)
+      finally posts.unpersist(false)
+    })
+
   val queries: Map[String, Q] = Map(
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on
     // char 5-gram shingles.
@@ -311,12 +337,10 @@ object DedupOps {
     // first |d|−⌈t·|d|⌉+1 grams (provably lossless for J ≥ t), verify the
     // candidates exactly from the full postings. Exact all-pairs output,
     // without the Σ df² combination blowup on hot grams.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      // postings feed the df table, the prefix ranking, and both sides of
-      // the verification join — materialize once
-      val posts = ngramPosts(s, d).localCheckpoint(false)
-      verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      // the re-sort is over the pairs-above-threshold output — trivial
+      // next to the shared pipeline the materialized table amortizes
+      ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
     // Benchmark decontamination (Brown et al. GPT-3 appendix C; Dodge et
     // al. "Documenting large webtext corpora", EMNLP'21): flag training
@@ -342,9 +366,7 @@ object DedupOps {
     // dedup pipeline's decision step, oracle-checked against a recursive
     // CTE over the same pair semantics.
     "dedup_clusters" -> ((s, d) => {
-      val posts = ngramPosts(s, d).localCheckpoint(false)
-      val pairs = verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
       connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("id") === col("lbl")).as("keep"))

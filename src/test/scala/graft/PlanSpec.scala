@@ -139,9 +139,13 @@ class PlanSpec extends SparkSpec {
     "\\bWindow\\b".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
 
-  test("dedup_ngram_jaccard plans ONE Window node (fused size+rank)") {
+  test("ngram prefix-candidate pipeline plans ONE Window node (fused size+rank)") {
     import graft.operators.DedupOps
-    val n = windowNodes(DedupOps.queries("dedup_ngram_jaccard")(spark, sf))
+    // assert on the pipeline builder, not the registry query: the query
+    // returns the session-materialized pair table, whose plan is just a
+    // checkpoint scan + sort
+    val posts = DedupOps.ngramPosts(spark, sf)
+    val n = windowNodes(DedupOps.prefixCandidates(posts, 0.5))
     assert(n == 1, s"$n Window nodes")
   }
 
