@@ -121,6 +121,31 @@ object CdcStream {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col(keyCol), col("n"))
 
+  /** T6 (stream-stream): watermarked interval join — each left event
+    * matches the right-side events with the same key whose event time
+    * falls in [leftTs, leftTs + horizon]. BOTH sides carry watermarks and
+    * the condition bounds rightTs relative to leftTs, which is exactly
+    * what lets Spark evict join state: without the time bound a
+    * stream-stream join buffers both streams forever. State per side is
+    * bounded by watermark + horizon, sharded by the join key across
+    * executors — the scale story is key-cardinality, not stream length.
+    *
+    * `leftTs`/`rightTs` must be DISTINCT column names (rename before the
+    * join); the result carries both sides' columns qualified as `l`/`r`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, horizon: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(leftTs != rightTs,
+      "rename the time columns apart — the join condition references both")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
+  }
+
   /** T2: idempotence under at-least-once redelivery — drop duplicate
     * event ids with state bounded by the watermark (the streaming face of
     * the reference's Kafka-offset-replay tolerance,

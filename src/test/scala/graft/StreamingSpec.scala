@@ -195,6 +195,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val src = tmp("graft-ssjoin-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(2).write.mode("overwrite").json(src)
+    def mkStream() = CdcStream.jsonEventStream(spark, events.schema, src)
+    val errors = mkStream().filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("error_id"))
+    val clicks = mkStream().filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val joined = CdcStream
+      .intervalJoin(errors, clicks, "user_id", "ts", "c_ts", "5 minutes")
+      .select($"l.user_id", $"error_id", $"click_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssjoin")
+      .orderBy($"user_id", $"error_id", $"click_id").collect().toSeq
+    val be = events.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("error_id"))
+    val bc = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_uid"), $"ts".as("c_ts"),
+        $"event_id".as("click_id"))
+    val want = be.join(bc, $"user_id" === $"c_uid" &&
+        $"c_ts" >= $"ts" && $"c_ts" <= $"ts" + expr("INTERVAL 5 minutes"))
+      .select($"user_id", $"error_id", $"click_id")
+      .orderBy($"user_id", $"error_id", $"click_id").collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("progress heartbeats fire per micro-batch and conserve row counts") {
     val src = tmp("graft-beat-src")
     val events = Tables.events(spark, sf).limit(300)
