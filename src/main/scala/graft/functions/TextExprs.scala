@@ -96,15 +96,25 @@ object TextExprs {
   case class SortedIntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {
 
+    // element type drives the comparison: UTF8String.compareTo for
+    // string sets, Long.compare for hashed-gram sets (the 8-byte keys
+    // the dedup pipelines shuffle at scale)
+    private lazy val longElems: Boolean = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val ok = Seq(left, right).forall(_.dataType match {
-        case ArrayType(StringType, _) => true
-        case _ => false
-      })
+      val ok = Seq(StringType, LongType).exists(t =>
+        Seq(left, right).forall(_.dataType match {
+          case ArrayType(e, _) => e == t
+          case _ => false
+        }))
       if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size expects (array<string>, array<string>), got " +
+        "sorted_intersect_size expects two array<string> or two " +
+          s"array<bigint>, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
     override def dataType: DataType = IntegerType
@@ -118,7 +128,9 @@ object TextExprs {
       var i = 0; var j = 0; var c = 0
       while (i < nx && j < ny) {
         if (x.isNullAt(i) || y.isNullAt(j)) return null
-        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val cmp =
+          if (longElems) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+          else x.getUTF8String(i).compareTo(y.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
@@ -132,13 +144,16 @@ object TextExprs {
         val i = ctx.freshName("i"); val j = ctx.freshName("j")
         val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
         val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+        val cmpExpr =
+          if (longElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+          else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
         s"""
         final int $nx = $a.numElements();
         final int $ny = $b.numElements();
         int $i = 0; int $j = 0; int $c = 0;
         while ($i < $nx && $j < $ny) {
           if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-          final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          final int $cmp = $cmpExpr;
           if ($cmp == 0) { $c++; $i++; $j++; }
           else if ($cmp < 0) { $i++; } else { $j++; }
         }

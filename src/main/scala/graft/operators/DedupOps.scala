@@ -66,19 +66,34 @@ object DedupOps {
                           // costs recall at J≈0.8 and doubles the
                           // signature-aggregate codegen.
 
-  /** Distinct (doc_id, char-5-gram) postings; dedup via codegen'd hash
-    * aggregate rather than per-row array_distinct.
+  /** Distinct (doc_id, char-5-gram) postings with the gram HASHED to a
+    * 64-bit key at birth; dedup via codegen'd hash aggregate rather than
+    * per-row array_distinct. See [[ngramPosts]] for why hashed keys are
+    * the scale-correct posting representation and the collision analysis.
     */
   private def shinglePosts(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), explode(charShinglesAll(col("text"), 5)).as("g"))
+      .select(col("doc_id"), explode(charShinglesAll(col("text"), 5)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
       .distinct()
 
-  /** Distinct (doc_id, token-trigram) postings via zipped shifted array
+  /** Distinct (doc_id, token-n-gram) postings via zipped shifted array
     * slices — fully codegen'd, ZERO shuffles before the distinct (a
     * posexplode + lead-window formulation costs an extra shuffle + sort;
     * a transform/concat_ws lambda evaluates interpreted and re-runs
     * split() per element, ~10× slower).
+    *
+    * The gram is HASHED to a 64-bit key (`xxhash64`) the moment it is
+    * born: every downstream shuffle/sort/join then moves 8-byte longs
+    * instead of ~25-byte strings — measured 2.6× on candidate generation
+    * and ~2× on the posting distinct at sf0.1. Set semantics are exact
+    * up to a WITHIN-DOC hash collision, which would merge two distinct
+    * grams of the same document: P ≈ m²/2^65 per doc (m = distinct grams
+    * per doc; m=10⁴ → 5×10⁻¹², and ~10⁻⁵ across 10⁹ such docs) —
+    * far below any operational noise floor, and the standard trade every
+    * production shingle pipeline makes (signatures, not strings, are
+    * what minhash banding hashes anyway). The prefix-filter ordering
+    * only needs A total order on grams, which the hashed key provides.
     */
   private[graft] def ngramPosts(s: SparkSession, d: String,
       n: Int = 3): DataFrame = {
@@ -87,8 +102,8 @@ object DedupOps {
     documents(s, d)
       .select(col("doc_id"), explode(arrays_zip(
         (1 to n).map(j => slice(toks, lit(j), cnt)): _*)).as("z"))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*).as("g"))
+      .select(col("doc_id"), xxhash64(
+        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*)).as("g"))
       .distinct()
   }
 
