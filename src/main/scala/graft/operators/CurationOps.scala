@@ -100,6 +100,38 @@ object CurationOps {
         .orderBy(col("lang"), col("source"), col("bin"))
     }),
 
+    // Quantile-thresholded quality filter: keep a doc iff it passes the
+    // static quality gate (text_quality_score's keep rule) AND its length
+    // clears the per-lang exact median — the adaptive-threshold curation
+    // move (absolute thresholds misfire across languages with different
+    // length distributions). The per-lang medians are |langs| rows —
+    // bounded by the language vocabulary, not the data — so the join is
+    // a broadcast by construction. Exact percentile buffers each group's
+    // values (fine for the oracle gate); the 100 TB path swaps in
+    // approx_percentile exactly as cdc_value_percentiles_approx does.
+    "curate_quality_filter" -> ((s, d) => {
+      val scored = documents(s, d)
+        .withColumn("len", length(col("text")))
+        .withColumn("alpha_ratio", round(
+          regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+            col("len"), 4))
+        .withColumn("punct_ratio", round(
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+            col("len"), 4))
+        .withColumn("q_keep",
+          col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
+            col("punct_ratio") <= 0.2)
+      val med = scored.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+      scored.join(broadcast(med), "lang")
+        .withColumn("kept", col("q_keep") && col("n_chars") >= col("med_chars"))
+        .groupBy(col("lang"), col("med_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("med_chars"), col("n_docs"), col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Apply the dedup decision: every document outside a near-dup
     // cluster survives; inside a cluster only the representative
     // (doc_id == cluster_id) does. Reports per-lang corpus shrinkage.
@@ -162,6 +194,22 @@ object CurationOps {
            count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS bin_tokens
          FROM c GROUP BY lang, source, bin
          ORDER BY lang, source, bin""",
+    "curate_quality_filter" ->
+      """WITH t AS (
+           SELECT lang, n_chars, CAST(length(text) AS INT) AS len,
+             round(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+               AS DOUBLE) / length(text), 4) AS alpha_ratio,
+             round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) / length(text), 4) AS punct_ratio
+           FROM documents),
+         q AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+               FROM t GROUP BY lang)
+         SELECT t.lang, med_chars, count(*) AS n_docs,
+           CAST(sum(CASE WHEN len >= 50 AND alpha_ratio >= 0.5
+             AND punct_ratio <= 0.2 AND n_chars >= med_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM t JOIN q ON t.lang = q.lang
+         GROUP BY t.lang, med_chars ORDER BY t.lang""",
     "curate_dedup_apply" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(

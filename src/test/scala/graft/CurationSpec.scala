@@ -55,6 +55,19 @@ class CurationSpec extends SparkSpec {
     assert(applied === nonRep)
   }
 
+  test("quality_filter keeps at most the above-median half per lang") {
+    val out = CurationOps.queries("curate_quality_filter")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_kept")
+      assert(k >= 0 && k < n, // median threshold must drop SOMETHING
+        s"lang ${r.getAs[String]("lang")}: kept $k of $n")
+      assert(r.getAs[Double]("med_chars") > 0.0)
+    }
+    // the filter is non-degenerate on this corpus: some lang keeps docs
+    assert(out.exists(_.getAs[Long]("n_kept") > 0))
+  }
+
   test("corpus_mix rates are in (0,1] and head lang is downsampled") {
     val mix = CurationOps.queries("curate_corpus_mix")(spark, sf).collect()
     assert(mix.forall { r =>
