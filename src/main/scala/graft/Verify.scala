@@ -22,12 +22,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any STALE output from a previous run of this outDir —
         // leaving it would let the oracle gate score the broken query
-        // against old results and report a silent false pass
+        // against old results and report a silent false pass. Best-effort:
+        // listFiles() is null on I/O errors, and nothing here may abort
+        // the remaining queries' verification
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
-        rm(new java.io.File(s"$outDir/$name"))
+        try rm(new java.io.File(s"$outDir/$name"))
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -95,10 +95,12 @@ object Ann {
     * partitioning (same construction as sim_label_centroids).
     */
   def kmeans(vecsIn: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
-    // the training loop scans the vectors iters+2 times — materialize once
-    // (callers pass a SAMPLE, so this is a small cached frame); released
-    // in the finally, or the blocks pin memory for the session
-    val vecs = vecsIn.localCheckpoint(false)
+    // the training loop scans the vectors iters+2 times — cache once
+    // (callers pass a SAMPLE, so this is a small cached frame); persist(),
+    // not localCheckpoint: unpersist() on a checkpointed frame only
+    // touches the CacheManager, never the RDD blocks, so the finally
+    // below would silently pin the sample for the whole session
+    val vecs = vecsIn.persist()
     try {
       var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
         .select(col("vec")).collect().map(_.getSeq[Double](0)).toSeq

@@ -110,17 +110,9 @@ object CurationOps {
     // values (fine for the oracle gate); the 100 TB path swaps in
     // approx_percentile exactly as cdc_value_percentiles_approx does.
     "curate_quality_filter" -> ((s, d) => {
-      val scored = documents(s, d)
-        .withColumn("len", length(col("text")))
-        .withColumn("alpha_ratio", round(
-          regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-            col("len"), 4))
-        .withColumn("punct_ratio", round(
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-            col("len"), 4))
-        .withColumn("q_keep",
-          col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
-            col("punct_ratio") <= 0.2)
+      // the gate is TextOps.qualityGate — the same definition
+      // text_quality_score scores with, so scorer and filter cannot drift
+      val scored = TextOps.qualityGate(documents(s, d))
       val med = scored.groupBy(col("lang"))
         .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
       scored.join(broadcast(med), "lang")
@@ -195,18 +187,15 @@ object CurationOps {
          FROM c GROUP BY lang, source, bin
          ORDER BY lang, source, bin""",
     "curate_quality_filter" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT lang, n_chars, CAST(length(text) AS INT) AS len,
-             round(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
-               AS DOUBLE) / length(text), 4) AS alpha_ratio,
-             round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-               AS DOUBLE) / length(text), 4) AS punct_ratio
+             ${TextOps.qualityRatioSql}
            FROM documents),
          q AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
                FROM t GROUP BY lang)
          SELECT t.lang, med_chars, count(*) AS n_docs,
-           CAST(sum(CASE WHEN len >= 50 AND alpha_ratio >= 0.5
-             AND punct_ratio <= 0.2 AND n_chars >= med_chars
+           CAST(sum(CASE WHEN ${TextOps.qualityKeepSql}
+             AND n_chars >= med_chars
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM t JOIN q ON t.lang = q.lang
          GROUP BY t.lang, med_chars ORDER BY t.lang""",

@@ -286,19 +286,29 @@ object DedupOps {
     * result immediately so the posting-list checkpoint backing it can be
     * released right away instead of waiting on a driver GC.
     */
-  private val pairTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  // weak keys: a stopped-and-dropped SparkSession must not be pinned
+  // forever by its cached pair frames (they are unusable once the session
+  // dies); the inner map is tiny (one entry per scale dir)
+  private val pairTables = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairTables.computeIfAbsent((s, d), _ => {
-      // postings feed the df table, the prefix ranking, and both sides of
-      // the verification join — materialize once, release after the eager
-      // pair checkpoint below has consumed it
-      val posts = ngramPosts(s, d).localCheckpoint(false)
-      try verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
-        .localCheckpoint(true)
-      finally posts.unpersist(false)
-    })
+    pairTables
+      .computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(d, {
+        // postings feed the df table, the prefix ranking, and both sides
+        // of the verification join — persist() (NOT localCheckpoint: on a
+        // checkpointed frame unpersist() only touches the CacheManager,
+        // never the RDD blocks, so "release" would wait on a driver GC),
+        // then drop the cache once the eager pair checkpoint has consumed
+        // it. Same reasoning as connectedComponents' generation caches.
+        val posts = ngramPosts(s, d).persist()
+        try verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
+          .localCheckpoint(true)
+        finally posts.unpersist(false)
+      })
 
   val queries: Map[String, Q] = Map(
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on

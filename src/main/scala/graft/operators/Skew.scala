@@ -59,10 +59,14 @@ object Skew {
     * would still funnel every hot-key row through a single reducer and
     * the whole construction would be a no-op with an extra shuffle.
     */
-  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
-      .groupBy(key.as("k"), col("__salt"))
+  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
+    // unique internal name, same clobber hazard saltedJoin guards against
+    val saltName =
+      s"__salt_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(saltName, pmod(spark_partition_id(), lit(salts)))
+      .groupBy(key.as("k"), col(saltName))
       .agg(count(lit(1)).as("partial_n"))
       .groupBy(col("k"))
       .agg(sum(col("partial_n")).as("n"))
+  }
 }

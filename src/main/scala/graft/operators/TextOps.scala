@@ -23,6 +23,38 @@ object TextOps {
   private def wordCnt(text: org.apache.spark.sql.Column) =
     (length(text) - length(regexp_replace(text, " ", "")) + lit(1))
 
+  /** THE quality gate — one definition of the len/alpha/punct keep rule,
+    * consumed by `text_quality_score` (the scorer) and
+    * `curate_quality_filter` (the filter) so the rule cannot drift
+    * between them. Adds `len`, `alpha_ratio`, `punct_ratio`, `q_keep`
+    * columns; [[qualityRatioSql]] / [[qualityKeepSql]] are the oracle-SQL
+    * twins of the same expressions.
+    */
+  private[operators] def qualityGate(df: DataFrame): DataFrame = df
+    .withColumn("len", length(col("text")))
+    .withColumn("alpha_ratio", round(
+      regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+        col("len"), 4))
+    .withColumn("punct_ratio", round(
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+        col("len"), 4))
+    .withColumn("q_keep",
+      col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
+        col("punct_ratio") <= 0.2)
+
+  /** DuckDB twin of [[qualityGate]]'s ratio columns — select-list
+    * fragment expecting `text` in scope (emits alpha_ratio/punct_ratio).
+    */
+  private[operators] val qualityRatioSql: String =
+    """round(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+         AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+         AS DOUBLE) / length(text), 4) AS punct_ratio"""
+
+  /** DuckDB twin of the keep predicate over len/alpha_ratio/punct_ratio. */
+  private[operators] val qualityKeepSql: String =
+    "len >= 50 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2"
+
   val queries: Map[String, Q] = Map(
     // Per-document quality features: length, word/token/stopword counts,
     // average word length. Everything codegen'd scalar expressions.
@@ -100,27 +132,17 @@ object TextOps {
 
     // Quality scoring: the training-data filter — ratio features plus a
     // composite keep/drop decision, all integer-ratio arithmetic (IEEE
-    // division of exact ints → deterministic across engines).
+    // division of exact ints → deterministic across engines). The gate
+    // itself lives in [[qualityGate]], shared with curate_quality_filter.
     "text_quality_score" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("len", length(col("text")))
-        .withColumn("n_alpha", regexp_count(col("text"), lit("[A-Za-z]")))
-        .withColumn("n_punct",
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
+      qualityGate(documents(s, d))
         .withColumn("n_stop",
           regexp_count(col("text"), lit("\\b(the|a|is|of|and)\\b")))
         .withColumn("word_cnt", wordCnt(col("text")))
-        .withColumn("alpha_ratio",
-          round(col("n_alpha").cast("double") / col("len"), 4))
-        .withColumn("punct_ratio",
-          round(col("n_punct").cast("double") / col("len"), 4))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("word_cnt"), 4))
-        .withColumn("keep",
-          col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
-            col("punct_ratio") <= 0.2)
         .select(col("doc_id"), col("len"), col("alpha_ratio"),
-          col("punct_ratio"), col("stop_ratio"), col("keep"))
+          col("punct_ratio"), col("stop_ratio"), col("q_keep").as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -230,19 +252,15 @@ object TextOps {
            SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "text_quality_score" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, CAST(length(text) AS INT) AS len,
-             length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-             length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-             length(regexp_extract_all(text, '\b(the|a|is|of|and)\b')) AS n_stop,
+             $qualityRatioSql,
+             length(regexp_extract_all(text, '\\b(the|a|is|of|and)\\b')) AS n_stop,
              length(text) - length(replace(text, ' ', '')) + 1 AS word_cnt
            FROM documents)
-         SELECT doc_id, len,
-           round(CAST(n_alpha AS DOUBLE) / len, 4) AS alpha_ratio,
-           round(CAST(n_punct AS DOUBLE) / len, 4) AS punct_ratio,
+         SELECT doc_id, len, alpha_ratio, punct_ratio,
            round(CAST(n_stop AS DOUBLE) / word_cnt, 4) AS stop_ratio,
-           (len >= 50 AND round(CAST(n_alpha AS DOUBLE) / len, 4) >= 0.5
-             AND round(CAST(n_punct AS DOUBLE) / len, 4) <= 0.2) AS keep
+           ($qualityKeepSql) AS keep
          FROM t ORDER BY doc_id""",
     "text_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
