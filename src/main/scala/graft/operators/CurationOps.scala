@@ -100,6 +100,23 @@ object CurationOps {
         .orderBy(col("lang"), col("source"), col("bin"))
     }),
 
+    // Deterministic train/val/test split: doc_id mod 10 → 8/1/1. The
+    // modulus (not a Bernoulli sample) makes the split a pure function
+    // of the stable key — reproducible across runs, engines, and task
+    // re-execution; a production pipeline salts a hash of the same key.
+    // Reports per-split doc/token/lang coverage.
+    "curate_split" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train")
+            .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))
+    }),
+
     // Quantile-thresholded quality filter: keep a doc iff it passes the
     // static quality gate (text_quality_score's keep rule) AND its length
     // clears the per-lang exact median — the adaptive-threshold curation
@@ -186,6 +203,13 @@ object CurationOps {
            count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS bin_tokens
          FROM c GROUP BY lang, source, bin
          ORDER BY lang, source, bin""",
+    "curate_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "curate_quality_filter" ->
       s"""WITH t AS (
            SELECT lang, n_chars, CAST(length(text) AS INT) AS len,

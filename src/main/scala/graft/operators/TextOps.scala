@@ -193,6 +193,21 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Normalization: lowercase → strip non-alphanumerics (keeping
+    // spaces) → collapse space runs — the canonical pre-tokenization
+    // cleanup. Emits lengths plus the sha256 of the normalized text (the
+    // join/dedup key downstream consumers want) instead of the text
+    // itself, so the output never ships the corpus back. Pure codegen'd
+    // scalar expressions: zero shuffles before the final sort.
+    "text_normalize" -> ((s, d) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")
+      documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("len_raw"),
+          length(norm).as("len_norm"), sha2(norm, 256).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -288,5 +303,14 @@ object TextOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS text_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, CAST(length(text) AS INT) AS len_raw,
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               '  +', ' ', 'g') AS norm
+           FROM documents)
+         SELECT doc_id, len_raw, CAST(length(norm) AS INT) AS len_norm,
+           sha256(norm) AS norm_hash
+         FROM n ORDER BY doc_id""",
   )
 }
