@@ -128,6 +128,52 @@ object Ann {
     } finally vecs.unpersist(false)
   }
 
+  /** In-memory Lloyd k-means over a COLLECTED sample — the training path
+    * [[ivfIndex]] uses. The sample is bounded by COUNT by design (the
+    * hash-sample rate drops as the corpus grows; centroid quality needs
+    * vector count, not a fraction), so training belongs on the driver:
+    * one collect of k·10³-ish rows, then tight JVM iterations with zero
+    * job-scheduling overhead per step — the standard vector-index
+    * pattern (train on a bounded sample in memory, assign distributed).
+    * [[kmeans]] remains the distributed twin for unbounded training
+    * frames. Deterministic: init = k lowest ids, fixed iteration count,
+    * sequential accumulation in sorted-id order.
+    */
+  def kmeansLocal(sample: Array[(Long, Array[Double])], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty, "kmeans needs a non-empty training sample")
+    val pts = sample.sortBy(_._1).map(_._2)
+    var cents: Array[Array[Double]] = pts.take(k).map(_.clone())
+    val kEff = cents.length
+    val dim = cents.head.length
+    require(pts.forall(_.length == dim))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kEff, dim)(0.0)
+      val counts = new Array[Long](kEff)
+      pts.foreach { p =>
+        // argmin by (distance, cell) — same integer tie-break as the
+        // distributed assignment kernel
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var i = 0
+          val ct = cents(c)
+          while (i < dim) { val t = p(i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      // empty cells keep their previous centroid
+      cents = Array.tabulate(kEff)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents.toSeq.map(_.toSeq)
+  }
+
   /** A built IVF index: unit-sphere centroids + the cell-partitioned
     * at-rest path.
     */
@@ -168,10 +214,15 @@ object Ann {
       val normed = base
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
         .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
+      // the hash sample is COUNT-bounded by design → collect it and train
+      // in memory (kmeansLocal); the collect moves k·10³-ish unit vectors,
+      // never the table
       val sample = normed
         .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
-      val cents = kmeans(sample, Cells, Iters)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cents = kmeansLocal(sample, Cells, Iters)
       // index location: a SHARED path on a real cluster (set
       // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
       // works on local[*] masters, where executors share the filesystem;

@@ -43,6 +43,25 @@ class DedupAnnSpec extends SparkSpec {
       s"probed=$probed files=${read.mkString(",")}")
   }
 
+  test("in-memory k-means training tracks the distributed twin") {
+    import graft.sources.Tables
+    val base = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val dist = Ann.kmeans(base, k = 5, iters = 3)
+    val local = Ann.kmeansLocal(
+      base.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      k = 5, iters = 3)
+    // both are deterministic on fixed data; they differ only by the
+    // distributed trainer's round(x,6)-then-decimal summation, so the
+    // centroids must agree to well under any cell boundary
+    assert(dist.length === local.length)
+    dist.zip(local).foreach { case (dc, lc) =>
+      dc.zip(lc).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-5, s"$a vs $b")
+      }
+    }
+  }
+
   test("IVF at-rest layout: cell-partitioned index prunes probe reads") {
     import graft.sources.Tables
     val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
