@@ -341,20 +341,13 @@ object DedupOps {
         .filter(least(col("sza"), col("szb")) >=
           lit(0.8) * greatest(col("sza"), col("szb")))
         .select(col("doc_a"), col("doc_b"), col("sza"), col("szb")).distinct()
-      // Exact |A∩B| for candidates only: expand each pair by A's postings,
-      // inner-join on (doc_b, gram) to keep the common grams, count.
+      // Exact |A∩B| for candidates only, via the same sorted-array
+      // two-pointer merge the ngram path verifies with (collect each
+      // doc's distinct grams once, one fused intersect per pair) — the
+      // exploded-posting join shape was measured ~4× slower at sf0.1.
       // Never an all-pairs pass — char-shingle document frequency is
       // heavy-tailed, so Σ df² combination counting would blow up.
-      cand
-        .join(posts.toDF("doc_a", "g"), "doc_a")
-        .join(posts.toDF("doc_b", "g"), Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("jaccard", round(
-          col("c").cast("double") / (col("sza") + col("szb") - col("c")), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifyJaccard(cand, posts, 0.8)
     }),
 
     // Exact token-trigram Jaccard, J >= 0.5, via prefix filtering: rank
