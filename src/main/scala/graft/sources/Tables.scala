@@ -42,4 +42,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The full table surface, by name — one definition for [[registerAll]]
+    * and anything else that iterates the catalog.
+    */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
+  /** SQL face of the engine — the reference's consumers query Hive tables
+    * with SQL, so a user switching to this library gets the same surface:
+    * every table registered as a temp view over the scale directory, plus
+    * the custom function surface (`cosine_sim`), after which
+    * `spark.sql("SELECT ... FROM lineitem ...")` just works. Views are
+    * session-scoped and lazily planned: registering costs nothing until a
+    * query reads a view, and pushdown/pruning through views is identical
+    * to the DataFrame path (same analyzed plan).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    all.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
+    }
+    graft.functions.VectorExprs.registerFunctions(spark)
+  }
 }
