@@ -136,6 +136,31 @@ class VectorExprsSpec extends SparkSpec {
     assert(viaAgg === viaWin)
   }
 
+  test("TopK aggregator matches window ordering with NaN and -0.0 sims") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Spark sorts NaN as the LARGEST double and equates -0.0 with 0.0;
+    // the aggregator must mirror that or it diverges from the row_number
+    // window it replaces. vec_id tie-breaks inside each equality class.
+    val df = Seq(
+      (0L, Double.NaN, 1L), (0L, 1.0, 2L), (0L, -0.0, 3L), (0L, 0.0, 4L),
+      (0L, Double.NaN, 5L), (0L, 0.5, 6L), (0L, -1.0, 7L)
+    ).toDF("qid", "sim", "vec_id")
+    def ranked(rows: Array[(Long, Long)]): Seq[(Long, Long)] = rows.toSeq
+    val viaAgg = ranked(df.groupBy($"qid")
+      .agg(graft.functions.TopK.topK(5)($"sim", $"vec_id").as("top"))
+      .select(posexplode($"top").as(Seq("p", "t")))
+      .select(($"p" + 1).cast("long").as("rk"), $"t.vec_id".as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    val viaWin = ranked(df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5).select($"rk", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    assert(viaAgg.sorted === viaWin.sorted)
+    // NaNs rank first (1,5), then 1.0, then 0.5, then the zero tie (3)
+    assert(viaAgg.sorted.map(_._2) === Seq(1L, 5L, 2L, 6L, 3L))
+  }
+
   test("null semantics: null array, length mismatch, null element") {
     import spark.implicits._
     val df = Seq(
