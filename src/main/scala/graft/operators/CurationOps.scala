@@ -84,7 +84,11 @@ object CurationOps {
     // doc_id, a doc joins bin floor(tokens-before-it / budget) — the
     // streaming-concatenation layout (docs are chunked across a bin
     // boundary at training time; bin identity is what matters here).
-    // Reports per-bin doc and token counts.
+    // Reports per-bin doc and token counts. The window form is right
+    // while each stream fits a task; when a stream outgrows one,
+    // [[ScaleWindows.groupCumsum]] computes the identical cum-before
+    // with every stream spread across many partitions (spec-equal in
+    // ScaleSpec).
     "curate_pack_sequences" -> ((s, d) => {
       val stream = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("doc_id"))

@@ -34,11 +34,48 @@ import org.apache.spark.sql.types.LongType
   * This is one of the rare places `mapPartitions` over rows is the right
   * tool: the per-partition running counter is genuinely imperative, and
   * both passes are single sequential scans of already-sorted partitions.
+  *
+  * [[groupCumsum]] is the same machinery with a per-row WEIGHT instead of
+  * a count — the scale path for running totals (sequence packing's
+  * cumulative token count) over the same low-cardinality stream keys.
   */
 object ScaleWindows {
 
   def groupRanks(df: DataFrame, group: Seq[String], order: Seq[String],
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int): DataFrame =
+    twoPhase(df, group, order, numPartitions, weightCol = None,
+      beforeName = "__pos", totalName = "__cnt")
+
+  /** The cumulative-sum sibling of [[groupRanks]] — the scale path for
+    * running totals over low-cardinality partition keys (e.g. sequence
+    * PACKING: bin = cum-tokens-before / budget per stream): emits
+    * `__cum_before` (exclusive prefix sum of `valueCol` within the
+    * group's total order) and `__sum` (group total), computed with each
+    * group spread across many partitions. `valueCol` must be an integral
+    * column; same total-order requirement as groupRanks.
+    */
+  def groupCumsum(df: DataFrame, group: Seq[String], order: Seq[String],
+      valueCol: String, numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(valueCol).dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(ok, s"groupCumsum value column $valueCol must be integral, " +
+      s"got ${df.schema(valueCol).dataType.simpleString}")
+    twoPhase(df, group, order, numPartitions, weightCol = Some(valueCol),
+      beforeName = "__cum_before", totalName = "__sum")
+  }
+
+  /** Shared two-phase machinery: range-partition by (group ++ order),
+    * aggregate a per-(partition, group) weight (1 for ranks, `weightCol`
+    * for cumsums), prefix-sum across partitions into offsets (a tiny
+    * O(partitions × groups) collect), then one sequential pass emitting
+    * offset + running local weight.
+    */
+  private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[String],
+      numPartitions: Int, weightCol: Option[String],
+      beforeName: String, totalName: String): DataFrame = {
     require(group.nonEmpty && order.nonEmpty)
     // the offset maps key on the collected JVM values, which requires
     // VALUE equality — binary (Array[Byte]) and nested types compare by
@@ -50,25 +87,29 @@ object ScaleWindows {
         case _ => false
       }
       require(!bad,
-        s"groupRanks group column $g has type " +
+        s"group column $g has type " +
           s"${df.schema(g).dataType.simpleString}; only atomic " +
           "value-comparable types are supported (no binary/nested)")
     }
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     val sortCols = (group ++ order).map(col)
+    val weightOf: Row => Long = weightCol match {
+      case Some(c) => r => r.getAs[Number](c).longValue()
+      case None => _ => 1L
+    }
     // materialize the sorted layout once — both passes read it
     val parted = df.repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint(true)
-    // pass 1: per-(partition, group) counts. LinkedHashMap keeps partition
-    // encounter order, but correctness only needs the (pid, key) pairs.
+    // pass 1: per-(partition, group) weight sums. LinkedHashMap keeps
+    // partition encounter order, but correctness only needs the pairs.
     val counts: Array[(Int, Seq[Any], Long)] =
       parted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
         it.foreach { r =>
           val k = group.map(r.getAs[Any])
-          m.update(k, m.getOrElse(k, 0L) + 1L)
+          m.update(k, m.getOrElse(k, 0L) + weightOf(r))
         }
         m.iterator.map { case (k, n) => (pid, k, n) }
       }.collect()
@@ -82,16 +123,16 @@ object ScaleWindows {
       }
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcTot = spark.sparkContext.broadcast(totals)
-    // pass 2: sequential scan per partition, global position = offset +
-    // running local index
-    val outSchema = parted.schema.add("__pos", LongType)
-      .add("__cnt", LongType)
+    // pass 2: sequential scan per partition, global running value =
+    // cross-partition offset + running local weight (exclusive)
+    val outSchema = parted.schema.add(beforeName, LongType)
+      .add(totalName, LongType)
     val out = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
       it.map { r =>
         val k = group.map(r.getAs[Any])
         val i = local.getOrElse(k, 0L)
-        local.update(k, i + 1L)
+        local.update(k, i + weightOf(r))
         Row.fromSeq(r.toSeq :+ (bcOff.value((pid, k)) + i) :+ bcTot.value(k))
       }
     }

@@ -144,6 +144,39 @@ class ScaleSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("two-phase groupCumsum == window running sum; reproduces packing bins") {
+    import graft.operators.{CurationOps, ScaleWindows}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("nt"))
+    val cum = ScaleWindows.groupCumsum(docs,
+      group = Seq("lang", "source"), order = Seq("doc_id"),
+      valueCol = "nt", numPartitions = 8)
+    val got = cum.select($"lang", $"source", $"doc_id", $"__cum_before")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("cb", coalesce(sum($"nt").over(w), lit(0L)))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(4)))
+      .toMap
+    assert(got === want)
+    // bins derived from the two-phase cum-before match the query's output
+    val binsViaCumsum = cum
+      .withColumn("bin",
+        floor($"__cum_before" / lit(CurationOps.PackBudget.toDouble)))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("bin_tokens"))
+      .orderBy($"lang", $"source", $"bin").collect().toSeq
+    val binsViaQuery = CurationOps.queries("curate_pack_sequences")(spark, sf)
+      .collect().toSeq
+    assert(binsViaCumsum === binsViaQuery)
+  }
+
   test("two-phase groupRanks == window ranks, without the 1-task-per-group funnel") {
     import graft.operators.ScaleWindows
     import org.apache.spark.sql.expressions.Window
