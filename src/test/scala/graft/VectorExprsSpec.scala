@@ -136,6 +136,24 @@ class VectorExprsSpec extends SparkSpec {
     assert(viaAgg === viaWin)
   }
 
+  test("sorted_intersect_size on long arrays == array_intersect (incl. negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // xxhash64 keys are full-range signed longs — negatives included;
+    // empty sets exercise the merge's boundary
+    val rows = (1 to 300).map { i =>
+      def set() = List.fill(rnd.nextInt(20))(rnd.nextLong() % 25)
+        .distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val out = rows.toDF("id", "a", "b")
+      .select($"id",
+        graft.functions.TextExprs.sortedIntersectSize($"a", $"b").as("fused"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), r))
+  }
+
   test("TopK aggregator matches window ordering with NaN and -0.0 sims") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
