@@ -150,9 +150,7 @@ object CurationOps {
     // (doc_id == cluster_id) does. Reports per-lang corpus shrinkage.
     // Consumes the session-materialized pair table from [[DedupOps]].
     "curate_dedup_apply" -> ((s, d) => {
-      val keep = DedupOps
-        .connectedComponents(DedupOps.ngramJaccardPairs(s, d)
-          .select(col("doc_a"), col("doc_b")))
+      val keep = DedupOps.ngramClusterLabels(s, d)
         .select(col("id").as("doc_id"),
           (col("id") === col("lbl")).as("keep"))
       documents(s, d)

@@ -310,6 +310,20 @@ object DedupOps {
         finally posts.unpersist(false)
       })
 
+  /** Connected-component labels over [[ngramJaccardPairs]], materialized
+    * once per (session, dir) for the same reason as the pair table: the
+    * cluster-assignment table is a persisted artifact every downstream
+    * consumer (cluster report, corpus dedup-apply) reads, not a
+    * per-query recomputation. connectedComponents already returns an
+    * eagerly checkpointed frame.
+    */
+  private[graft] def ngramClusterLabels(s: SparkSession, d: String): DataFrame =
+    pairTables
+      .computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(d + "#cc", connectedComponents(
+        ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
+
   val queries: Map[String, Q] = Map(
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on
     // char 5-gram shingles.
@@ -384,8 +398,7 @@ object DedupOps {
     // dedup pipeline's decision step, oracle-checked against a recursive
     // CTE over the same pair semantics.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-      connectedComponents(pairs)
+      ngramClusterLabels(s, d)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("id") === col("lbl")).as("keep"))
         .orderBy(col("doc_id"))
