@@ -65,7 +65,7 @@ object Cdc {
     val rowFields = envelope.schema("after").dataType
       .asInstanceOf[StructType].fieldNames
     val flat = rowFields.map(n => img.getField(n).as(n))
-    envelope.select(flat ++ Seq(
+    envelope.select(flat.toIndexedSeq ++ Seq(
       col("op"),
       col("source.table").as("table_name"),
       col("source.lsn").as("lsn")): _*)
@@ -94,7 +94,7 @@ object Cdc {
         if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      df.select(cols: _*)
+      df.select(cols.toIndexedSeq: _*)
     }
     val out = padded.reduce(_.unionByName(_)).to(target)
     require(out.schema.map(f => (f.name, f.dataType)) ==
@@ -232,7 +232,8 @@ object Cdc {
       // per-cell file target.
       val compacted = snapshot.repartition(
         col("year"), col("month"), col("day"), col("hour"),
-        pmod(xxhash64(snapshot.columns.map(col): _*), lit(filesPerPartition)))
+        pmod(xxhash64(snapshot.columns.toIndexedSeq.map(col): _*),
+          lit(filesPerPartition)))
       overwriteTimePartitions(compacted, path)
     } finally snapshot.unpersist()
   }

@@ -40,7 +40,8 @@ object Skew {
       s"__salt_${java.util.UUID.randomUUID().toString.take(8)}"
     // deterministic salt: stable row hash of all fact columns, not rand()
     // (re-execution of a task must salt identically for exactly-once sinks)
-    val saltCol = pmod(xxhash64(fact.columns.map(col): _*), lit(salts))
+    val saltCol =
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts))
     val saltedFact = fact.withColumn(saltName, saltCol)
     val replicatedDim = dim
       .withColumn(saltName, explode(array((0 until salts).map(lit): _*)))

@@ -79,7 +79,7 @@ object CdcStream {
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
     df.select(
         col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
