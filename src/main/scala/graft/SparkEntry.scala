@@ -12,9 +12,13 @@ import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, Multi
   * (graft.operators.*) and are concatenated here.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the engine's reason to exist — the CDC envelope chain
+    * (Debezium JSON → unwrap → soft-delete rewrite → unified union →
+    * latest state by WAL LSN), oracle-gated end to end. Driver
+    * smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q03_shipping_priority")(spark, "/root/testdata/sf0.001")
+    CdcEnvelope.queries("cdc_unified_latest")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
