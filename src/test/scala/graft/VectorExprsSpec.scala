@@ -164,16 +164,15 @@ class VectorExprsSpec extends SparkSpec {
       (0L, Double.NaN, 1L), (0L, 1.0, 2L), (0L, -0.0, 3L), (0L, 0.0, 4L),
       (0L, Double.NaN, 5L), (0L, 0.5, 6L), (0L, -1.0, 7L)
     ).toDF("qid", "sim", "vec_id")
-    def ranked(rows: Array[(Long, Long)]): Seq[(Long, Long)] = rows.toSeq
-    val viaAgg = ranked(df.groupBy($"qid")
+    val viaAgg = df.groupBy($"qid")
       .agg(graft.functions.TopK.topK(5)($"sim", $"vec_id").as("top"))
       .select(posexplode($"top").as(Seq("p", "t")))
       .select(($"p" + 1).cast("long").as("rk"), $"t.vec_id".as("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-    val viaWin = ranked(df.withColumn("rk", row_number().over(w).cast("long"))
+    val viaWin = df.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 5).select($"rk", $"vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaAgg.sorted === viaWin.sorted)
     // NaNs rank first (1,5), then 1.0, then 0.5, then the zero tie (3)
     assert(viaAgg.sorted.map(_._2) === Seq(1L, 5L, 2L, 6L, 3L))
