@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Empty-corpus robustness: at 100 TB, empty tables and empty partitions
+  * are routine (a new tenant, a filtered shard, a fresh day). Every
+  * document-family query must return an empty result — not throw — and
+  * the one operator that genuinely cannot run without data (IVF training)
+  * must fail with its named, actionable error.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("documents", "embeddings").foreach { t =>
+      Tables.table(spark, sf, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("document/dedup/curation queries return empty on an empty corpus") {
+    val names = Seq(
+      "text_stats", "text_normalize", "text_quality_score",
+      "text_repetition", "dedup_exact", "dedup_ngram_jaccard",
+      "dedup_simhash", "dedup_clusters", "dedup_contamination",
+      "curate_corpus_mix", "curate_stratified_sample", "curate_split",
+      "curate_pack_sequences", "curate_quality_filter",
+      "curate_dedup_apply", "sim_vector_norms", "dedup_embedding_cosine")
+    names.foreach { n =>
+      val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
+      assert(rows.isEmpty, s"$n returned ${rows.length} rows on empty input")
+    }
+  }
+
+  test("IVF training on an empty corpus fails with its named error") {
+    val e = intercept[Exception] {
+      SparkEntry.queries("ann_ivf_topk")(spark, emptyDir).collect()
+    }
+    assert(e.getMessage.contains("non-empty"),
+      s"expected the named training-sample error, got: ${e.getMessage}")
+  }
+}
