@@ -81,6 +81,89 @@ object TextExprs {
   def polyFingerprint(text: Column): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text)))
 
+  /** Fused single-pass character classifier — one scan over the string's
+    * code points emitting struct(n_alpha, n_punct, alpha_runs,
+    * digit_runs), replacing 2–3 separate `regexp_count` scans (each its
+    * own regex-engine pass) in the text-quality hot path:
+    *   - n_alpha     = count of chars matching [A-Za-z]
+    *   - n_punct     = count of chars matching [^A-Za-z0-9\s]
+    *   - alpha_runs  = count of matches of [A-Za-z]+
+    *   - digit_runs  = count of matches of [0-9]+
+    * Character semantics are exactly Java regex's (one step per Unicode
+    * code point, so a supplementary char counts ONCE; `\s` is Java's
+    * ASCII class INCLUDING vertical tab) — TextExprsSpec pins equality
+    * with the regexp_count formulations on adversarial unicode.
+    * Consumers read several fields of one call; whole-stage codegen's
+    * subexpression elimination evaluates the kernel once per row.
+    */
+  case class CharClassCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"char_class_counts expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = CharClassCounts.schema
+    override def prettyName: String = "char_class_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      charClassCount(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        // the loop lives ONCE in the scala object; generated code calls it
+        // (the win is dropping the regex engines, not inlining the loop)
+        s"""
+        ${ev.value} = graft.functions.TextExprs.charClassCount($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  object CharClassCounts {
+    import org.apache.spark.sql.types.StructType
+    val schema: StructType = new StructType()
+      .add("n_alpha", IntegerType).add("n_punct", IntegerType)
+      .add("alpha_runs", IntegerType).add("digit_runs", IntegerType)
+  }
+
+  /** The counting kernel — also the call target of the generated code
+    * (`TextExprs.charClassCount(...)` compiles under Janino because this
+    * object exposes it as a static forwarder).
+    */
+  def charClassCount(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val js = s.toString
+    var i = 0
+    var nAlpha = 0; var nPunct = 0; var aRuns = 0; var dRuns = 0
+    var inAlpha = false; var inDigit = false
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      val alpha = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val digit = cp >= '0' && cp <= '9'
+      // Java regex \s = [ \t\n\x0B\f\r]
+      val space = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (alpha) nAlpha += 1
+      if (!alpha && !digit && !space) nPunct += 1
+      if (alpha && !inAlpha) aRuns += 1
+      if (digit && !inDigit) dRuns += 1
+      inAlpha = alpha; inDigit = digit
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nAlpha, nPunct, aRuns, dRuns))
+  }
+
+  /** Column-API face of [[CharClassCounts]]. */
+  def charClassCounts(text: Column): Column =
+    Bridge.column(CharClassCounts(Bridge.expression(text)))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

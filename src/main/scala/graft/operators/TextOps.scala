@@ -31,16 +31,19 @@ object TextOps {
     * twins of the same expressions.
     */
   private[operators] def qualityGate(df: DataFrame): DataFrame = df
+    // one fused scan for both character classes (TextExprsSpec pins it
+    // equal to the regexp_count formulation); WSCG subexpression
+    // elimination evaluates the kernel once per row for both fields
+    .withColumn("cc", graft.functions.TextExprs.charClassCounts(col("text")))
     .withColumn("len", length(col("text")))
     .withColumn("alpha_ratio", round(
-      regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-        col("len"), 4))
+      col("cc.n_alpha").cast("double") / col("len"), 4))
     .withColumn("punct_ratio", round(
-      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-        col("len"), 4))
+      col("cc.n_punct").cast("double") / col("len"), 4))
     .withColumn("q_keep",
       col("len") >= 50 && col("alpha_ratio") >= 0.5 &&
         col("punct_ratio") <= 0.2)
+    .drop("cc")
 
   /** DuckDB twin of [[qualityGate]]'s ratio columns — select-list
     * fragment expecting `text` in scope (emits alpha_ratio/punct_ratio).
@@ -121,12 +124,13 @@ object TextOps {
     // BPE-ish token classes: word / number / punctuation token counts per
     // document (the tokenizer-regex shape used for token-count estimates).
     "text_token_classes" -> ((s, d) => {
+      // all three classes from the single-pass kernel (run counts for
+      // word/number, char count for punct) — was three regex scans
       documents(s, d)
-        .withColumn("n_word", regexp_count(col("text"), lit("[A-Za-z]+")))
-        .withColumn("n_num", regexp_count(col("text"), lit("[0-9]+")))
-        .withColumn("n_punct",
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
-        .select(col("doc_id"), col("n_word"), col("n_num"), col("n_punct"))
+        .withColumn("cc",
+          graft.functions.TextExprs.charClassCounts(col("text")))
+        .select(col("doc_id"), col("cc.alpha_runs").as("n_word"),
+          col("cc.digit_runs").as("n_num"), col("cc.n_punct").as("n_punct"))
         .orderBy(col("doc_id"))
     }),
 

@@ -136,6 +136,41 @@ class VectorExprsSpec extends SparkSpec {
     assert(viaAgg === viaWin)
   }
 
+  test("char_class_counts == the regexp_count formulations (adversarial unicode)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // code-point soup: ASCII letters/digits/punct, every Java \s char
+    // (incl. vertical tab ), multibyte BMP chars, and SUPPLEMENTARY
+    // chars (surrogate pairs — must count once, not twice)
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ ('A' to 'Z').map(_.toString) ++
+        ('0' to '9').map(_.toString) ++
+        Seq(" ", "\t", "\n", "\u000B", "\f", "\r",
+          ".", ",", "!", "-", "_", "é", "ü", "中", "文",
+          new String(Character.toChars(0x1F600)),   // 😀
+          new String(Character.toChars(0x10348)))   // 𐍈
+    val rows = (1 to 400).map { i =>
+      (i.toLong,
+        List.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString)
+    } :+ (0L, "")
+    val out = rows.toDF("id", "text")
+      .select($"id",
+        graft.functions.TextExprs.charClassCounts($"text").as("cc"),
+        regexp_count($"text", lit("[A-Za-z]")).as("ra"),
+        regexp_count($"text", lit("[^A-Za-z0-9\\s]")).as("rp"),
+        regexp_count($"text", lit("[A-Za-z]+")).as("rw"),
+        regexp_count($"text", lit("[0-9]+")).as("rn"))
+      .collect()
+    out.foreach { r =>
+      val cc = r.getStruct(1)
+      assert(cc.getInt(0) == r.getInt(2), s"n_alpha: $r")
+      assert(cc.getInt(1) == r.getInt(3), s"n_punct: $r")
+      assert(cc.getInt(2) == r.getInt(4), s"alpha_runs: $r")
+      assert(cc.getInt(3) == r.getInt(5), s"digit_runs: $r")
+    }
+  }
+
   test("sorted_intersect_size on long arrays == array_intersect (incl. negatives)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
