@@ -164,6 +164,98 @@ object TextExprs {
   def charClassCounts(text: Column): Column =
     Bridge.column(CharClassCounts(Bridge.expression(text)))
 
+  /** Fused stopword-list counter — one scan over the string emitting, for
+    * each of K word sets, how many word-runs equal a member of that set.
+    * This is exactly Java regex `\b(w1|w2|…)\b` occurrence counting, but
+    * K lists cost ONE pass instead of K regex-engine scans: text_lang_id
+    * scores its languages' stopword sets in a single traversal.
+    *
+    * Boundary semantics trap: Java's `\b` is NOT `\w`-based — its word
+    * characters are `_` plus `Character.isLetterOrDigit` (UNICODE
+    * letters/digits), so "théund" is ONE word and `\bund\b` does not
+    * match inside it, while "the,und" yields two. The kernel's runs use
+    * exactly that definition (matches are case-sensitive, members are
+    * ASCII so non-ASCII runs simply never match). Equality with the
+    * regexp_count formulation is pinned in VectorExprsSpec on
+    * adversarial unicode.
+    */
+  case class WordSetCounts(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression {
+    require(sets.nonEmpty && sets.forall(_.nonEmpty),
+      "word_set_counts needs at least one non-empty word set")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_set_counts expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(IntegerType, false)
+    override def prettyName: String = "word_set_counts"
+
+    // java.util.HashSet: reference-typed cleanly from Janino-generated
+    // code AND O(1) lookup in the interpreted path
+    @transient private lazy val lookup: Array[java.util.HashSet[String]] =
+      sets.map { s =>
+        val h = new java.util.HashSet[String]()
+        s.foreach(h.add)
+        h
+      }.toArray
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.wordSetCount(input.asInstanceOf[UTF8String], lookup)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordSets", lookup,
+        "java.util.HashSet[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.wordSetCount($c, $ref);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild, sets)
+  }
+
+  /** The matching kernel — also the call target of the generated code. */
+  def wordSetCount(s: UTF8String,
+      sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val js = s.toString
+    val counts = new Array[Int](sets.length)
+    val run = new java.lang.StringBuilder(16)
+    def flush(): Unit = {
+      if (run.length() > 0) {
+        val w = run.toString
+        var k = 0
+        while (k < sets.length) {
+          if (sets(k).contains(w)) counts(k) += 1
+          k += 1
+        }
+        run.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      // Java \b word chars: underscore or UNICODE letter/digit (NOT \w)
+      val word = cp == '_' || Character.isLetterOrDigit(cp)
+      if (word) run.appendCodePoint(cp) else flush()
+      i += Character.charCount(cp)
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      counts.map(Integer.valueOf(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** Column-API face of [[WordSetCounts]]. */
+  def wordSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(WordSetCounts(Bridge.expression(text), sets))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

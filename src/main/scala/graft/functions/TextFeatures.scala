@@ -94,6 +94,16 @@ object TextFeatures {
     "es" -> "\\b(el|los|las|y|es)\\b",
     "zh" -> "[\\u4e00-\\u9fff]")
 
+  /** The stopword-set view of [[LangMarkers]]'s `\b(...)\b` alternation
+    * patterns — the form [[TextExprs.WordSetCounts]] fuses into one scan
+    * (zh is a char-class, not a word list, and stays a regex count).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
   def langScore(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
 

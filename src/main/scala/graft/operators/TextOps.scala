@@ -66,8 +66,8 @@ object TextOps {
         .withColumn("len", length(col("text")))
         .withColumn("word_cnt", wordCnt(col("text")))
         .withColumn("tok_cnt", regexp_count(col("text"), lit("\\w+")))
-        .withColumn("stop_cnt",
-          regexp_count(col("text"), lit("\\b(the|a)\\b")))
+        .withColumn("stop_cnt", element_at(graft.functions.TextExprs
+          .wordSetCounts(col("text"), Seq(Seq("the", "a"))), 1))
         .withColumn("avg_word_len",
           (col("len") - (col("word_cnt") - 1)).cast("double") / col("word_cnt"))
         .select(col("doc_id"), col("len"), col("word_cnt"), col("tok_cnt"),
@@ -99,14 +99,21 @@ object TextOps {
     // occurrence scores, argmax with fixed priority. Pure scalar regexes —
     // zero shuffles at any scale.
     "text_lang_id" -> ((s, d) => {
-      val scored = TextFeatures.LangMarkers.foldLeft(documents(s, d)) {
-        case (df, (lang, pat)) =>
-          df.withColumn(s"s_$lang", TextFeatures.langScore(col("text"), pat))
-      }
+      // the four stopword languages score in ONE fused scan
+      // (WordSetCounts); zh is a char-class and keeps its regex count
+      val wsc = graft.functions.TextExprs.wordSetCounts(col("text"),
+        TextFeatures.LangStopwords.map(_._2))
+      val scored = documents(s, d).withColumn("wsc", wsc)
+      val withScores = TextFeatures.LangStopwords.zipWithIndex
+        .foldLeft(scored) { case (df, ((lang, _), i)) =>
+          df.withColumn(s"s_$lang", element_at(col("wsc"), i + 1))
+        }
+        .withColumn("s_zh", TextFeatures.langScore(col("text"),
+          TextFeatures.LangMarkers.toMap.apply("zh")))
       val scores = TextFeatures.LangMarkers.map {
         case (lang, _) => lang -> col(s"s_$lang")
       }
-      scored
+      withScores
         .withColumn("pred_lang", TextFeatures.langPredict(scores))
         .select(col("doc_id") +: scores.map(_._2) :+ col("pred_lang"): _*)
         .orderBy(col("doc_id"))
@@ -140,8 +147,9 @@ object TextOps {
     // itself lives in [[qualityGate]], shared with curate_quality_filter.
     "text_quality_score" -> ((s, d) => {
       qualityGate(documents(s, d))
-        .withColumn("n_stop",
-          regexp_count(col("text"), lit("\\b(the|a|is|of|and)\\b")))
+        .withColumn("n_stop", element_at(graft.functions.TextExprs
+          .wordSetCounts(col("text"),
+            Seq(TextFeatures.LangStopwords.toMap.apply("en"))), 1))
         .withColumn("word_cnt", wordCnt(col("text")))
         .withColumn("stop_ratio",
           round(col("n_stop").cast("double") / col("word_cnt"), 4))

@@ -171,6 +171,40 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("word_set_counts == regexp_count of \\b-alternations (boundary edges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // boundary soup: stopwords glued to word chars ("the5", "_the" — no
+    // match), to punctuation/unicode ("the,", "theé" — match), casing,
+    // and multiple sets scored in one pass
+    val pieces = IndexedSeq("the", "a", "is", "der", "und", "le", "est",
+      "The", "THE", "thé", "5", "_", " ", ", ", "-", "x", "é", "中",
+      new String(Character.toChars(0x1F600)), "\t", ".")
+    val rows = (1 to 400).map { i =>
+      (i.toLong,
+        List.fill(rnd.nextInt(30))(pieces(rnd.nextInt(pieces.length)))
+          .mkString)
+    } :+ (0L, "")
+    val sets = Seq(Seq("the", "a", "is", "of", "and"),
+      Seq("der", "die", "das", "und", "ist"),
+      Seq("le", "la", "les", "et", "est"))
+    val pats = Seq("\\b(the|a|is|of|and)\\b", "\\b(der|die|das|und|ist)\\b",
+      "\\b(le|la|les|et|est)\\b")
+    val out = rows.toDF("id", "text")
+      .select($"id",
+        graft.functions.TextExprs.wordSetCounts($"text", sets).as("wsc"),
+        regexp_count($"text", lit(pats(0))).as("r0"),
+        regexp_count($"text", lit(pats(1))).as("r1"),
+        regexp_count($"text", lit(pats(2))).as("r2"))
+      .collect()
+    out.foreach { r =>
+      val wsc = r.getSeq[Int](1)
+      assert(wsc(0) == r.getInt(2), s"set0: $r")
+      assert(wsc(1) == r.getInt(3), s"set1: $r")
+      assert(wsc(2) == r.getInt(4), s"set2: $r")
+    }
+  }
+
   test("sorted_intersect_size on long arrays == array_intersect (incl. negatives)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
