@@ -276,6 +276,27 @@ class VectorExprsSpec extends SparkSpec {
       math.abs(r.head.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("custom expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    // a Janino compile failure normally falls back to interpreted eval
+    // and every equivalence spec still passes — force codegen so a
+    // broken doGenCode FAILS here instead of shipping slow
+    val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val fb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("text_lang_id", "text_token_classes", "text_quality_score",
+        "text_fingerprint", "sim_cosine_topk").foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).collect().nonEmpty, q)
+      }
+    } finally {
+      fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      fb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     val q = vecs.filter(col("vec_id") === 0).select(col("ev").as("qv"))
     val df = vecs.crossJoin(broadcast(q))
