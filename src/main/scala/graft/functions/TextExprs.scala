@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * and dispatches two interpreted lambdas plus a substring ALLOCATION per
   * character — measured 18 s for 5 000 documents at sf0.1 vs well under a
   * second fused. Per-character work must live inside whole-stage codegen
-  * at 100 TB; TextExprsSpec asserts bit-equality of the two forms.
+  * at 100 TB; VectorExprsSpec asserts bit-equality of the two forms.
   *
   * Character semantics mirror `ascii(substr(text, i, 1))`: one step per
   * Unicode CODE POINT (not UTF-16 unit, not byte), so multibyte text
@@ -91,7 +91,7 @@ object TextExprs {
     *   - digit_runs  = count of matches of [0-9]+
     * Character semantics are exactly Java regex's (one step per Unicode
     * code point, so a supplementary char counts ONCE; `\s` is Java's
-    * ASCII class INCLUDING vertical tab) — TextExprsSpec pins equality
+    * ASCII class INCLUDING vertical tab) — VectorExprsSpec pins equality
     * with the regexp_count formulations on adversarial unicode.
     * Consumers read several fields of one call; whole-stage codegen's
     * subexpression elimination evaluates the kernel once per row.
@@ -248,8 +248,8 @@ object TextExprs {
       i += Character.charCount(cp)
     }
     flush()
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      counts.map(Integer.valueOf(_)).asInstanceOf[Array[Any]])
+    // primitive Array[Int] overload: no per-row boxing
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
 
   /** Column-API face of [[WordSetCounts]]. */

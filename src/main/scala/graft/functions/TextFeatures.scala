@@ -87,22 +87,22 @@ object TextFeatures {
     * occurrence counts; classification is argmax with a fixed priority
     * order (en > de > fr > es > zh) for exact cross-engine determinism.
     */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|is|of|and)\\b",
-    "de" -> "\\b(der|die|das|und|ist)\\b",
-    "fr" -> "\\b(le|la|les|et|est)\\b",
-    "es" -> "\\b(el|los|las|y|es)\\b",
-    "zh" -> "[\\u4e00-\\u9fff]")
-
-  /** The stopword-set view of [[LangMarkers]]'s `\b(...)\b` alternation
-    * patterns — the form [[TextExprs.WordSetCounts]] fuses into one scan
-    * (zh is a char-class, not a word list, and stays a regex count).
+  /** The per-language stopword lists — the ONE source of truth:
+    * [[TextExprs.WordSetCounts]] fuses them into a single scan, and
+    * [[LangMarkers]] derives the equivalent `\b(...)\b` regex patterns
+    * from them (zh is a char-class, not a word list, and stays a regex
+    * count).
     */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "of", "and"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
+
+  val LangMarkers: Seq[(String, String)] =
+    LangStopwords.map { case (lang, ws) =>
+      lang -> ws.mkString("\\b(", "|", ")\\b")
+    } :+ ("zh" -> "[\\u4e00-\\u9fff]")
 
   def langScore(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))

@@ -31,7 +31,7 @@ object TextOps {
     * twins of the same expressions.
     */
   private[operators] def qualityGate(df: DataFrame): DataFrame = df
-    // one fused scan for both character classes (TextExprsSpec pins it
+    // one fused scan for both character classes (VectorExprsSpec pins it
     // equal to the regexp_count formulation); WSCG subexpression
     // elimination evaluates the kernel once per row for both fields
     .withColumn("cc", graft.functions.TextExprs.charClassCounts(col("text")))

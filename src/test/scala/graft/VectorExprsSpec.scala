@@ -286,9 +286,20 @@ class VectorExprsSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("text_lang_id", "text_token_classes", "text_quality_score",
-        "text_fingerprint", "sim_cosine_topk").foreach { q =>
+        "text_fingerprint", "sim_cosine_topk", "sim_quantized_topk").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).collect().nonEmpty, q)
       }
+      // expressions the queries above may not re-evaluate (the dedup pair
+      // table is session-cached): drive them directly
+      import spark.implicits._
+      import graft.functions.TextExprs
+      val direct = Seq((Seq(1L, 3L, 7L), Seq(3L, 7L, 9L),
+          Seq(1.0, 2.0), Seq(2.0, 1.0)))
+        .toDF("a", "b", "v", "w")
+        .select(TextExprs.sortedIntersectSize($"a", $"b").as("i"),
+          VectorExprs.dist2($"v", $"w").as("d"))
+        .collect()(0)
+      assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0)
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
