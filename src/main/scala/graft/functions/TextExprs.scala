@@ -256,6 +256,85 @@ object TextExprs {
   def wordSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(WordSetCounts(Bridge.expression(text), sets))
 
+  /** Fused char-shingle hasher — array of 64-bit hashes of the
+    * n-code-point windows, one pass, no substring materialization. The
+    * window positions mirror `charShinglesAll` exactly (positions
+    * 1..max(numChars−n+1, 1); a text shorter than n yields its single
+    * truncated window), so `explode(shingleHashes(text, n)).distinct()`
+    * is the hashed shingle posting list without ever allocating the
+    * ~numChars window STRINGS per document that explode(substr…)+xxhash64
+    * pays. The hash is FNV-1a over code points finished with the
+    * murmur3 fmix64 avalanche — any well-mixed 64-bit hash works here:
+    * downstream minhash permutations re-mix it and the Jaccard
+    * verification is exact on the hashed sets (collision analysis in
+    * DedupOps.ngramPosts applies unchanged).
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, "shingle width must be positive")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"shingle_hashes expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.shingleHash(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.shingleHash($c, $n);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild, n)
+  }
+
+  /** The hashing kernel — also the call target of the generated code. */
+  def shingleHash(s: UTF8String, n: Int): ArrayData = {
+    val js = s.toString
+    // code points up front: windows step by code point, not UTF-16 unit
+    val cps = new Array[Int](js.codePointCount(0, js.length))
+    var i = 0; var k = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      cps(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    val nWin = math.max(cps.length - (n - 1), 1)
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var h = 0xcbf29ce484222325L            // FNV offset basis
+      var j = w
+      val end = math.min(w + n, cps.length)
+      while (j < end) {
+        h = (h ^ cps(j)) * 0x100000001b3L    // FNV-1a step
+        j += 1
+      }
+      // murmur3 fmix64 avalanche
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+      h ^= (h >>> 33)
+      out(w) = h
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column-API face of [[ShingleHashes]]. */
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

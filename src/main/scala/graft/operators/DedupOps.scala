@@ -67,14 +67,18 @@ object DedupOps {
                           // signature-aggregate codegen.
 
   /** Distinct (doc_id, char-5-gram) postings with the gram HASHED to a
-    * 64-bit key at birth; dedup via codegen'd hash aggregate rather than
-    * per-row array_distinct. See [[ngramPosts]] for why hashed keys are
-    * the scale-correct posting representation and the collision analysis.
+    * 64-bit key at birth — via the fused [[graft.functions.TextExprs
+    * .ShingleHashes]] kernel, which hashes each window in one pass
+    * without materializing the ~n_chars window strings per document
+    * (explode(substr…)+xxhash64 was the minhash pipeline's dominant
+    * cost). Dedup via codegen'd hash aggregate rather than per-row
+    * array_distinct. See [[ngramPosts]] for the collision analysis.
     */
   private def shinglePosts(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), explode(charShinglesAll(col("text"), 5)).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingleHashes(col("text"), 5))
+          .as("g"))
       .distinct()
 
   /** Distinct (doc_id, token-n-gram) postings via zipped shifted array

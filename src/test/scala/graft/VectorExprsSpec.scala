@@ -171,6 +171,34 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes mirrors charShinglesAll windows (distinct counts, edges)") {
+    import spark.implicits._
+    import graft.functions.{TextExprs, TextFeatures}
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcde 中文é" + new String(Character.toChars(0x1F600))
+    val rows = (1 to 300).map { i =>
+      val cps = List.fill(rnd.nextInt(30))(
+        alphabet.codePointAt(rnd.nextInt(alphabet.length) match {
+          case j if Character.isLowSurrogate(alphabet.charAt(j)) => j - 1
+          case j => j
+        }))
+      (i.toLong, cps.map(cp => new String(Character.toChars(cp))).mkString)
+    } ++ Seq((0L, ""), (1001L, "ab"), (1002L, "abcd"), (1003L, "abcde"))
+    val out = rows.toDF("id", "text")
+      .select($"id",
+        size(array_distinct(TextExprs.shingleHashes($"text", 5))).as("nh"),
+        size(array_distinct(TextFeatures.charShinglesAll($"text", 5))).as("ns"),
+        size(TextExprs.shingleHashes($"text", 5)).as("tw"),
+        size(TextFeatures.charShinglesAll($"text", 5)).as("ts"))
+      .collect()
+    // same window count, and (collision-free at this scale) the same
+    // number of DISTINCT shingles — the set the posting list carries
+    out.foreach { r =>
+      assert(r.getInt(3) == r.getInt(4), s"window count: $r")
+      assert(r.getInt(1) == r.getInt(2), s"distinct count: $r")
+    }
+  }
+
   test("word_set_counts == regexp_count of \\b-alternations (boundary edges)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
@@ -294,12 +322,14 @@ class VectorExprsSpec extends SparkSpec {
       import spark.implicits._
       import graft.functions.TextExprs
       val direct = Seq((Seq(1L, 3L, 7L), Seq(3L, 7L, 9L),
-          Seq(1.0, 2.0), Seq(2.0, 1.0)))
-        .toDF("a", "b", "v", "w")
+          Seq(1.0, 2.0), Seq(2.0, 1.0), "abcdefg"))
+        .toDF("a", "b", "v", "w", "t")
         .select(TextExprs.sortedIntersectSize($"a", $"b").as("i"),
-          VectorExprs.dist2($"v", $"w").as("d"))
+          VectorExprs.dist2($"v", $"w").as("d"),
+          size(TextExprs.shingleHashes($"t", 5)).as("nw"))
         .collect()(0)
-      assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0)
+      assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
+        direct.getInt(2) == 3)
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
