@@ -335,6 +335,88 @@ object TextExprs {
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
 
+  /** Fused token-n-gram hasher — hashes of the n-token windows of the
+    * single-space tokenization, one pass, no token/gram strings
+    * materialized. Tokenization mirrors `split(text, " ")` exactly
+    * (split at EVERY single space; consecutive spaces yield empty
+    * tokens; Java split semantics drop trailing empties) and each
+    * window hashes the same character stream `concat_ws(" ", tokens)`
+    * would produce, so the per-document gram SETS equal the
+    * slice/concat_ws construction's — only the hash values differ,
+    * which is all internal (collision analysis in DedupOps.ngramPosts).
+    * Spark's split passes limit −1, so TRAILING empty tokens are KEPT
+    * (unlike Java's default split) — the kernel mirrors that. Emits
+    * max(numTokens−n+1, 0) hashes: shorter-than-n docs yield NOTHING,
+    * mirroring the `greatest(size−(n−1), 0)`-width slice construction
+    * that feeds explode.
+    */
+  case class TokenNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n > 0, "ngram width must be positive")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"token_ngram_hashes expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def prettyName: String = "token_ngram_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.tokenNgramHash(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.tokenNgramHash($c, $n);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild, n)
+  }
+
+  /** The hashing kernel — also the call target of the generated code. */
+  def tokenNgramHash(s: UTF8String, n: Int): ArrayData = {
+    val js = s.toString
+    // split at EVERY single space, trailing empties KEPT (limit -1) —
+    // exactly Spark's split(text, " ")
+    val toks = js.split(" ", -1)
+    val nTok = toks.length
+    val nWin = math.max(nTok - (n - 1), 0)
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var h = 0xcbf29ce484222325L
+      var t = w
+      while (t < w + n) {
+        if (t > w) h = (h ^ ' ') * 0x100000001b3L  // the concat_ws joiner
+        val tok = toks(t)
+        var i = 0
+        while (i < tok.length) {
+          val cp = tok.codePointAt(i)
+          h = (h ^ cp) * 0x100000001b3L
+          i += Character.charCount(cp)
+        }
+        t += 1
+      }
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+      h ^= (h >>> 33)
+      out(w) = h
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column-API face of [[TokenNgramHashes]]. */
+  def tokenNgramHashes(text: Column, n: Int): Column =
+    Bridge.column(TokenNgramHashes(Bridge.expression(text), n))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

@@ -81,35 +81,34 @@ object DedupOps {
           .as("g"))
       .distinct()
 
-  /** Distinct (doc_id, token-n-gram) postings via zipped shifted array
-    * slices — fully codegen'd, ZERO shuffles before the distinct (a
-    * posexplode + lead-window formulation costs an extra shuffle + sort;
-    * a transform/concat_ws lambda evaluates interpreted and re-runs
-    * split() per element, ~10× slower).
+  /** Distinct (doc_id, token-n-gram) postings via the fused
+    * [[graft.functions.TextExprs.TokenNgramHashes]] kernel — one pass
+    * per document, no token/gram strings materialized, ZERO shuffles
+    * before the distinct. (Historical formulations, slowest first: a
+    * transform/concat_ws lambda re-runs split() per element interpreted,
+    * ~10× slower; posexplode + lead-window costs an extra shuffle +
+    * sort; zipped shifted array slices + concat_ws + xxhash64 was the
+    * previous best and remains the spec's reference formulation.)
     *
-    * The gram is HASHED to a 64-bit key (`xxhash64`) the moment it is
-    * born: every downstream shuffle/sort/join then moves 8-byte longs
-    * instead of ~25-byte strings — measured 2.6× on candidate generation
-    * and ~2× on the posting distinct at sf0.1. Set semantics are exact
-    * up to a WITHIN-DOC hash collision, which would merge two distinct
-    * grams of the same document: P ≈ m²/2^65 per doc (m = distinct grams
-    * per doc; m=10⁴ → 5×10⁻¹², and ~10⁻⁵ across 10⁹ such docs) —
-    * far below any operational noise floor, and the standard trade every
+    * The gram is HASHED to a 64-bit key the moment it is born: every
+    * downstream shuffle/sort/join then moves 8-byte longs instead of
+    * ~25-byte strings — measured 2.6× on candidate generation and ~2×
+    * on the posting distinct at sf0.1. Set semantics are exact up to a
+    * WITHIN-DOC hash collision, which would merge two distinct grams of
+    * the same document: P ≈ m²/2^65 per doc (m = distinct grams per
+    * doc; m=10⁴ → 5×10⁻¹², and ~10⁻⁵ across 10⁹ such docs) — far below
+    * any operational noise floor, and the standard trade every
     * production shingle pipeline makes (signatures, not strings, are
     * what minhash banding hashes anyway). The prefix-filter ordering
     * only needs A total order on grams, which the hashed key provides.
     */
   private[graft] def ngramPosts(s: SparkSession, d: String,
-      n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
-    val cnt = greatest(size(toks) - (n - 1), lit(0)).cast("int")
+      n: Int = 3): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), explode(arrays_zip(
-        (1 to n).map(j => slice(toks, lit(j), cnt)): _*)).as("z"))
-      .select(col("doc_id"), xxhash64(
-        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*)).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
+          .as("g"))
       .distinct()
-  }
 
   /** Blocked all-pairs is quadratic PER BLOCK: cap = 20k rows ≈ 200M
     * pairs for the hottest block — tune to the pair budget a stage can

@@ -199,6 +199,39 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("token_ngram_hashes mirrors the slice/concat_ws construction") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    val rnd = new scala.util.Random(23)
+    val words = IndexedSeq("the", "a", "x", "中文", "é", "", "b5_")
+    val rows = (1 to 300).map { i =>
+      (i.toLong,
+        List.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+    } ++ Seq((0L, ""), (1001L, "one two"), (1002L, "one two three"),
+      (1003L, "trail two three "), (1004L, "a  b c"))
+    val n = 3
+    val toks = split($"text", " ")
+    val cnt = greatest(size(toks) - (n - 1), lit(0)).cast("int")
+    val out = rows.toDF("id", "text")
+      .select($"id",
+        size(array_distinct(TextExprs.tokenNgramHashes($"text", n)))
+          .as("nh"),
+        size(TextExprs.tokenNgramHashes($"text", n)).as("tw"),
+        cnt.as("cs"),
+        size(array_distinct(transform(
+          arrays_zip((1 to n).map(j => slice(toks, lit(j), cnt)): _*),
+          z => concat_ws(" ",
+            (0 until n).map(j => z.getField(j.toString)): _*)))).as("ns"))
+      .collect()
+    out.foreach { r =>
+      // same window count as the slice construction's width
+      assert(r.getInt(2) == math.max(r.getInt(3), 0), s"window count: $r")
+      // same DISTINCT gram count (collision-free at this scale)
+      assert(r.getInt(1) == r.getInt(4), s"distinct count: $r")
+    }
+  }
+
   test("word_set_counts == regexp_count of \\b-alternations (boundary edges)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
