@@ -299,6 +299,19 @@ object TextExprs {
         newChild: Expression): Expression = copy(newChild, n)
   }
 
+  // shared window-hash primitives: FNV-1a accumulation + murmur3 fmix64
+  // avalanche — ONE definition for both window kernels so the constants
+  // cannot drift between them
+  private final val FnvBasis = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+  @inline private def fnvStep(h: Long, cp: Int): Long = (h ^ cp) * FnvPrime
+  @inline private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
   /** The hashing kernel — also the call target of the generated code. */
   def shingleHash(s: UTF8String, n: Int): ArrayData = {
     val js = s.toString
@@ -314,21 +327,21 @@ object TextExprs {
     val out = new Array[Long](nWin)
     var w = 0
     while (w < nWin) {
-      var h = 0xcbf29ce484222325L            // FNV offset basis
+      var h = FnvBasis
       var j = w
       val end = math.min(w + n, cps.length)
       while (j < end) {
-        h = (h ^ cps(j)) * 0x100000001b3L    // FNV-1a step
+        h = fnvStep(h, cps(j))
         j += 1
       }
-      // murmur3 fmix64 avalanche
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
-      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
-      h ^= (h >>> 33)
-      out(w) = h
+      out(w) = fmix64(h)
       w += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // flat unboxed buffer — GenericArrayData's primitive ctor would
+    // box every element on exactly the hot path these kernels exist
+    // to de-allocate
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Column-API face of [[ShingleHashes]]. */
@@ -391,26 +404,27 @@ object TextExprs {
     val out = new Array[Long](nWin)
     var w = 0
     while (w < nWin) {
-      var h = 0xcbf29ce484222325L
+      var h = FnvBasis
       var t = w
       while (t < w + n) {
-        if (t > w) h = (h ^ ' ') * 0x100000001b3L  // the concat_ws joiner
+        if (t > w) h = fnvStep(h, ' ')  // the concat_ws joiner
         val tok = toks(t)
         var i = 0
         while (i < tok.length) {
           val cp = tok.codePointAt(i)
-          h = (h ^ cp) * 0x100000001b3L
+          h = fnvStep(h, cp)
           i += Character.charCount(cp)
         }
         t += 1
       }
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
-      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
-      h ^= (h >>> 33)
-      out(w) = h
+      out(w) = fmix64(h)
       w += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // flat unboxed buffer — GenericArrayData's primitive ctor would
+    // box every element on exactly the hot path these kernels exist
+    // to de-allocate
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Column-API face of [[TokenNgramHashes]]. */

@@ -359,10 +359,11 @@ class VectorExprsSpec extends SparkSpec {
         .toDF("a", "b", "v", "w", "t")
         .select(TextExprs.sortedIntersectSize($"a", $"b").as("i"),
           VectorExprs.dist2($"v", $"w").as("d"),
-          size(TextExprs.shingleHashes($"t", 5)).as("nw"))
+          size(TextExprs.shingleHashes($"t", 5)).as("nw"),
+          size(TextExprs.tokenNgramHashes($"t", 1)).as("ng"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
-        direct.getInt(2) == 3)
+        direct.getInt(2) == 3 && direct.getInt(3) == 1)
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
