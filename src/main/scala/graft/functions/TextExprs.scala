@@ -427,6 +427,67 @@ object TextExprs {
       .fromPrimitiveArray(out)
   }
 
+  /** Fused strip+collapse normalizer — one pass emitting the input with
+    * every char outside [a-z0-9 ] removed and space runs collapsed to
+    * one, i.e. exactly
+    * `regexp_replace(regexp_replace(x, "[^a-z0-9 ]", ""), "  +", " ")`
+    * without the two regex-engine passes. Case folding is NOT part of
+    * the kernel: lowercase first with Spark's `lower()` (replicating its
+    * unicode case mapping would be a divergence risk for zero gain —
+    * this kernel only ever drops or copies ASCII chars, which is
+    * unicode-safe by construction).
+    */
+  case class AsciiStripCollapse(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ascii_strip_collapse expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "ascii_strip_collapse"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.asciiStripCollapse(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.asciiStripCollapse($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  /** The normalizing kernel — also the call target of generated code. */
+  def asciiStripCollapse(s: UTF8String): UTF8String = {
+    val js = s.toString
+    val sb = new java.lang.StringBuilder(js.length)
+    var last: Char = 0
+    var i = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      val keep = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+        cp == ' '
+      if (keep && !(cp == ' ' && last == ' ')) {
+        sb.append(cp.toChar)
+        last = cp.toChar
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column-API face of [[AsciiStripCollapse]]. */
+  def asciiStripCollapse(text: Column): Column =
+    Bridge.column(AsciiStripCollapse(Bridge.expression(text)))
+
   /** Column-API face of [[TokenNgramHashes]]. */
   def tokenNgramHashes(text: Column, n: Int): Column =
     Bridge.column(TokenNgramHashes(Bridge.expression(text), n))

@@ -212,8 +212,10 @@ object TextOps {
     // itself, so the output never ships the corpus back. Pure codegen'd
     // scalar expressions: zero shuffles before the final sort.
     "text_normalize" -> ((s, d) => {
-      val norm = regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")
+      // lower() is Spark's (unicode case mapping); strip+collapse is the
+      // fused one-pass kernel, spec-pinned equal to the regex chain
+      val norm = graft.functions.TextExprs
+        .asciiStripCollapse(lower(col("text")))
       documents(s, d)
         .select(col("doc_id"), length(col("text")).as("len_raw"),
           length(norm).as("len_norm"), sha2(norm, 256).as("norm_hash"))

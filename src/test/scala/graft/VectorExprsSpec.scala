@@ -232,6 +232,29 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("ascii_strip_collapse == the two-regex normalize chain") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abz09 ..!-_é中" + new String(Character.toChars(0x1F600)) +
+      "  \t"
+    val rows = (1 to 400).map { i =>
+      val cps = List.fill(rnd.nextInt(40))(
+        alphabet.codePointAt(rnd.nextInt(alphabet.length) match {
+          case j if Character.isLowSurrogate(alphabet.charAt(j)) => j - 1
+          case j => j
+        }))
+      (i.toLong, cps.map(cp => new String(Character.toChars(cp))).mkString)
+    } ++ Seq((0L, ""), (1001L, "   "), (1002L, "a . b"), (1003L, " x  y "))
+    val out = rows.toDF("id", "text")
+      .select($"id",
+        TextExprs.asciiStripCollapse($"text").as("fused"),
+        regexp_replace(
+          regexp_replace($"text", "[^a-z0-9 ]", ""), "  +", " ").as("chain"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2), s"$r"))
+  }
+
   test("word_set_counts == regexp_count of \\b-alternations (boundary edges)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
