@@ -17,15 +17,27 @@ object SparkEntry {
     * latest state by WAL LSN), oracle-gated end to end. Driver
     * smoke-checks rows>0.
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    pinUtc(spark)
     CdcEnvelope.queries("cdc_unified_latest")(spark, "/root/testdata/sf0.001")
+  }
+
+  /** Registry results are defined under a UTC session zone (the oracle's
+    * timestamps are timezone-naive). Pinned here — the documented driver
+    * contract — rather than silently inside every table read, so library
+    * users composing graft.operators.* directly keep their own zone.
+    */
+  private def pinUtc(s: SparkSession): Unit =
+    s.conf.set("spark.sql.session.timeZone", "UTC")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+    (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
       TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
-      CurationOps.queries
+      CurationOps.queries).map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => { pinUtc(s); fn(s, d) })
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -36,18 +36,20 @@ object TopK {
     // treats NaN as the largest double), ties by lowest id — the naive
     // sortBy(-sim) would instead rank NaN last and drop it, diverging
     // from the row_number window this aggregator must mirror. −0.0 is
-    // normalized to +0.0 on entry (Spark sort keys equate them).
+    // canonicalized to +0.0 inside the COMPARISON only (Spark sort keys
+    // equate them) — the stored Hit keeps the raw input bits, so the
+    // EMITTED sim stays identical to the window twin / the oracle.
     private val ord: Ordering[Hit] = new Ordering[Hit] {
+      private def canon(x: Double): Double = if (x == 0.0) 0.0 else x
       def compare(a: Hit, b: Hit): Int = {
-        val c = java.lang.Double.compare(b.sim, a.sim)
+        val c = java.lang.Double.compare(canon(b.sim), canon(a.sim))
         if (c != 0) c else java.lang.Long.compare(a.vec_id, b.vec_id)
       }
     }
     private def prune(xs: Seq[Hit]): Seq[Hit] = xs.sorted(ord).take(k)
-    private def norm(sim: Double): Double = if (sim == 0.0) 0.0 else sim
     override def zero: Seq[Hit] = Nil
     override def reduce(b: Seq[Hit], a: (Double, Long)): Seq[Hit] =
-      prune(b :+ Hit(norm(a._1), a._2))
+      prune(b :+ Hit(a._1, a._2))
     override def merge(b1: Seq[Hit], b2: Seq[Hit]): Seq[Hit] =
       prune(b1 ++ b2)
     override def finish(r: Seq[Hit]): Seq[Hit] = prune(r)

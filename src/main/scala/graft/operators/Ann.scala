@@ -211,9 +211,14 @@ object Ann {
         asDouble(col("embedding")).as("vec"))
       // unit-normalize for spherical clustering (see Index geometry note);
       // the ORIGINAL vector is what gets stored and cosine-re-ranked
+      // zero-norm guard mirrors probeCells: x/0.0 would make every element
+      // NaN, all NaN<bestD comparisons false, and silently index the
+      // vector into cell 0 where no meaningful probe finds it — keep the
+      // raw (all-zero) vector instead, same as the query side
       val normed = base
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-        .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
+        .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+          .otherwise(transform(col("vec"), x => x / col("nrm"))))
       // the hash sample is COUNT-bounded by design → collect it and train
       // in memory (kmeansLocal); the collect moves k·10³-ish unit vectors,
       // never the table

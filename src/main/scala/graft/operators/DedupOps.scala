@@ -289,17 +289,32 @@ object DedupOps {
     * result immediately so the posting-list checkpoint backing it can be
     * released right away instead of waiting on a driver GC.
     */
-  // weak keys: a stopped-and-dropped SparkSession must not be pinned
-  // forever by its cached pair frames (they are unusable once the session
-  // dies); the inner map is tiny (one entry per scale dir)
-  private val pairTables = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // strong-keyed map + explicit eviction when the session's context ends.
+  // A WeakHashMap cannot work here: the cached DataFrames hold a strong
+  // reference back to their SparkSession — the key — and value→key strong
+  // references defeat weak-key reclamation, so a stopped session would be
+  // pinned for the process lifetime anyway. Sessions sharing one context
+  // via newSession() stay cached until the context stops (acceptable: the
+  // inner map is tiny — one entry per scale dir).
+  private val pairTables = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def sessionCache(s: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, DataFrame] =
+    pairTables.computeIfAbsent(s, sess => {
+      sess.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            pairTables.remove(sess); ()
+          }
+        })
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    })
 
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairTables
-      .computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    sessionCache(s)
       .getOrElseUpdate(d, {
         // postings feed the df table, the prefix ranking, and both sides
         // of the verification join — persist() (NOT localCheckpoint: on a
@@ -321,9 +336,7 @@ object DedupOps {
     * eagerly checkpointed frame.
     */
   private[graft] def ngramClusterLabels(s: SparkSession, d: String): DataFrame =
-    pairTables
-      .computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    sessionCache(s)
       .getOrElseUpdate(d + "#cc", connectedComponents(
         ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
 

@@ -12,14 +12,14 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * (untrusted JSON ingest goes through [[CdcSchemas]] with explicit schemas).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // every timestamp literal/truncation in the query registry assumes
-    // UTC (the oracle's timestamps are timezone-naive); pin it here so
-    // results don't depend on the calling session's zone — same pattern
-    // as the nanosAsLong flag in events()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  /** Every timestamp literal/truncation in the query registry assumes a
+    * UTC session zone (the oracle's timestamps are timezone-naive). That
+    * is pinned at the documented entry points — [[registerAll]] and the
+    * `SparkEntry` registry — NOT here: a bare table read must not mutate
+    * session-global state under an embedding user who chose another zone.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -62,6 +62,9 @@ object Tables {
     * to the DataFrame path (same analyzed plan).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    // documented side effect of this init entry point: registry/oracle
+    // semantics are defined in UTC (see table())
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     all.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)
     }

@@ -370,7 +370,8 @@ class VectorExprsSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("text_lang_id", "text_token_classes", "text_quality_score",
-        "text_fingerprint", "sim_cosine_topk", "sim_quantized_topk").foreach { q =>
+        "text_fingerprint", "text_normalize", "sim_cosine_topk",
+        "sim_quantized_topk").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).collect().nonEmpty, q)
       }
       // expressions the queries above may not re-evaluate (the dedup pair
