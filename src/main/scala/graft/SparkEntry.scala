@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Relational, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Relational, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,7 @@ object SparkEntry {
     (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
       TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
-      CurationOps.queries).map { case (name, fn) =>
+      CurationOps.queries ++ SketchOps.queries).map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) => { pinUtc(s); fn(s, d) })
     }
 
@@ -46,5 +46,5 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles ++
       TemporalOps.oracles ++ MultimodalOps.oracles ++ CdcEnvelope.oracles ++
-      CurationOps.oracles
+      CurationOps.oracles ++ SketchOps.oracles
 }

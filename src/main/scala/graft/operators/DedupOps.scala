@@ -223,8 +223,12 @@ object DedupOps {
     * verifier needs no extra size join. Also applies the exact length
     * filter J ≤ min/max ⟹ sizes within factor t.
     */
-  def prefixCandidates(posts: DataFrame,
-      t: Double): DataFrame = {
+  /** Per-doc prefix postings (doc_id, sz, g) for Jaccard threshold `t`:
+    * each doc's first |d|−⌈t·|d|⌉+1 grams in the global (df asc, gram asc)
+    * order, with the doc's distinct-set size riding along. Shared by the
+    * full self-join candidate generator and the incremental batch path.
+    */
+  def prefixPosts(posts: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one ordered window spec serves both rank and size (the count takes
     // the explicit full frame), so Catalyst plans a single Window node —
@@ -233,11 +237,16 @@ object DedupOps {
     val full = byDoc.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefix = posts.join(dfreq, "g")
+    posts.join(dfreq, "g")
       .withColumn("sz", count(lit(1)).over(full))
       .withColumn("rk", row_number().over(byDoc))
       .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("doc_id"), col("sz"), col("g"))
+  }
+
+  def prefixCandidates(posts: DataFrame,
+      t: Double): DataFrame = {
+    val prefix = prefixPosts(posts, t)
     prefix
       .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
@@ -247,6 +256,40 @@ object DedupOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.sz").as("sza"),
         col("b.doc_id").as("doc_b"), col("b.sz").as("szb"))
+      .filter(least(col("sza"), col("szb")) >=
+        lit(t) * greatest(col("sza"), col("szb")))
+      .distinct()
+  }
+
+  /** Incremental candidate pairs: candidates TOUCHING a new document
+    * batch — (new × corpus) ∪ (new × new) — without ever generating the
+    * corpus × corpus combinations an already-deduped corpus does not need
+    * re-checked. This is the production shape of continuous dedup: each
+    * arriving shard is joined prefix-against-prefix with the full posting
+    * set, so per-batch cost is governed by the BATCH's prefix size, not
+    * the corpus pair count. The prefix principle applies per pair, so
+    * restricting one join side to the batch loses nothing: any pair with
+    * J ≥ t and ≥ one new member shares a gram in both members' prefixes,
+    * and the (new-prefix ⋈ all-prefix) equi-join meets exactly there.
+    * Gram df (the prefix ordering) is computed over corpus+batch; a
+    * production pipeline maintains that stat table incrementally with the
+    * same groupBy. New×new pairs are met from both sides — canonicalized
+    * (doc_a < doc_b) and distinct'd, as the self-join path already does.
+    */
+  def incrementalCandidates(posts: DataFrame, t: Double,
+      isNew: Column => Column): DataFrame = {
+    val pref = prefixPosts(posts, t)
+    val newSide = pref.filter(isNew(col("doc_id"))).toDF("doc_n", "szn", "g")
+    val allSide = pref.toDF("doc_o", "szo", "g")
+    newSide.join(allSide, "g")
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(
+        least(col("doc_n"), col("doc_o")).as("doc_a"),
+        when(col("doc_n") < col("doc_o"), col("szn")).otherwise(col("szo"))
+          .as("sza"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+        when(col("doc_n") < col("doc_o"), col("szo")).otherwise(col("szn"))
+          .as("szb"))
       .filter(least(col("sza"), col("szb")) >=
         lit(t) * greatest(col("sza"), col("szb")))
       .distinct()
@@ -420,6 +463,23 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: the pairs a NEWLY ARRIVED batch (doc_id ≡ 0
+    // mod 10 stands in for the batch) forms against the existing corpus
+    // and within itself, J >= 0.5 on token trigrams — computed without
+    // regenerating any corpus×corpus candidate (see
+    // [[incrementalCandidates]]). Output is exactly the full pair table
+    // restricted to pairs touching the batch (spec-asserted), so a
+    // continuous pipeline appending batch after batch converges to the
+    // same dedup decisions as a monolithic recompute.
+    "dedup_incremental" -> ((s, d) => {
+      // posts feed the df table, both prefix sides, and the verifier —
+      // materialize once (same pattern as the minhash posting list)
+      val posts = ngramPosts(s, d).localCheckpoint(false)
+      val cand = incrementalCandidates(posts, 0.5,
+        id => pmod(id, lit(10)) === 0)
+      verifyJaccard(cand, posts, 0.5)
+    }),
+
     // SimHash near-dup: 64-bit sign-sum signature over token hashes,
     // 4×16-bit band join, Hamming distance <= 3. Engine-specific hashing →
     // no SQL oracle (driver does rows-only); properties are spec-tested.
@@ -520,6 +580,22 @@ object DedupOps {
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+           AND round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
     "dedup_contamination" ->

@@ -146,6 +146,37 @@ object CdcStream {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
   }
 
+  /** Stream-static enrichment: each streaming event picks up the dimension
+    * attributes for its key from a STATIC (batch) table — the standard
+    * "enrich the CDC feed with reference data" shape. STATELESS, unlike the
+    * stream-stream interval join: no buffered join state and no watermark
+    * requirement. The static side is re-EXECUTED every micro-batch (content
+    * is re-read, never snapshot-cached) but its file LISTING is pinned when
+    * the query is analyzed — so an in-place parquet overwrite under a
+    * running query fails the next micro-batch (measured: FileNotFound on
+    * the replaced part files) rather than refreshing the dim. Refreshing
+    * reference data safely needs a restart, or a table format whose
+    * snapshots isolate readers from rewrites (Delta/Iceberg), or an
+    * append-only dim keyed by version. `inner`/`left_outer` only — the
+    * stream side cannot await future static rows, so right/full joins are
+    * unsupported by Spark here.
+    *
+    * `broadcastDim` (default true) hints the static side: micro-batch plans
+    * do not get AQE's runtime join re-planning, so a stream-static join of
+    * a genuinely small dim would otherwise shuffle EVERY micro-batch of the
+    * stream. Set it false for dimension tables of unbounded cardinality —
+    * the same rule as the batch side (no forced broadcast of per-user
+    * aggregates).
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+      joinType: String = "left_outer",
+      broadcastDim: Boolean = true): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"stream-static join supports inner/left_outer, not $joinType")
+    stream.join(if (broadcastDim) broadcast(dim) else dim,
+      Seq(keyCol), joinType)
+  }
+
   /** T2: idempotence under at-least-once redelivery — drop duplicate
     * event ids with state bounded by the watermark (the streaming face of
     * the reference's Kafka-offset-replay tolerance,

@@ -144,6 +144,34 @@ class ScaleSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("incremental dedup == full pair table restricted to the batch") {
+    import graft.operators.DedupOps
+    val posts = DedupOps.ngramPosts(spark, sf).localCheckpoint(false)
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(10)) === 0
+    // candidate volume: the batch-restricted join must generate strictly
+    // fewer candidates than the full self-join (it skips corpus×corpus)
+    val full = DedupOps.prefixCandidates(posts, 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = DedupOps.incrementalCandidates(posts, 0.5, isNew)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.size < full.size, s"inc=${inc.size} full=${full.size}")
+    // every incremental candidate touches the batch and is a full candidate
+    assert(inc.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+    assert(inc.subsetOf(full), s"extra: ${inc -- full}")
+    // verified output == the monolithic pair table filtered to the batch —
+    // the invariant that makes batch-after-batch dedup converge to the
+    // same decisions as a full recompute
+    val got = DedupOps.queries("dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = DedupOps.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(isNew($"doc_a") || isNew($"doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("two-phase groupCumsum == window running sum; reproduces packing bins") {
     import graft.operators.{CurationOps, ScaleWindows}
     import org.apache.spark.sql.expressions.Window

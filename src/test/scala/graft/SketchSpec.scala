@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+import graft.sources.Tables
+
+/** Mergeable HLL sketch pre-aggregation: error bound vs exact distinct,
+  * and the merge invariants that make a persisted per-day sketch table
+  * sound under incremental maintenance.
+  */
+class SketchSpec extends SparkSpec {
+
+  private lazy val ev = Tables.events(spark, sf)
+  private lazy val daily = SketchOps.dailyUserSketches(ev)
+
+  test("sketch rollup estimates within 5% of exact distinct users") {
+    val est = SketchOps.queries("cdc_distinct_users_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("__all__" -> ev.select(col("user_id")).distinct().count())
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$k: est=$e exact=$n")
+    }
+  }
+
+  test("incremental maintenance: union(rollup(old days), new day) == monolithic") {
+    // split the log at a date: the "already maintained" days vs the
+    // "newly arrived" day(s); merging the new sketches into the old
+    // rollup must estimate the same as sketching everything at once
+    val cut = to_date(lit("2024-01-20"))
+    val oldDaily = SketchOps.dailyUserSketches(ev.filter(to_date(col("ts")) < cut))
+    val newDaily = SketchOps.dailyUserSketches(ev.filter(to_date(col("ts")) >= cut))
+    // both sides non-trivial, else the test proves nothing
+    assert(oldDaily.count() > 0 && newDaily.count() > 0)
+    val merged = oldDaily.unionByName(newDaily)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mono = daily
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === mono)
+  }
+
+  test("sketches survive a parquet round-trip (the persisted table shape)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sketch-").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val got = SketchOps.rollupByType(back)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SketchOps.rollupByType(daily)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("order-independence: sketching a shuffled log estimates identically") {
+    val shuffled = SketchOps.dailyUserSketches(
+      ev.repartition(7, pmod(col("event_id"), lit(7))))
+    val a = SketchOps.rollupByType(shuffled)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = SketchOps.rollupByType(daily)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}

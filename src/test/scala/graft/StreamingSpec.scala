@@ -115,6 +115,32 @@ class StreamingSpec extends SparkSpec {
     assert(last(3L)._2 === "c0")
   }
 
+  test("stream-static enrich == batch join, unmatched stream rows kept") {
+    val src = tmp("graft-enrich-src")
+    val events = Tables.events(spark, sf).limit(200)
+    events.coalesce(1).write.mode("overwrite").json(src)
+    // a small per-type dimension table (the reference-data side)
+    val dim = Seq(("click", "web"), ("view", "web"), ("purchase", "money"))
+      .toDF("event_type", "channel")
+    val stream = CdcStream.jsonEventStream(spark, Tables.events(spark, sf).schema,
+      src)
+    val out = CdcStream.staticEnrich(stream, dim, "event_type")
+      .groupBy($"channel").agg(count(lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+      .orderBy($"channel".asc_nulls_first).collect().toSeq
+    // left_outer: unmatched types survive with a null channel
+    val want = spark.read.schema(Tables.events(spark, sf).schema).json(src)
+      .join(dim, Seq("event_type"), "left_outer")
+      .groupBy($"channel").agg(count(lit(1)).as("n"))
+      .orderBy($"channel".asc_nulls_first).collect().toSeq
+    assert(got.nonEmpty && got === want)
+    assert(spark.table("enriched").filter($"channel".isNull).count() > 0,
+      "left_outer must keep unmatched stream rows (testdata has other types)")
+  }
+
   test("streaming sliding windows == batch sliding windows") {
     val src = tmp("graft-slide-src")
     val events = Tables.events(spark, sf)
