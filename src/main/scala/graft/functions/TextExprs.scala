@@ -492,6 +492,220 @@ object TextExprs {
   def tokenNgramHashes(text: Column, n: Int): Column =
     Bridge.column(TokenNgramHashes(Bridge.expression(text), n))
 
+  /** Fused sort+dedupe of an array<long> — the per-document DISTINCT SET
+    * construction done inside the row instead of shuffling every posting
+    * through `explode(...).distinct()`. Emits the elements ascending
+    * (signed, matching `sort_array` and [[SortedIntersectSize]]'s merge
+    * order), so the output feeds the verification kernel directly.
+    * Replacing the posting-level distinct with this kernel removes the
+    * dedup pipelines' biggest shuffle: per-doc set semantics are a row-
+    * local property, so at 100 TB they should cost zero network bytes.
+    * Equality with `sort_array(array_distinct(...))` is spec-pinned.
+    */
+  case class SortedDistinctLongs(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, false) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_distinct_longs expects array<bigint> (non-null " +
+              s"elements), got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def prettyName: String = "sorted_distinct_longs"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.sortedDistinctLongs(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.sortedDistinctLongs($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  /** The sort+dedupe kernel — also the call target of generated code. */
+  def sortedDistinctLongs(arr: ArrayData): ArrayData = {
+    val a = arr.toLongArray()
+    java.util.Arrays.sort(a)
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      if (m == 0 || a(i) != a(m - 1)) { a(m) = a(i); m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (m == a.length) a else
+        java.util.Arrays.copyOf(a, m))
+  }
+
+  /** Column-API face of [[SortedDistinctLongs]]. */
+  def sortedDistinctLongs(arr: Column): Column =
+    Bridge.column(SortedDistinctLongs(Bridge.expression(arr)))
+
+  /** Fused MinHash signature: the K per-permutation minima of a document's
+    * hashed gram set, computed row-locally in one pass. Bit-identical to
+    * `groupBy(doc_id).agg(min(xxhash64(g, lit(j))) for j < K)` over the
+    * exploded postings (spec-pinned): per gram g the kernel computes
+    * Spark's xxhash64 chain — `hashInt(j, hashLong(g, 42))` — reusing the
+    * inner `hashLong(g, 42)` across all K permutations, which the
+    * column-wise form recomputes K times.
+    *
+    * Scale: the aggregate form shuffles EVERY posting row into a
+    * K+1-column hash aggregate (and pays a multi-second codegen/JIT for
+    * the 97-wide plan — NOTES.md); this kernel makes the signature a
+    * per-row projection over the document scan — zero shuffle, narrow
+    * plan, and the first shuffle of the minhash pipeline becomes the
+    * tiny banded candidate join. Empty gram set → null (no signature),
+    * matching the aggregate form where such docs simply have no rows.
+    */
+  case class MinhashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k > 0, "signature width must be positive")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, false) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_signature expects array<bigint> (non-null " +
+              s"elements), got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      // the kernel returns null for an empty gram set — surface that as
+      // SQL null by assigning isNull inside the null-safe block (the
+      // same pattern SortedIntersectSize uses for mid-loop nulls)
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.minhashSignature($c, $k);
+        ${ev.isNull} = ${ev.value} == null;
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild, k)
+  }
+
+  /** The signature kernel — also the call target of generated code.
+    * Returns null for an empty gram set.
+    */
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = arr.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(arr.getLong(i), 42L)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashInt(j, base)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Column-API face of [[MinhashSignature]]. */
+  def minhashSignature(arr: Column, k: Int): Column =
+    Bridge.column(MinhashSignature(Bridge.expression(arr), k))
+
+  /** Fused 64-bit SimHash of the single-space tokenization: per token t,
+    * h = xxhash64(t); per bit position, count +1/−1 by the bit of h; the
+    * signature sets the bits with positive balance. Bit-identical to the
+    * explode(split)+64-sum-aggregate formulation [[graft.operators
+    * .DedupOps.simhash]] (spec-pinned): tokenization mirrors
+    * `split(text, " ")` with limit −1 — split at EVERY space byte (0x20
+    * never occurs inside a UTF-8 multibyte sequence), empty tokens kept —
+    * and each token's hash is computed over the SAME UTF-8 bytes Spark's
+    * xxhash64 hashes, in place over the parent buffer (zero allocation).
+    * Turns the simhash pipeline's posting shuffle + 64-column aggregate
+    * into a per-row projection.
+    */
+  case class SimhashSignature(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash_signature expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_signature"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.simhashSignature(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.simhashSignature($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  /** The simhash kernel — also the call target of generated code. */
+  def simhashSignature(s: UTF8String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    val cnt = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val atSpace = i < n &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      if (i == n || atSpace) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Column-API face of [[SimhashSignature]]. */
+  def simhashSignature(text: Column): Column =
+    Bridge.column(SimhashSignature(Bridge.expression(text)))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

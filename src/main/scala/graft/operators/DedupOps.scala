@@ -66,29 +66,40 @@ object DedupOps {
                           // costs recall at J≈0.8 and doubles the
                           // signature-aggregate codegen.
 
-  /** Distinct (doc_id, char-5-gram) postings with the gram HASHED to a
-    * 64-bit key at birth — via the fused [[graft.functions.TextExprs
-    * .ShingleHashes]] kernel, which hashes each window in one pass
-    * without materializing the ~n_chars window strings per document
-    * (explode(substr…)+xxhash64 was the minhash pipeline's dominant
-    * cost). Dedup via codegen'd hash aggregate rather than per-row
-    * array_distinct. See [[ngramPosts]] for the collision analysis.
+  /** Per-document SORTED DISTINCT char-5-gram hash sets (doc_id, gs) —
+    * the fused [[graft.functions.TextExprs.ShingleHashes]] window hasher
+    * composed with [[graft.functions.TextExprs.SortedDistinctLongs]], so
+    * the document's gram SET is built row-locally in the projection over
+    * the scan: no posting explode, no distinct shuffle, and the sorted
+    * array feeds [[verifyJaccard]]'s merge kernel directly. See
+    * [[ngramPosts]] for the hash-collision analysis.
     */
-  private def shinglePosts(s: SparkSession, d: String): DataFrame =
+  private def shingleDocSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TextExprs.shingleHashes(col("text"), 5))
-          .as("g"))
-      .distinct()
+      .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
+        graft.functions.TextExprs.shingleHashes(col("text"), 5)).as("gs"))
 
-  /** Distinct (doc_id, token-n-gram) postings via the fused
-    * [[graft.functions.TextExprs.TokenNgramHashes]] kernel — one pass
-    * per document, no token/gram strings materialized, ZERO shuffles
-    * before the distinct. (Historical formulations, slowest first: a
-    * transform/concat_ws lambda re-runs split() per element interpreted,
-    * ~10× slower; posexplode + lead-window costs an extra shuffle +
-    * sort; zipped shifted array slices + concat_ws + xxhash64 was the
-    * previous best and remains the spec's reference formulation.)
+  /** Per-document sorted distinct token-n-gram hash sets — the token twin
+    * of [[shingleDocSets]].
+    */
+  private[graft] def ngramDocSets(s: SparkSession, d: String,
+      n: Int = 3): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
+        graft.functions.TextExprs.tokenNgramHashes(col("text"), n)).as("gs"))
+
+  /** Distinct (doc_id, token-n-gram) postings — an explode over
+    * [[ngramDocSets]]'s per-row distinct sets, so the posting list needs
+    * ZERO shuffles at all: the old `explode(...).distinct()` hash
+    * aggregate (the pipelines' single biggest shuffle) is equivalent to
+    * per-doc distinct, which [[graft.functions.TextExprs
+    * .SortedDistinctLongs]] now computes inside the projection.
+    * (Historical formulations, slowest first: a transform/concat_ws
+    * lambda re-runs split() per element interpreted, ~10× slower;
+    * posexplode + lead-window costs an extra shuffle + sort; zipped
+    * shifted array slices + concat_ws + xxhash64 remains the spec's
+    * reference formulation; explode + global distinct was the previous
+    * production shape.)
     *
     * The gram is HASHED to a 64-bit key the moment it is born: every
     * downstream shuffle/sort/join then moves 8-byte longs instead of
@@ -104,11 +115,8 @@ object DedupOps {
     */
   private[graft] def ngramPosts(s: SparkSession, d: String,
       n: Int = 3): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
-          .as("g"))
-      .distinct()
+    ngramDocSets(s, d, n)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
 
   /** Blocked all-pairs is quadratic PER BLOCK: cap = 20k rows ≈ 200M
     * pairs for the hottest block — tune to the pair budget a stage can
@@ -296,18 +304,17 @@ object DedupOps {
   }
 
   /** Exact |A∩B| for candidate pairs only, then J = c / (|A|+|B|−c),
-    * emitting pairs with round(J,4) ≥ thr. Each doc's DISTINCT grams are
-    * collected once into a sorted array (one shuffle on doc_id) and the
+    * emitting pairs with round(J,4) ≥ thr. `docSets` carries each doc's
+    * sorted distinct gram array (doc_id, gs) — built row-locally by the
+    * SortedDistinctLongs kernel, no collect_list aggregation — and the
     * intersection is computed per PAIR by the fused two-pointer merge
     * [[graft.functions.TextExprs.SortedIntersectSize]] — no
     * candidates × set-size row expansion through a shuffle, no post-join
     * aggregation (the exploded-posting verify join was measured 19 s vs
     * ~4 s for this shape at sf0.1).
     */
-  private def verifyJaccard(cand: DataFrame, posts: DataFrame,
+  private def verifyJaccard(cand: DataFrame, docSets: DataFrame,
       thr: Double): DataFrame = {
-    val docSets = posts.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"))
     cand
       .join(docSets.toDF("doc_a", "gsa"), "doc_a")
       .join(docSets.toDF("doc_b", "gsb"), "doc_b")
@@ -359,16 +366,20 @@ object DedupOps {
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     sessionCache(s)
       .getOrElseUpdate(d, {
-        // postings feed the df table, the prefix ranking, and both sides
-        // of the verification join — persist() (NOT localCheckpoint: on a
-        // checkpointed frame unpersist() only touches the CacheManager,
-        // never the RDD blocks, so "release" would wait on a driver GC),
-        // then drop the cache once the eager pair checkpoint has consumed
-        // it. Same reasoning as connectedComponents' generation caches.
-        val posts = ngramPosts(s, d).persist()
-        try verifyJaccard(prefixCandidates(posts, 0.5), posts, 0.5)
+        // the doc-set arrays feed the posting explode (df table + prefix
+        // ranking) and both sides of the verification join — persist()
+        // (NOT localCheckpoint: on a checkpointed frame unpersist() only
+        // touches the CacheManager, never the RDD blocks, so "release"
+        // would wait on a driver GC), then drop the cache once the eager
+        // pair checkpoint has consumed it. Same reasoning as
+        // connectedComponents' generation caches.
+        val docs = ngramDocSets(s, d).persist()
+        try verifyJaccard(
+          prefixCandidates(
+            docs.select(col("doc_id"), explode(col("gs")).as("g")), 0.5),
+          docs, 0.5)
           .localCheckpoint(true)
-        finally posts.unpersist(false)
+        finally docs.unpersist(false)
       })
 
   /** Connected-component labels over [[ngramJaccardPairs]], materialized
@@ -387,18 +398,24 @@ object DedupOps {
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on
     // char 5-gram shingles.
     "dedup_minhash_lsh" -> ((s, d) => {
-      // localCheckpoint: the posting list feeds three branches (signature,
-      // both sides of the verification join); materializing it once stops
-      // the distinct-shuffle subtree from re-running per branch.
-      val posts = shinglePosts(s, d).localCheckpoint(false)
-      // one pass computes the K signature mins AND the set size
-      val minAggs = (0 until K).map(j => min(minhashPerm(col("g"), j)).as(s"m$j")) :+
-        count(lit(1)).as("sz")
-      val sig = posts.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      // localCheckpoint: the doc-set arrays feed the signature projection
+      // and both sides of the verification join; materializing once stops
+      // the scan+kernel subtree from re-running per branch.
+      val docs = shingleDocSets(s, d).localCheckpoint(false)
+      // the ENTIRE signature is a row-local projection (fused K-min
+      // kernel + size of the distinct array): the old groupBy over the
+      // exploded postings — the pipeline's biggest shuffle plus a
+      // 97-column codegen'd aggregate with multi-second JIT — is gone;
+      // the first shuffle of the minhash pipeline is now the banded
+      // candidate join below, which moves 16 rows of 24 bytes per doc.
+      val sig = docs.select(col("doc_id"), size(col("gs")).as("sz"),
+        graft.functions.TextExprs.minhashSignature(col("gs"), K).as("sig"))
+      // band hash = xxhash64 over the band's Rows signature components —
+      // the same chain the m0..m95 column formulation hashed
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * Rows until (b + 1) * Rows).map(j => col(s"m$j")): _*)
-            .as("bh"))
+          xxhash64((b * Rows until (b + 1) * Rows)
+            .map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
       }
       val banded = sig
         .select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
@@ -410,17 +427,16 @@ object DedupOps {
         .filter(col("doc_a") < col("doc_b"))
         // length filter (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
         // J >= 0.8 needs set sizes within 25% — prunes cross-length band
-        // collisions before the posting-level verification join
+        // collisions before the pair-level verification join
         .filter(least(col("sza"), col("szb")) >=
           lit(0.8) * greatest(col("sza"), col("szb")))
         .select(col("doc_a"), col("doc_b"), col("sza"), col("szb")).distinct()
-      // Exact |A∩B| for candidates only, via the same sorted-array
-      // two-pointer merge the ngram path verifies with (collect each
-      // doc's distinct grams once, one fused intersect per pair) — the
-      // exploded-posting join shape was measured ~4× slower at sf0.1.
-      // Never an all-pairs pass — char-shingle document frequency is
-      // heavy-tailed, so Σ df² combination counting would blow up.
-      verifyJaccard(cand, posts, 0.8)
+      // Exact |A∩B| for candidates only via the fused sorted-array merge
+      // over the row-local doc sets — the exploded-posting join shape was
+      // measured ~4× slower at sf0.1. Never an all-pairs pass —
+      // char-shingle document frequency is heavy-tailed, so Σ df²
+      // combination counting would blow up.
+      verifyJaccard(cand, docs, 0.8)
     }),
 
     // Exact token-trigram Jaccard, J >= 0.5, via prefix filtering: rank
@@ -472,19 +488,26 @@ object DedupOps {
     // continuous pipeline appending batch after batch converges to the
     // same dedup decisions as a monolithic recompute.
     "dedup_incremental" -> ((s, d) => {
-      // posts feed the df table, both prefix sides, and the verifier —
-      // materialize once (same pattern as the minhash posting list)
-      val posts = ngramPosts(s, d).localCheckpoint(false)
+      // the doc-set arrays feed the posting explode (df + both prefix
+      // sides) and the verifier — materialize once (same pattern as the
+      // minhash doc sets)
+      val docs = ngramDocSets(s, d).localCheckpoint(false)
+      val posts = docs.select(col("doc_id"), explode(col("gs")).as("g"))
       val cand = incrementalCandidates(posts, 0.5,
         id => pmod(id, lit(10)) === 0)
-      verifyJaccard(cand, posts, 0.5)
+      verifyJaccard(cand, docs, 0.5)
     }),
 
     // SimHash near-dup: 64-bit sign-sum signature over token hashes,
     // 4×16-bit band join, Hamming distance <= 3. Engine-specific hashing →
     // no SQL oracle (driver does rows-only); properties are spec-tested.
     "dedup_simhash" -> ((s, d) => {
-      val sims = simhash(documents(s, d))
+      // fused per-row signature kernel — the explode+64-sum aggregate
+      // formulation ([[simhash]], spec-pinned bit-equal) shuffles every
+      // token row; the kernel makes the signature a projection over the
+      // scan, so the pipeline's only shuffle is the band join
+      val sims = documents(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.simhashSignature(col("text")).as("simhash"))
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -531,6 +554,9 @@ object DedupOps {
   /** 64-bit SimHash per document: hash each token, sum ±1 per bit position
     * weighted by occurrence, take the sign vector as the signature bits.
     * One explode + one groupBy (64 partial-agg sums), single shuffle.
+    * REFERENCE formulation — production uses the shuffle-free fused
+    * [[graft.functions.TextExprs.SimhashSignature]] kernel, which
+    * VectorExprsSpec pins bit-equal to this construction.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),

@@ -307,6 +307,64 @@ class VectorExprsSpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(1) == r.getInt(2), r))
   }
 
+  test("sorted_distinct_longs == sort_array(array_distinct(...))") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, List.fill(rnd.nextInt(25))(rnd.nextLong() % 13))
+    } :+ (0L, List.empty[Long])
+    val out = rows.toDF("id", "a")
+      .select($"id",
+        graft.functions.TextExprs.sortedDistinctLongs($"a").as("fused"),
+        sort_array(array_distinct($"a")).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), r))
+  }
+
+  test("minhash_signature == per-permutation min over exploded postings") {
+    import graft.functions.TextExprs
+    val k = 8
+    val docs = Tables.documents(spark, sf).limit(60)
+      .select(col("doc_id"), col("text"))
+    val fused = docs.select(col("doc_id"),
+      TextExprs.minhashSignature(
+        TextExprs.sortedDistinctLongs(
+          TextExprs.shingleHashes(col("text"), 5)), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val posts = docs.select(col("doc_id"),
+      explode(TextExprs.shingleHashes(col("text"), 5)).as("g")).distinct()
+    val aggs = (0 until k).map(j =>
+      min(graft.functions.TextFeatures.minhashPerm(col("g"), j)).as(s"m$j"))
+    val ref = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(j => r.getLong(j + 1)).toSeq).toMap
+    assert(fused.nonEmpty && fused === ref)
+    // empty gram set (text shorter than the token n-gram width) → null
+    import spark.implicits._
+    val nulls = Seq((1L, "one two")).toDF("id", "text")
+      .select(TextExprs.minhashSignature(
+        TextExprs.sortedDistinctLongs(
+          TextExprs.tokenNgramHashes($"text", 3)), k).as("sig"))
+      .collect()
+    assert(nulls.head.isNullAt(0), "empty gram set must yield a null signature")
+  }
+
+  test("simhash_signature == the explode+64-sum aggregate formulation") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val real = Tables.documents(spark, sf).limit(60)
+      .select($"doc_id", $"text")
+    val edge = Seq((10001L, ""), (10002L, " "), (10003L, "a  b "),
+      (10004L, "中文 é x"), (10005L, "one one one two")).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val fused = docs.select($"doc_id",
+      graft.functions.TextExprs.simhashSignature($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = DedupOps.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.size == ref.size && fused === ref)
+  }
+
   test("TopK aggregator matches window ordering with NaN and -0.0 sims") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -384,10 +442,15 @@ class VectorExprsSpec extends SparkSpec {
         .select(TextExprs.sortedIntersectSize($"a", $"b").as("i"),
           VectorExprs.dist2($"v", $"w").as("d"),
           size(TextExprs.shingleHashes($"t", 5)).as("nw"),
-          size(TextExprs.tokenNgramHashes($"t", 1)).as("ng"))
+          size(TextExprs.tokenNgramHashes($"t", 1)).as("ng"),
+          size(TextExprs.sortedDistinctLongs($"a")).as("sd"),
+          size(TextExprs.minhashSignature($"a", 4)).as("mh"),
+          TextExprs.simhashSignature($"t").as("sh"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
-        direct.getInt(2) == 3 && direct.getInt(3) == 1)
+        direct.getInt(2) == 3 && direct.getInt(3) == 1 &&
+        direct.getInt(4) == 3 && direct.getInt(5) == 4 &&
+        !direct.isNullAt(6))
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
