@@ -706,6 +706,72 @@ object TextExprs {
   def simhashSignature(text: Column): Column =
     Bridge.column(SimhashSignature(Bridge.expression(text)))
 
+  /** Fused token Shannon entropy (bits) of the single-space tokenization:
+    * H = log2(N) − (Σ c_t·log2 c_t)/N over per-token occurrence counts —
+    * the "natural-language vs boilerplate/noise" quality signal (low
+    * entropy = heavy repetition, high = diverse vocabulary). One pass,
+    * one hash map per row; the builtin formulation (explode → count per
+    * (doc, token) → per-doc aggregate) costs two shuffles of every token
+    * for a row-local property. Tokenization mirrors `split(text, " ")`
+    * with limit −1 (empty tokens kept), matching the other token kernels.
+    * Consumers should round before cross-engine comparison: the float
+    * summation order differs between engines (and from DuckDB's) at the
+    * last bits.
+    */
+  case class TokenEntropy(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"token_entropy expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "token_entropy"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.tokenEntropy(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextExprs.tokenEntropy($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  /** The entropy kernel — also the call target of generated code. */
+  def tokenEntropy(s: UTF8String): Double = {
+    val toks = s.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](
+      math.min(toks.length * 2, 1 << 10))
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val n = toks.length.toDouble
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * (math.log(c) / ln2)
+    }
+    math.log(n) / ln2 - acc / n
+  }
+
+  /** Column-API face of [[TokenEntropy]]. */
+  def tokenEntropy(text: Column): Column =
+    Bridge.column(TokenEntropy(Bridge.expression(text)))
+
   /** |A∩B| of two SORTED string arrays by a fused two-pointer merge —
     * O(|A|+|B|) comparisons inside whole-stage codegen. This is the
     * exact-Jaccard verification kernel: per candidate PAIR, intersect the

@@ -80,6 +80,43 @@ object CurationOps {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Temperature-weighted language sampling (Conneau/Lample XLM;
+    // Arivazhagan et al. massively-multilingual NMT): resample languages
+    // toward q_l ∝ p_l^α (α = 0.5, i.e. T = 2 — α chosen so pow() is
+    // sqrt, which IEEE rounds identically in every engine), flattening
+    // the head without uniformizing. rate_l = min(1, q_l·T_total/n_l),
+    // applied as the same deterministic doc_id-mod filter the stratified
+    // sampler uses (reproducible; codegen'd onto the scan). The rate
+    // table is |langs| rows — broadcast by construction. Reports the
+    // plan AND the applied per-lang keep counts.
+    "curate_temperature_sample" -> ((s, d) => {
+      val per = documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t"))
+      val w = per.crossJoin(broadcast(tot))
+        .withColumn("wgt",
+          pow(col("n_tokens").cast("double") / col("t"), lit(0.5)))
+      val sw = w.agg(sum(col("wgt")).as("sw"))
+      val r = w.crossJoin(broadcast(sw))
+        .withColumn("q", round(col("wgt") / col("sw"), 6))
+        // pre-rounded integer keep threshold: the FILTER compares integers
+        // on both engines, so a last-ulp pow/sum divergence cannot flip
+        // row membership
+        .withColumn("keep_mod",
+          round(least(lit(1.0),
+            col("wgt") / col("sw") * col("t") / col("n_tokens")) * 100, 0)
+            .cast("long"))
+      val kept = documents(s, d).select(col("lang"), col("doc_id"))
+        .join(broadcast(r.select(col("lang"), col("keep_mod"))), "lang")
+        .filter(pmod(col("doc_id"), lit(100)) < col("keep_mod"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      r.select(col("lang"), col("n_docs"), col("n_tokens"), col("q"),
+          col("keep_mod"))
+        .join(kept, "lang")
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing: within each (lang, source) stream ordered by
     // doc_id, a doc joins bin floor(tokens-before-it / budget) — the
     // streaming-concatenation layout (docs are chunked across a bin
@@ -189,6 +226,26 @@ object CurationOps {
          FROM documents
          WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
          GROUP BY lang, source ORDER BY lang, source""",
+    "curate_temperature_sample" ->
+      """WITH per AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+         w AS (SELECT lang, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE) / t, 0.5) AS wgt, t
+           FROM per, tot),
+         s AS (SELECT sum(wgt) AS sw FROM w),
+         r AS (SELECT lang, n_docs, n_tokens,
+             round(wgt / sw, 6) AS q,
+             CAST(round(least(1.0, wgt / sw * t / n_tokens) * 100, 0)
+               AS BIGINT) AS keep_mod
+           FROM w, s),
+         k AS (SELECT d.lang, count(*) AS n_kept
+           FROM documents d JOIN r ON d.lang = r.lang
+           WHERE d.doc_id % 100 < r.keep_mod GROUP BY d.lang)
+         SELECT r.lang, r.n_docs, r.n_tokens, r.q, r.keep_mod, k.n_kept
+         FROM r JOIN k ON r.lang = k.lang ORDER BY r.lang""",
     "curate_pack_sequences" ->
       """WITH d AS (
            SELECT lang, source, doc_id,

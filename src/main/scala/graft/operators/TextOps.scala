@@ -222,6 +222,21 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Token Shannon entropy — the vocabulary-diversity quality signal
+    // (low = boilerplate/repetition, high = diverse text; the complement
+    // of text_repetition's n-gram view). Row-local fused kernel: zero
+    // shuffles before the final sort, vs two posting shuffles for the
+    // explode+count formulation. round(4) absorbs cross-engine float
+    // summation order.
+    "text_entropy" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          round(graft.functions.TextExprs.tokenEntropy(col("text")), 4)
+            .as("token_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -234,6 +249,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+           FROM t GROUP BY doc_id, tok),
+         n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+         SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+           round(log2(n.n) - sum(c.c * log2(c.c)) / n.n, 4) AS token_entropy
+         FROM c JOIN n USING (doc_id)
+         GROUP BY c.doc_id, n.n
+         ORDER BY doc_id""",
     "text_lang_id" ->
       """SELECT doc_id,
            CAST(length(regexp_extract_all(text, '\b(the|a|is|of|and)\b')) AS INT) AS s_en,

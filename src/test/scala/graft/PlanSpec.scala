@@ -49,6 +49,50 @@ class PlanSpec extends SparkSpec {
       executed)
   }
 
+  /** Distinct executed shuffles in a (possibly adaptive) plan — AQE hides
+    * exchanges inside leaf QueryStageExec wrappers, so a naive children
+    * walk reports zero; ReusedExchange is not counted (no extra shuffle).
+    */
+  private def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    var seen = Set.empty[Int]
+    def walk(x: SparkPlan): Unit = {
+      x match {
+        case s: ShuffleExchangeLike => seen += System.identityHashCode(s)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: ReusedExchangeExec => ()
+        case _ =>
+      }
+      x.children.foreach(walk)
+      x.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    seen.size
+  }
+
+  test("fused dedup signatures: shuffle budgets hold (row-local kernels)") {
+    // the signature/set-building stages are row-local kernels — a
+    // regression to the aggregate formulations (posting distinct,
+    // 97-column minhash aggregate, 64-sum simhash aggregate) adds 1-2
+    // exchanges per query and must fail here, not in BENCH numbers.
+    // Budgets measured at sf0.01: minhash 2 (candidate distinct + final
+    // sort; band/verify joins broadcast at this scale), simhash 2,
+    // ngram pair table 1 (reads the session-cached checkpoint; sort),
+    // incremental 5 (df agg, prefix join, prefix window, candidate
+    // distinct, sort).
+    import graft.operators.DedupOps
+    for ((q, budget) <- Seq("dedup_minhash_lsh" -> 2, "dedup_simhash" -> 2,
+        "dedup_ngram_jaccard" -> 1, "dedup_incremental" -> 5)) {
+      val df = DedupOps.queries(q)(spark, sf)
+      df.collect()
+      val n = shuffleCount(df)
+      assert(n <= budget, s"$q shuffles $n > budget $budget")
+    }
+  }
+
   test("q08: anti join semantics keep only customers without orders") {
     val p = plan(Relational.queries("q08_customers_no_orders")(spark, sf))
     assert(p.contains("LeftAnti"), p)

@@ -365,6 +365,31 @@ class VectorExprsSpec extends SparkSpec {
     assert(fused.size == ref.size && fused === ref)
   }
 
+  test("token_entropy == the explode+count aggregate formulation") {
+    import spark.implicits._
+    val real = Tables.documents(spark, sf).limit(60)
+      .select($"doc_id", $"text")
+    val edge = Seq((10001L, ""), (10002L, " "), (10003L, "a a a a"),
+      (10004L, "a b c d"), (10005L, "x  y x ")).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val fused = docs.select($"doc_id",
+      graft.functions.TextExprs.tokenEntropy($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val counts = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).cast("double").as("c"))
+    val ref = counts.groupBy($"doc_id")
+      .agg((log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused.keySet === ref.keySet)
+    fused.foreach { case (id, h) =>
+      assert(math.abs(h - ref(id)) < 1e-9, s"doc $id: $h vs ${ref(id)}")
+    }
+    // uniform tokens → 0 bits; 4 distinct of 4 → 2 bits
+    assert(math.abs(fused(10003L)) < 1e-12)
+    assert(math.abs(fused(10004L) - 2.0) < 1e-12)
+  }
+
   test("TopK aggregator matches window ordering with NaN and -0.0 sims") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -428,8 +453,8 @@ class VectorExprsSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("text_lang_id", "text_token_classes", "text_quality_score",
-        "text_fingerprint", "text_normalize", "sim_cosine_topk",
-        "sim_quantized_topk").foreach { q =>
+        "text_fingerprint", "text_normalize", "text_entropy",
+        "sim_cosine_topk", "sim_quantized_topk").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).collect().nonEmpty, q)
       }
       // expressions the queries above may not re-evaluate (the dedup pair
