@@ -18,17 +18,21 @@ object SparkEntry {
     * smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    pinUtc(spark)
+    pinSessionDefaults(spark)
     CdcEnvelope.queries("cdc_unified_latest")(spark, "/root/testdata/sf0.001")
   }
 
   /** Registry results are defined under a UTC session zone (the oracle's
-    * timestamps are timezone-naive). Pinned here — the documented driver
-    * contract — rather than silently inside every table read, so library
-    * users composing graft.operators.* directly keep their own zone.
+    * timestamps are timezone-naive), and the events table needs the
+    * nanos-as-long legacy parquet flag. Pinned here — the documented
+    * driver contract — rather than silently inside every table read, so
+    * library users composing graft.operators.* directly keep their own
+    * session settings (Tables.events fails with instructions instead).
     */
-  private def pinUtc(s: SparkSession): Unit =
+  private def pinSessionDefaults(s: SparkSession): Unit = {
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -36,7 +40,8 @@ object SparkEntry {
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
       TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
       CurationOps.queries ++ SketchOps.queries).map { case (name, fn) =>
-      name -> ((s: SparkSession, d: String) => { pinUtc(s); fn(s, d) })
+      name -> ((s: SparkSession, d: String) =>
+        { pinSessionDefaults(s); fn(s, d) })
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -100,9 +100,13 @@ object CurationOps {
       val sw = w.agg(sum(col("wgt")).as("sw"))
       val r = w.crossJoin(broadcast(sw))
         .withColumn("q", round(col("wgt") / col("sw"), 6))
-        // pre-rounded integer keep threshold: the FILTER compares integers
-        // on both engines, so a last-ulp pow/sum divergence cannot flip
-        // row membership
+        // pre-rounded integer keep threshold: the FILTER compares
+        // integers on both engines, so a last-ulp pow/sum divergence
+        // can only matter if rate·100 lands within an ulp of an exact
+        // .5 boundary — and even then the divergence is LOUD (keep_mod
+        // is an emitted, compared column), never a silent membership
+        // flip. sqrt keeps pow exact; the 5-term sum(wgt) is the one
+        // residual engine-order difference
         .withColumn("keep_mod",
           round(least(lit(1.0),
             col("wgt") / col("sw") * col("t") / col("n_tokens")) * 100, 0)

@@ -78,6 +78,13 @@ object DedupOps {
     documents(s, d)
       .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
         graft.functions.TextExprs.shingleHashes(col("text"), 5)).as("gs"))
+      // null text → null set: DROP the doc, exactly as the old posting
+      // explode did (explode(null) = zero rows). Without this, every
+      // null-text doc would reach the band join with sig=null and a
+      // CONSTANT all-null band hash — 16·E² identical-key join rows for
+      // E null docs, a quadratic blowup the length filter only discards
+      // AFTER the join
+      .filter(col("gs").isNotNull)
 
   /** Per-document sorted distinct token-n-gram hash sets — the token twin
     * of [[shingleDocSets]].
@@ -87,6 +94,10 @@ object DedupOps {
     documents(s, d)
       .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
         graft.functions.TextExprs.tokenNgramHashes(col("text"), n)).as("gs"))
+      // null text → drop, mirroring the old explode path (see
+      // shingleDocSets); short docs yield an EMPTY set, which explodes
+      // to zero postings — also the old behavior
+      .filter(col("gs").isNotNull)
 
   /** Distinct (doc_id, token-n-gram) postings — an explode over
     * [[ngramDocSets]]'s per-row distinct sets, so the posting list needs
@@ -221,20 +232,14 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
-  /** Prefix-filtered candidate pairs for Jaccard threshold `t` (Bayardo
-    * WWW'07). Global gram order = (df asc, gram asc) — a total order that
-    * is a pure function of the gram, as the prefix principle requires.
-    * Each doc keeps only its first |d|−⌈t·|d|⌉+1 grams in that order; any
-    * pair with J ≥ t provably shares a kept gram (prefix principle with
-    * per-record overlap bound α=⌈t·|d|⌉ ≤ |A∩B|). Emits
-    * (doc_a, sza, doc_b, szb) with the set sizes riding along so the
-    * verifier needs no extra size join. Also applies the exact length
-    * filter J ≤ min/max ⟹ sizes within factor t.
-    */
-  /** Per-doc prefix postings (doc_id, sz, g) for Jaccard threshold `t`:
-    * each doc's first |d|−⌈t·|d|⌉+1 grams in the global (df asc, gram asc)
-    * order, with the doc's distinct-set size riding along. Shared by the
-    * full self-join candidate generator and the incremental batch path.
+  /** Per-doc prefix postings (doc_id, sz, g) for Jaccard threshold `t`
+    * (Bayardo WWW'07): each doc's first |d|−⌈t·|d|⌉+1 grams in the global
+    * (df asc, gram asc) order — a total order that is a pure function of
+    * the gram, as the prefix principle requires — with the doc's
+    * distinct-set size riding along. Any pair with J ≥ t provably shares
+    * a kept gram (prefix principle with per-record overlap bound
+    * α=⌈t·|d|⌉ ≤ |A∩B|). Shared by the full self-join candidate
+    * generator and the incremental batch path.
     */
   def prefixPosts(posts: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -252,6 +257,12 @@ object DedupOps {
       .select(col("doc_id"), col("sz"), col("g"))
   }
 
+  /** Prefix-filtered candidate pairs for Jaccard threshold `t`: the
+    * [[prefixPosts]] self-join, grouped per gram. Emits
+    * (doc_a, sza, doc_b, szb) with the set sizes riding along so the
+    * verifier needs no extra size join, and applies the exact length
+    * filter J ≤ min/max ⟹ sizes within factor t.
+    */
   def prefixCandidates(posts: DataFrame,
       t: Double): DataFrame = {
     val prefix = prefixPosts(posts, t)

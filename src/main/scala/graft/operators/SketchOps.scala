@@ -60,11 +60,13 @@ object SketchOps {
       val daily = dailyUserSketches(events(s, d))
       val perType = rollupByType(daily)
         .select(col("event_type"), col("est_users"), col("n_sketches"))
+      // groupBy on the constant (not a grand agg): an EMPTY daily table
+      // then yields zero rows instead of one ("__all__", null, 0) row —
+      // the empty-input contract every registry query keeps
       val global = daily
+        .groupBy(lit("__all__").as("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
           count(lit(1)).as("n_sketches"))
-        .select(lit("__all__").as("event_type"), col("est_users"),
-          col("n_sketches"))
       perType.unionByName(global).orderBy(col("event_type"))
     }),
   )

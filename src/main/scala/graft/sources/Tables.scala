@@ -36,7 +36,16 @@ object Tables {
     * conversion is lossless.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-conf only in Spark (no per-read parquet option exists for
+    // it), so like the UTC pin this is NOT silently set here — the
+    // documented entry points (SparkEntry registry, registerAll, the
+    // repo's session builders) set it; a bare read on an unprepared
+    // session fails with instructions instead of mutating the session
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "true",
+      "events.parquet stores TIMESTAMP(NANOS); set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the session (done " +
+        "automatically by graft.SparkEntry queries and Tables.registerAll)")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
@@ -62,9 +71,11 @@ object Tables {
     * to the DataFrame path (same analyzed plan).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    // documented side effect of this init entry point: registry/oracle
-    // semantics are defined in UTC (see table())
+    // documented side effects of this init entry point: registry/oracle
+    // semantics are defined in UTC (see table()) and the events table
+    // needs the nanos-as-long legacy flag (see events())
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     all.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)
     }

@@ -14,21 +14,29 @@ class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    Seq("documents", "embeddings").foreach { t =>
+    Seq("documents", "embeddings", "events").foreach { t =>
       Tables.table(spark, sf, t).limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }
 
+  test("sketch rollup returns empty (incl. the __all__ row) on empty events") {
+    val rows = SparkEntry.queries("cdc_distinct_users_sketch")(spark, emptyDir)
+      .collect()
+    assert(rows.isEmpty, s"got ${rows.length} rows on empty events")
+  }
+
   test("document/dedup/curation queries return empty on an empty corpus") {
     val names = Seq(
       "text_stats", "text_normalize", "text_quality_score",
-      "text_repetition", "dedup_exact", "dedup_ngram_jaccard",
-      "dedup_simhash", "dedup_clusters", "dedup_contamination",
+      "text_repetition", "text_entropy", "dedup_exact",
+      "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+      "dedup_contamination", "dedup_incremental",
       "curate_corpus_mix", "curate_stratified_sample", "curate_split",
       "curate_pack_sequences", "curate_quality_filter",
-      "curate_dedup_apply", "sim_vector_norms", "dedup_embedding_cosine")
+      "curate_dedup_apply", "curate_temperature_sample",
+      "sim_vector_norms", "dedup_embedding_cosine")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
       assert(rows.isEmpty, s"$n returned ${rows.length} rows on empty input")
