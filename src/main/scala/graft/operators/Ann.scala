@@ -264,9 +264,47 @@ object Ann {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(20)
     }),
+
+    // Batched IVF serving: N query vectors against the SAME prebuilt
+    // index in one job — the index amortizes across the batch exactly as
+    // it does across time. Per-query cell ranking happens driver-side
+    // over k centroid rows (tiny); the index is scanned ONCE over the
+    // UNION of all probed cells (partition pruning still applies), each
+    // base row is scored only against the queries that probed its cell,
+    // and per-query results go through the k-bounded TopK aggregator —
+    // never a per-qid window funnel (the sim_batch_topk lesson). The
+    // brute-force oracle-gated twin is sim_batch_topk; this is its
+    // approximate scale path, recall-gated in DedupAnnSpec.
+    "ann_ivf_batch" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+      val qvs = embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id"), asDouble(col("embedding")).as("qv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val probes = qvs.map { case (q, v) =>
+        (q, v, idx.probeCells(v, Nprobe))
+      }
+      val allCells = probes.flatMap(_._3).distinct
+      val qlit = array(probes.map { case (q, v, cells) =>
+        struct(lit(q).as("qid"), typedlit(v).as("qv"),
+          typedlit(cells).as("cells"))
+      }: _*)
+      s.read.parquet(idx.dir)
+        .filter(col("cell").isin(allCells: _*))
+        .select(col("vec_id"), col("cell"), col("vec"),
+          explode(qlit).as("q"))
+        .filter(array_contains(col("q.cells"), col("cell")))
+        .select(col("q.qid").as("qid"), col("vec_id"),
+          round(SimilarityOps.cosine(col("vec"), col("q.qv")), 4).as("sim"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(5)(col("sim"), col("vec_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("qid"), (col("p") + 1).cast("int").as("rk"),
+          col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
   )
 
-  /** Approximate operator — no exact SQL twin; the driver records the
+  /** Approximate operators — no exact SQL twins; the driver records the
     * rows-only check and `DedupAnnSpec` asserts recall against brute force.
     */
   val oracles: Map[String, String] = Map.empty

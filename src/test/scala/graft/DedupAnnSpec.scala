@@ -19,6 +19,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@20 = $recall")
   }
 
+  test("ann_ivf_batch: per-query recall vs the brute-force batch twin") {
+    val ann = Ann.queries("ann_ivf_batch")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = SimilarityOps.queries("sim_batch_topk")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ann.keySet === exact.keySet && ann.keySet.size == 3)
+    // per-query recall@5 — the same nprobe geometry as the single-query
+    // gate; 0.8 per query (one miss of five) on the near-uniform worst
+    // case, and the batch must never be WORSE than 0.8 for any qid
+    ann.foreach { case (q, ids) =>
+      assert(ids.size == 5, s"qid=$q returned ${ids.size}")
+      val recall = (ids intersect exact(q)).size.toDouble / 5
+      assert(recall >= 0.8, s"qid=$q recall@5 = $recall")
+    }
+  }
+
   test("ann_ivf_topk query plan probes the prebuilt index, no k-means job") {
     val df = Ann.queries("ann_ivf_topk")(spark, sf)
     // the returned plan reads ONLY the cell-partitioned index path — the
