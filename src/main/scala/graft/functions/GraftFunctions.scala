@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** The engine's SQL function surface — every custom Catalyst expression
+  * exposed by name, so `spark.sql("SELECT token_entropy(text) ...")` works
+  * the same as the Column API. ONE definition of the (id, info, builder)
+  * triples, shared by [[VectorExprs.registerFunctions]] (live-session
+  * registration, what `Tables.registerAll` calls) and [[GraftExtensions]]
+  * (`spark.sql.extensions` injection for production sessions).
+  *
+  * Width arguments (shingle n, signature k) must be INT literals — they
+  * parameterize the expression instance itself, exactly like the Column
+  * API's Int parameters.
+  */
+object GraftFunctions {
+  type Triple =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def triple(name: String, cls: Class[_], arity: Int)(
+      b: Seq[Expression] => Expression): Triple =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getCanonicalName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity,
+          s"$name takes exactly $arity arguments")
+        b(args)
+      })
+
+  private def litInt(name: String, arg: String, e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be an INT literal, got $other")
+    }
+
+  val all: Seq[Triple] = Seq(
+    triple("cosine_sim", classOf[VectorExprs.CosineSimilarity], 2)(a =>
+      VectorExprs.CosineSimilarity(a(0), a(1))),
+    triple("vec_dist2", classOf[VectorExprs.SquaredL2Distance], 2)(a =>
+      VectorExprs.SquaredL2Distance(a(0), a(1))),
+    triple("int8_quantize", classOf[VectorExprs.Int8Quantize], 1)(a =>
+      VectorExprs.Int8Quantize(a(0))),
+    triple("poly_fingerprint", classOf[TextExprs.PolyFingerprint], 1)(a =>
+      TextExprs.PolyFingerprint(a(0))),
+    triple("char_class_counts", classOf[TextExprs.CharClassCounts], 1)(a =>
+      TextExprs.CharClassCounts(a(0))),
+    triple("ascii_strip_collapse", classOf[TextExprs.AsciiStripCollapse], 1)(
+      a => TextExprs.AsciiStripCollapse(a(0))),
+    triple("shingle_hashes", classOf[TextExprs.ShingleHashes], 2)(a =>
+      TextExprs.ShingleHashes(a(0),
+        litInt("shingle_hashes", "n", a(1)))),
+    triple("token_ngram_hashes", classOf[TextExprs.TokenNgramHashes], 2)(a =>
+      TextExprs.TokenNgramHashes(a(0),
+        litInt("token_ngram_hashes", "n", a(1)))),
+    triple("sorted_distinct_longs", classOf[TextExprs.SortedDistinctLongs], 1)(
+      a => TextExprs.SortedDistinctLongs(a(0))),
+    triple("minhash_signature", classOf[TextExprs.MinhashSignature], 2)(a =>
+      TextExprs.MinhashSignature(a(0),
+        litInt("minhash_signature", "k", a(1)))),
+    triple("simhash_signature", classOf[TextExprs.SimhashSignature], 1)(a =>
+      TextExprs.SimhashSignature(a(0))),
+    triple("token_entropy", classOf[TextExprs.TokenEntropy], 1)(a =>
+      TextExprs.TokenEntropy(a(0))),
+    triple("sorted_intersect_size", classOf[TextExprs.SortedIntersectSize], 2)(
+      a => TextExprs.SortedIntersectSize(a(0), a(1))),
+  )
+
+  /** Register the whole surface on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (id, info, b) =>
+      Bridge.registerFunction(spark, id, info, b)
+    }
+}

@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -259,17 +258,12 @@ object VectorExprs {
     Bridge.column(SquaredL2Distance(
       Bridge.expression(a), Bridge.expression(b)))
 
-  private[functions] val fnId = FunctionIdentifier("cosine_sim")
-  private[functions] val fnInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
-  private[functions] val fnBuilder = (args: Seq[Expression]) => {
-    require(args.length == 2, "cosine_sim takes exactly 2 arguments")
-    CosineSimilarity(args(0), args(1)): Expression
-  }
-
-  /** Register `cosine_sim` in an existing session (SQL surface). */
+  /** Register the engine's whole SQL function surface in an existing
+    * session — delegates to [[GraftFunctions]], the one definition of
+    * the (id, info, builder) triples.
+    */
   def registerFunctions(spark: SparkSession): Unit =
-    Bridge.registerFunction(spark, fnId, fnInfo, fnBuilder)
+    GraftFunctions.registerAll(spark)
 }
 
 /** SparkSessionExtensions wiring — production sessions opt in with
@@ -278,8 +272,7 @@ object VectorExprs {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    // same (id, info, builder) triple as registerFunctions — one
-    // definition of the SQL surface, arity guard included
-    ext.injectFunction(
-      (VectorExprs.fnId, VectorExprs.fnInfo, VectorExprs.fnBuilder))
+    // same (id, info, builder) triples as registerFunctions — one
+    // definition of the SQL surface, arity guards included
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

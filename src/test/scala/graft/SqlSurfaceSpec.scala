@@ -37,6 +37,36 @@ class SqlSurfaceSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("the text kernels are callable from SQL with literal widths") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT doc_id,
+           token_entropy(text) AS h,
+           simhash_signature(text) AS sh,
+           poly_fingerprint(text) AS fp,
+           size(minhash_signature(
+             sorted_distinct_longs(shingle_hashes(text, 5)), 16)) AS k,
+           sorted_intersect_size(array(1L, 3L), array(3L, 9L)) AS c
+         FROM documents ORDER BY doc_id LIMIT 3""").collect()
+    assert(r.length === 3)
+    r.foreach { row =>
+      assert(row.getDouble(1) >= 0.0)
+      assert(row.getInt(4) === 16)
+      assert(row.getInt(5) === 1)
+    }
+    // SQL result == Column-API result for the same kernel
+    val viaDf = Tables.documents(spark, sf)
+      .select(graft.functions.TextExprs.tokenEntropy(col("text")).as("h"))
+      .orderBy(col("doc_id")).limit(3).collect().map(_.getDouble(0)).toSeq
+    assert(r.map(_.getDouble(1)).toSeq === viaDf)
+    // a non-literal width must fail loudly, not silently misparse
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, doc_id) FROM documents LIMIT 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+  }
+
   test("filters push down through a registered view to the parquet scan") {
     Tables.registerAll(spark, sf)
     val df = spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 7")
