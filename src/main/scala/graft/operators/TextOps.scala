@@ -191,17 +191,22 @@ object TextOps {
     // trigrams. Distinct counting runs on narrow postings (codegen'd
     // hash aggregate), never per-row array_distinct.
     "text_repetition" -> ((s, d) => {
+      // distinct trigram count = the size of the row-local sorted
+      // distinct gram set — BOTH outputs come from one scan with zero
+      // shuffles (the posting groupBy + join formulation this replaces
+      // shuffled every trigram for a per-row property). Short docs
+      // (n_tri = 0, no postings) were dropped by the old inner join;
+      // the filter reproduces that.
       val toks = split(col("text"), " ")
-      val total = documents(s, d)
+      documents(s, d)
         .select(col("doc_id"),
-          greatest(size(toks) - 2, lit(0)).cast("long").as("n_tri"))
-      val distinctTri = DedupOps.ngramPosts(s, d)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
-      total.join(distinctTri, "doc_id")
+          greatest(size(toks) - 2, lit(0)).cast("long").as("n_tri"),
+          size(graft.functions.TextExprs.sortedDistinctLongs(
+            graft.functions.TextExprs.tokenNgramHashes(col("text"), 3)))
+            .cast("long").as("n_distinct"))
+        .filter(col("n_tri") > 0)
         .withColumn("rep_ratio", round(
           lit(1.0) - col("n_distinct").cast("double") / col("n_tri"), 4))
-        .select(col("doc_id"), col("n_tri"), col("n_distinct"),
-          col("rep_ratio"))
         .orderBy(col("doc_id"))
     }),
 
