@@ -75,28 +75,29 @@ object DedupOps {
     * [[ngramPosts]] for the hash-collision analysis.
     */
   private def shingleDocSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
-        graft.functions.TextExprs.shingleHashes(col("text"), 5)).as("gs"))
-      // null text → null set: DROP the doc, exactly as the old posting
-      // explode did (explode(null) = zero rows). Without this, every
-      // null-text doc would reach the band join with sig=null and a
-      // CONSTANT all-null band hash — 16·E² identical-key join rows for
-      // E null docs, a quadratic blowup the length filter only discards
-      // AFTER the join
-      .filter(col("gs").isNotNull)
+    docSets(s, d, graft.functions.TextExprs.shingleHashes(_, 5))
 
   /** Per-document sorted distinct token-n-gram hash sets — the token twin
     * of [[shingleDocSets]].
     */
   private[graft] def ngramDocSets(s: SparkSession, d: String,
       n: Int = 3): DataFrame =
+    docSets(s, d, graft.functions.TextExprs.tokenNgramHashes(_, n))
+
+  /** Shared doc-set construction for any window-hash kernel.
+    * Null text → null set: DROP the doc, exactly as the old posting
+    * explode did (explode(null) = zero rows). Without this, every
+    * null-text doc would reach the band joins with a CONSTANT all-null
+    * band hash — 16·E² identical-key join rows for E null docs, a
+    * quadratic blowup the length filters only discard AFTER the join.
+    * Short docs yield an EMPTY set (zero postings on explode) — also
+    * the old behavior.
+    */
+  private def docSets(s: SparkSession, d: String,
+      gramsOf: Column => Column): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), graft.functions.TextExprs.sortedDistinctLongs(
-        graft.functions.TextExprs.tokenNgramHashes(col("text"), n)).as("gs"))
-      // null text → drop, mirroring the old explode path (see
-      // shingleDocSets); short docs yield an EMPTY set, which explodes
-      // to zero postings — also the old behavior
+      .select(col("doc_id"), graft.functions.TextExprs
+        .sortedDistinctLongs(gramsOf(col("text"))).as("gs"))
       .filter(col("gs").isNotNull)
 
   /** Distinct (doc_id, token-n-gram) postings — an explode over

@@ -38,15 +38,10 @@ class SketchSpec extends SparkSpec {
     val newDaily = SketchOps.dailyUserSketches(ev.filter(to_date(col("ts")) >= cut))
     // both sides non-trivial, else the test proves nothing
     assert(oldDaily.count() > 0 && newDaily.count() > 0)
-    val merged = oldDaily.unionByName(newDaily)
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val mono = daily
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(merged === mono)
+    def estimates(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.rollupByType(d)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates(oldDaily.unionByName(newDaily)) === estimates(daily))
   }
 
   test("sketches survive a parquet round-trip (the persisted table shape)") {
