@@ -205,6 +205,28 @@ object CurationOps {
           sum(when(col("kept"), col("nt")).otherwise(0L)).as("kept_tokens"))
         .orderBy(col("lang"))
     }),
+
+    // Per-source corpus profile: the provenance dashboard every curation
+    // run starts from — doc/token volume, language spread, and the
+    // quality gate's keep rate by source. One groupBy pass over the
+    // scored scan; output is |sources|-bounded. The averaged ratios sum
+    // exactly first (integer / decimal — order-independent) and divide
+    // once, so the result is bit-deterministic at any parallelism (a
+    // double avg() would be merge-order-dependent).
+    "curate_source_quality" -> ((s, d) => {
+      TextOps.qualityGate(documents(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTokens).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(when(col("q_keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("keep_rate"),
+          round(sum(col("alpha_ratio")
+              .cast(org.apache.spark.sql.types.DataTypes
+                .createDecimalType(18, 4))).cast("double") /
+            count(lit(1)), 4).as("mean_alpha"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB twins. Token counts mirror the Spark expression exactly
@@ -320,5 +342,19 @@ object CurationOps {
            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
              AS kept_tokens
          FROM docs GROUP BY lang ORDER BY lang""",
+    "curate_source_quality" ->
+      s"""WITH t AS (
+           SELECT source, lang, len(string_split(text, ' ')) AS nt,
+             CAST(length(text) AS INT) AS len,
+             ${TextOps.qualityRatioSql}
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           round(CAST(sum(CASE WHEN ${TextOps.qualityKeepSql} THEN 1 ELSE 0
+             END) AS DOUBLE) / count(*), 4) AS keep_rate,
+           round(CAST(sum(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 4) AS mean_alpha
+         FROM t GROUP BY source ORDER BY source""",
   )
 }

@@ -133,26 +133,33 @@ object EventOps {
     }),
 
     // Funnel analysis: signup → first click after signup → first purchase
-    // after that click. Each stage is a per-user aggregate — user-cardinality
-    // data, NOT broadcastable at 100 TB (a forced broadcast of "≤ one row
-    // per user" is an OOM at a billion users). The stage joins are plain
-    // shuffle joins on user_id; AQE upgrades them to broadcast at runtime
-    // when the stage output is genuinely small.
+    // after that click. Stage timestamps are per-user aggregates —
+    // user-cardinality data, NOT broadcastable at 100 TB — and each stage
+    // depends on the previous stage's time, so the naive formulation is
+    // three scans + two shuffle joins. Instead: ONE shuffle on user_id,
+    // then three stacked unbounded-frame windows (t1's predicate reads the
+    // t0 the first window attached to every row), then a per-user rollup
+    // that reuses the window's hash partitioning (no new exchange) and a
+    // 1-row count. Window state is O(1) per user (a running min), never a
+    // collected event list.
     "cdc_funnel" -> ((s, d) => {
-      val ev = events(s, d)
-      val signup = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
-      val click = ev.filter(col("event_type") === "click")
-        .join(signup, "user_id")
-        .filter(col("ts") > col("t0"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val purchase = ev.filter(col("event_type") === "purchase")
-        .join(click, "user_id")
-        .filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      signup.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+      val w = Window.partitionBy(col("user_id"))
+      val staged = events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .withColumn("t0",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t1",
+          min(when(col("event_type") === "click" && col("ts") > col("t0"),
+            col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+      staged.groupBy(col("user_id"))
+        .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"),
+          max(col("t2")).as("t2"))
+        .agg(count(col("t0")).as("n_signup"),
+          count(col("t1")).as("n_click_after"),
+          count(col("t2")).as("n_purchase_after"))
     }),
 
     // Approximate percentiles — the sketch path for 100 TB (bounded-memory

@@ -95,6 +95,23 @@ object TextOps {
         .limit(20)
     }),
 
+    // Approximate top tokens via the Misra–Gries sketch — the bounded-
+    // memory path when the vocabulary itself is data-sized (URLs, user
+    // agents at 100 TB): each task ships ≤ m counters, never the
+    // vocabulary. Capacity 256 exceeds the testdata vocabulary, where MG
+    // is provably exact — so this runs against the same exact-count
+    // oracle as text_top_tokens; SketchSpec pins the approximation-regime
+    // bounds at tiny capacity.
+    "text_heavy_hitters" -> ((s, d) => {
+      documents(s, d)
+        .agg(graft.functions.HeavyHitters.heavyHitters(256)(
+          split(col("text"), " ")).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h._1").as("token"), col("h._2").as("est_n"))
+        .orderBy(col("est_n").desc, col("token"))
+        .limit(10)
+    }),
+
     // Language-ID by n-gram/marker-word heuristic: per-language stopword
     // occurrence scores, argmax with fixed priority. Pure scalar regexes —
     // zero shuffles at any scale.
@@ -312,6 +329,12 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    // exact counts: MG at capacity ≥ |vocab| never subtracts (see
+    // graft.functions.HeavyHitters) — the sketch output IS the true count
+    "text_heavy_hitters" ->
+      """SELECT token, count(*) AS est_n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY est_n DESC, token LIMIT 10""",
     "text_quality_score" ->
       s"""WITH t AS (
            SELECT doc_id, CAST(length(text) AS INT) AS len,

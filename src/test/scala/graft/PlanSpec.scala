@@ -231,6 +231,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom prune: fact rows are filtered before the join exchange") {
+    import graft.operators.Prune
+    import graft.sources.Tables
+    val df = Prune.queries("prune_bloom_join")(spark, sf)
+    val p = plan(df)
+    // the probe is a codegen'd predicate on the fact scan — it must sit
+    // BELOW the join's exchange, not above the join
+    assert(p.contains("might_contain_long"), p)
+    // pruning is correctness-neutral: identical to the plain join
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("order_month"))
+      .agg(graft.functions.Exact.decSum(graft.functions.Exact.revenueTerm(
+          col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("order_month"))
+      .collect()
+    assert(df.collect().toSeq === plain.toSeq)
+    // and it actually prunes: the bloom probe rejects most fact rows at
+    // the scan (the dim predicate keeps ~20% of orders)
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bf = urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.01)
+    val kept = li.filter(graft.functions.BloomExprs.mightContainLong(
+      bf, col("l_orderkey"))).count()
+    val total = li.count()
+    assert(kept < total / 2, s"bloom kept $kept of $total — no pruning")
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -65,4 +65,50 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  // --- Misra–Gries heavy hitters ---------------------------------------
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val exactCounts: Map[String, Long] = docs
+    .select(explode(split(col("text"), " ")).as("t"))
+    .groupBy(col("t")).count()
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def mg(m: Int, df: org.apache.spark.sql.DataFrame = docs) = df
+    .agg(graft.functions.HeavyHitters.heavyHitters(m)(
+      split(col("text"), " ")).as("hh"))
+    .select(explode(col("hh")).as("h"))
+    .select(col("h._1"), col("h._2"), col("h._3"))
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("MG at capacity ≥ |vocab| is exact (the oracle-gated regime)") {
+    assert(exactCounts.size <= 256, "fixture vocab outgrew the capacity")
+    val got = mg(256).map { case (t, c, _) => t -> c }.toMap
+    assert(got === exactCounts)
+  }
+
+  test("MG at tiny capacity: lower bounds, N/(m+1) undercount, heavy items present") {
+    val n = exactCounts.values.sum
+    val m = 4
+    val out = mg(m)
+    assert(out.length <= m)
+    out.foreach { case (t, c, under) =>
+      val truth = exactCounts(t)
+      // every reported count is a lower bound that undershoots by at
+      // most the sketch's own subtraction ledger, itself ≤ N/(m+1)
+      assert(c <= truth, s"$t: reported $c above truth $truth")
+      assert(truth - c <= under, s"$t: undercount ${truth - c} > ledger $under")
+      assert(under <= n / (m + 1), s"ledger $under > N/(m+1)")
+    }
+    // any token with true count > N/(m+1) must appear
+    val reported = out.map(_._1).toSet
+    exactCounts.collect { case (t, c) if c > n / (m + 1) => t }
+      .foreach(t => assert(reported(t), s"guaranteed heavy hitter $t missing"))
+  }
+
+  test("MG exact regime is partitioning-invariant (mergeable partials)") {
+    val a = mg(256).toSeq
+    val b = mg(256, docs.repartition(13, pmod(col("doc_id"), lit(13)))).toSeq
+    assert(a === b)
+  }
 }

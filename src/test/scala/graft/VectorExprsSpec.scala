@@ -461,21 +461,26 @@ class VectorExprsSpec extends SparkSpec {
       // table is session-cached): drive them directly
       import spark.implicits._
       import graft.functions.TextExprs
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100)
+      bf.putLong(7L)
       val direct = Seq((Seq(1L, 3L, 7L), Seq(3L, 7L, 9L),
-          Seq(1.0, 2.0), Seq(2.0, 1.0), "abcdefg"))
-        .toDF("a", "b", "v", "w", "t")
+          Seq(1.0, 2.0), Seq(2.0, 1.0), "abcdefg", 7L, 8L))
+        .toDF("a", "b", "v", "w", "t", "k_in", "k_out")
         .select(TextExprs.sortedIntersectSize($"a", $"b").as("i"),
           VectorExprs.dist2($"v", $"w").as("d"),
           size(TextExprs.shingleHashes($"t", 5)).as("nw"),
           size(TextExprs.tokenNgramHashes($"t", 1)).as("ng"),
           size(TextExprs.sortedDistinctLongs($"a")).as("sd"),
           size(TextExprs.minhashSignature($"a", 4)).as("mh"),
-          TextExprs.simhashSignature($"t").as("sh"))
+          TextExprs.simhashSignature($"t").as("sh"),
+          graft.functions.BloomExprs.mightContainLong(bf, $"k_in").as("bi"),
+          graft.functions.BloomExprs.mightContainLong(bf, $"k_out").as("bo"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
         direct.getInt(2) == 3 && direct.getInt(3) == 1 &&
         direct.getInt(4) == 3 && direct.getInt(5) == 4 &&
-        !direct.isNullAt(6))
+        !direct.isNullAt(6) &&
+        direct.getBoolean(7) && !direct.getBoolean(8))
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
