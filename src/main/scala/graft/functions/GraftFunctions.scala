@@ -67,6 +67,12 @@ object GraftFunctions {
       TextExprs.TokenEntropy(a(0))),
     triple("sorted_intersect_size", classOf[TextExprs.SortedIntersectSize], 2)(
       a => TextExprs.SortedIntersectSize(a(0), a(1))),
+    triple("z_value", classOf[LayoutExprs.ZValue], 2)(a =>
+      LayoutExprs.ZValue(a(0), a(1))),
+    // BloomExprs.BloomMightContainLong has no SQL face: its filter
+    // argument is a driver-built sketch object, not a SQL-expressible
+    // literal (Spark's own might_contain is internal-only for the same
+    // reason)
   )
 
   /** Register the whole surface on a live session. */
