@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming Misra-Gries heavy hitters == batch exact counts") {
+    // the MG sketch's buffer is its streaming state: partial sketches
+    // merge across micro-batches exactly as across shuffle partitions,
+    // so at capacity ≥ |distinct| the complete-mode stream converges to
+    // the exact batch counts regardless of how files were batched
+    val src = tmp("graft-stream-hh")
+    val events = Tables.events(spark, sf)
+    events.coalesce(4).write.mode("overwrite").json(src)
+
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src,
+      maxFilesPerTrigger = 1)
+    val agg = stream.agg(graft.functions.HeavyHitters.heavyHitters(16)(
+      array($"event_type")).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hhstream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("hhstream")
+      .select(explode($"hh").as("h"))
+      .select($"h._1", $"h._2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("streamed envelope fixture == batch unified change log") {
     // the flagship chain (readJsonEvents → unwrap → rewrite → unify) run
     // as a STREAM over the committed Debezium fixture must emit exactly
