@@ -206,6 +206,30 @@ object CurationOps {
         .orderBy(col("lang"))
     }),
 
+    // Chunking for embedding/retrieval: overlapping token windows (64
+    // tokens, stride 48) per document — the unit every embedding or
+    // retrieval index actually stores. Purely row-local (explode of a
+    // per-row sequence): zero shuffles at any scale, and what leaves the
+    // row is the chunk's md5 fingerprint and token count, never the
+    // chunk text. Chunk starts are 1, 1+stride, … ≤ |tokens|, so the
+    // trailing window may be short — a fixed, engine-independent rule
+    // both sides of the oracle compute identically.
+    "curate_chunk_documents" -> ((s, d) => {
+      val win = 64
+      val stride = 48
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), greatest(size(col("ts")), lit(1)),
+            lit(stride))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+          size(slice(col("ts"), col("start"), lit(win))).as("n_tokens"),
+          md5(array_join(slice(col("ts"), col("start"), lit(win)), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Per-source corpus profile: the provenance dashboard every curation
     // run starts from — doc/token volume, language spread, and the
     // quality gate's keep rate by source. One groupBy pass over the
@@ -342,6 +366,16 @@ object CurationOps {
            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
              AS kept_tokens
          FROM docs GROUP BY lang ORDER BY lang""",
+    "curate_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+         c AS (SELECT doc_id, ts,
+                 unnest(generate_series(1, greatest(len(ts), 1), 48)) AS start
+               FROM t)
+         SELECT doc_id, (start - 1) // 48 AS chunk_idx,
+           CAST(len(ts[start:start+63]) AS INT) AS n_tokens,
+           md5(array_to_string(ts[start:start+63], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
     "curate_source_quality" ->
       s"""WITH t AS (
            SELECT source, lang, len(string_split(text, ' ')) AS nt,

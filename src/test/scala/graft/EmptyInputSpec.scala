@@ -36,6 +36,8 @@ class EmptyInputSpec extends SparkSpec {
       "curate_corpus_mix", "curate_stratified_sample", "curate_split",
       "curate_pack_sequences", "curate_quality_filter",
       "curate_dedup_apply", "curate_temperature_sample",
+      "curate_source_quality", "curate_chunk_documents",
+      "text_heavy_hitters",
       "sim_vector_norms", "dedup_embedding_cosine")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
