@@ -56,12 +56,16 @@ object Ann {
   val Cells = 10
   val Iters = 5
   val Nprobe = 8
-  /** Train on ~1/2 of the vectors: deterministic id-hash sample (stable
-    * across partitionings, unlike Bernoulli sampling). At 100 TB the
-    * sample rate drops with corpus size (centroid quality needs vector
-    * COUNT, not fraction); the hash filter scales to any rate.
+  /** Training-sample size target. Centroid quality needs vector COUNT,
+    * not corpus fraction — so the sample is COUNT-bounded: the id-hash
+    * modulus is derived from the table's row count to land ~this many
+    * vectors (deterministic across partitionings, unlike Bernoulli
+    * sampling; the one count() job is metadata-cheap on parquet). A
+    * fixed modulus would collect a constant FRACTION — half of 100 TB
+    * on the driver. ~400 samples per centroid is comfortably beyond the
+    * k·10–100 rule of thumb for Lloyd stability.
     */
-  val SampleMod = 2
+  val SampleTarget = 4096L
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -219,11 +223,11 @@ object Ann {
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
         .withColumn("uvec", when(col("nrm") === 0, col("vec"))
           .otherwise(transform(col("vec"), x => x / col("nrm"))))
-      // the hash sample is COUNT-bounded by design → collect it and train
-      // in memory (kmeansLocal); the collect moves k·10³-ish unit vectors,
-      // never the table
+      // the hash sample is COUNT-bounded: modulus from the row count →
+      // ~SampleTarget vectors reach the driver no matter the corpus size
+      val sampleMod = math.max(1L, base.count() / SampleTarget)
       val sample = normed
-        .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
+        .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
