@@ -78,4 +78,37 @@ class CurationSpec extends SparkSpec {
     val en = mix.find(_.getAs[String]("lang") == "en").get
     assert(en.getAs[Double]("sample_rate") < 1.0)
   }
+
+  test("chunking covers every token: gapless spans, exact chunk counts") {
+    // derived from (chunk_idx, n_tokens): start = 1 + 48·idx,
+    // end = start + n_tokens − 1. The windows must tile each document —
+    // first chunk at token 1, last chunk ending exactly at |tokens|,
+    // every non-last chunk long enough (≥ 49) that stride 48 leaves no
+    // gap — and the chunk count must be the closed form of the start
+    // sequence, ⌊(max(n,1)−1)/48⌋ + 1.
+    val chunks = CurationOps.queries("curate_chunk_documents")(spark, sf)
+      .withColumn("start", lit(1) + lit(48) * col("chunk_idx"))
+      .withColumn("end", col("start") + col("n_tokens") - 1)
+      .localCheckpoint(true)
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(min(col("chunk_idx")).as("first_idx"), max(col("end")).as("last_end"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_tokens") < 49, 1L).otherwise(0L)).as("n_short"),
+        max(when(col("n_tokens") < 49, col("chunk_idx"))).as("short_idx"),
+        max(col("chunk_idx")).as("max_idx"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val bad = perDoc.join(docs, "doc_id").filter(
+      col("first_idx") =!= 0 ||
+        col("last_end") =!= col("n") ||
+        col("n_chunks") =!= col("max_idx") + 1 ||
+        col("n_chunks") =!=
+          floor((greatest(col("n"), lit(1)) - 1) / 48) + 1 ||
+        // only the LAST chunk may be shorter than the gapless minimum
+        (col("n_short") > 0 &&
+          (col("n_short") > 1 || col("short_idx") =!= col("max_idx"))))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    // every document is chunked
+    assert(chunks.select(col("doc_id")).distinct().count() === docs.count())
+  }
 }

@@ -111,4 +111,20 @@ class SketchSpec extends SparkSpec {
     val b = mg(256, docs.repartition(13, pmod(col("doc_id"), lit(13)))).toSeq
     assert(a === b)
   }
+
+  test("MG composes per group: one sketch per lang == per-lang exact counts") {
+    val got = docs.groupBy(col("lang"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(256)(
+        split(col("text"), " ")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("h"))
+      .select(col("lang"), col("h._1").as("t"), col("h._2").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("lang"), col("t")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === want)
+  }
 }
