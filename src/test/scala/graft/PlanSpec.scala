@@ -264,6 +264,16 @@ class PlanSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — no pruning")
   }
 
+  test("heavy hitters aggregate partially before the shuffle") {
+    import graft.operators.TextOps
+    val p = TextOps.queries("text_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the sketch's whole point: ≤ m counters per task ship through the
+    // exchange — a plan without the partial mode would move every token
+    assert(p.contains("partial_misragries"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -46,13 +46,15 @@ class SqlSurfaceSpec extends SparkSpec {
            poly_fingerprint(text) AS fp,
            size(minhash_signature(
              sorted_distinct_longs(shingle_hashes(text, 5)), 16)) AS k,
-           sorted_intersect_size(array(1L, 3L), array(3L, 9L)) AS c
+           sorted_intersect_size(array(1L, 3L), array(3L, 9L)) AS c,
+           z_value(1L, 3L) AS z
          FROM documents ORDER BY doc_id LIMIT 3""").collect()
     assert(r.length === 3)
     r.foreach { row =>
       assert(row.getDouble(1) >= 0.0)
       assert(row.getInt(4) === 16)
       assert(row.getInt(5) === 1)
+      assert(row.getLong(6) === 11L) // spread(1) | spread(3)<<1
     }
     // SQL result == Column-API result for the same kernel
     val viaDf = Tables.documents(spark, sf)
