@@ -112,6 +112,42 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("MG algebra: bounds hold for any stream, capacity, and merge tree") {
+    // drives the Aggregator's reduce/merge/finish directly (no Spark
+    // jobs): for ANY token stream, capacity, and chunking into partial
+    // sketches merged pairwise, the Misra–Gries guarantees must hold —
+    // the partitioning-freedom Spark relies on when it splits and merges
+    // partials however the cluster happens to schedule them
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      m <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 300)
+      toks <- Gen.listOfN(n, Gen.choose('a', 'l').map(_.toString))
+      cuts <- Gen.choose(1, 6)
+    } yield (m, toks, cuts)
+    val prop = Prop.forAll(gen) { case (m, toks, cuts) =>
+      val agg = new graft.functions.HeavyHitters.MisraGries(m)
+      val parts = toks.grouped(math.max(1, toks.length / cuts)).toList
+      val merged = parts
+        .map(chunk => agg.reduce(agg.zero, chunk))
+        .foldLeft(agg.zero)(agg.merge)
+      val out = agg.finish(merged)
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nTotal = toks.length.toLong
+      out.length <= m &&
+        out.forall { case (t, c, under) =>
+          c <= truth(t) && truth(t) - c <= under &&
+            under <= nTotal / (m + 1)
+        } &&
+        truth.forall { case (t, c) =>
+          c <= nTotal / (m + 1) || out.exists(_._1 == t)
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MG composes per group: one sketch per lang == per-lang exact counts") {
     val got = docs.groupBy(col("lang"))
       .agg(graft.functions.HeavyHitters.heavyHitters(256)(
