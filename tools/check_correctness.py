@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [query ...]
 
 Reads <verifyOutDir>/<name>/ parquet (Spark output) and oracle_sql.json,
 runs each oracle against the sf parquet tables in DuckDB, and compares
 schemas + values exactly (columns sorted by name, rows in result order).
+Optional query names restrict the check — useful at sf0.1+, where the
+deliberately-naive quadratic dedup oracles (pairwise list_intersect,
+recursive-CTE connected components) take far longer than every other
+oracle combined.
 """
 import sys, json, glob, os
 import duckdb
