@@ -17,11 +17,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        unknown = set(only) - set(oracle)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}"); return 1
+        oracle = {n: oracle[n] for n in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         spark_dir = os.path.join(out_dir, name)
@@ -56,4 +61,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
