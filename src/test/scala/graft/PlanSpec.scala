@@ -264,6 +264,36 @@ class PlanSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — no pruning")
   }
 
+  test("AQE's automatic runtime bloom filter fires under the documented confs") {
+    // the auto twin of Prune.bloomPruneJoin: InjectRuntimeFilter builds
+    // the same bloom from the selective (creation) side and probes it on
+    // the fact side — worth pinning because the thresholds that gate it
+    // are confs a deployment must actually set for large-large joins
+    import graft.sources.Tables
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // test-scale thresholds: the 10 GB application-side default exists so
+    // the probe isn't paid on scans too small to care
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom"),
+        j.queryExecution.optimizedPlan.toString.take(2000))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("heavy hitters aggregate partially before the shuffle") {
     import graft.operators.TextOps
     val p = TextOps.queries("text_heavy_hitters")(spark, sf)
