@@ -50,6 +50,23 @@ object SketchOps {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
         count(lit(1)).as("n_sketches"))
 
+  /** The quantile twin of [[dailyUserSketches]]: one row per
+    * (event_type, day) holding a mergeable GK summary of that day's
+    * values ([[graft.functions.QuantileSketch]]).
+    */
+  def dailyValueSketches(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.QuantileSketch.gkSketch(col("value")).as("sk"))
+
+  /** Roll stored value sketches up to (p50, p95) per event_type. */
+  def rollupValueQuantiles(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch
+        .gkQuantiles(Seq(0.5, 0.95))(col("sk")).as("qs"),
+        count(lit(1)).as("n_sketches"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p95"), col("n_sketches"))
+
   val queries: Map[String, Q] = Map(
     // Approximate distinct users per event type via the daily-sketch
     // rollup, plus a global all-types row (grouping-sets style) unioned
@@ -68,6 +85,15 @@ object SketchOps {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
           count(lit(1)).as("n_sketches"))
       perType.unionByName(global).orderBy(col("event_type"))
+    }),
+
+    // Per-type value quantiles from the persisted daily GK sketch table —
+    // p50/p95 over any slice without re-scanning events (the same
+    // maintenance story as the HLL table). Approximate → no SQL oracle;
+    // SketchSpec asserts the ε-rank guarantee against exact sorted data.
+    "cdc_value_quantile_sketch" -> ((s, d) => {
+      rollupValueQuantiles(dailyValueSketches(events(s, d)))
+        .orderBy(col("event_type"))
     }),
   )
 

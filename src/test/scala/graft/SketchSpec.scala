@@ -66,6 +66,66 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // --- GK quantile sketches --------------------------------------------
+
+  /** Rank of `v` in the sorted values of `typ` (count of values ≤ v) —
+    * the space where GK's ε-guarantee is stated.
+    */
+  private def rankWithin(typ: String, v: Double): Long =
+    ev.filter(col("event_type") === typ && col("value") <= v).count()
+
+  test("GK rollup quantiles honor the ε-rank guarantee per type") {
+    val eps = graft.functions.QuantileSketch.RelativeError
+    val got = SketchOps.queries("cdc_value_quantile_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (typ, (p50, p95)) =>
+      val n = ev.filter(col("event_type") === typ).count().toDouble
+      // merged daily sketches: each contributes ε·n_day ≤ ε·n of rank
+      // slack, plus merge slack — 3ε·n is a safe engineering bound for
+      // the guarantee this table must actually deliver
+      for ((q, v) <- Seq(0.5 -> p50, 0.95 -> p95)) {
+        val rank = rankWithin(typ, v)
+        assert(math.abs(rank - q * n) <= 3 * eps * n + 1,
+          s"$typ q=$q: rank $rank of $n for value $v")
+      }
+    }
+  }
+
+  test("GK incremental maintenance: merging old+new day sketches stays in bounds") {
+    val cut = to_date(lit("2024-01-20"))
+    val oldD = SketchOps.dailyValueSketches(ev.filter(to_date(col("ts")) < cut))
+    val newD = SketchOps.dailyValueSketches(ev.filter(to_date(col("ts")) >= cut))
+    assert(oldD.count() > 0 && newD.count() > 0)
+    val eps = graft.functions.QuantileSketch.RelativeError
+    SketchOps.rollupValueQuantiles(oldD.unionByName(newD))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .foreach { case (typ, p50) =>
+        val n = ev.filter(col("event_type") === typ).count().toDouble
+        val rank = rankWithin(typ, p50)
+        assert(math.abs(rank - 0.5 * n) <= 3 * eps * n + 1,
+          s"$typ: p50 rank $rank of $n")
+      }
+  }
+
+  test("GK sketches survive a parquet round-trip; empty input yields no rows") {
+    val dailyV = SketchOps.dailyValueSketches(ev)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gk-").toString
+    dailyV.write.mode("overwrite").parquet(dir)
+    val got = SketchOps.rollupValueQuantiles(spark.read.parquet(dir))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val want = SketchOps.rollupValueQuantiles(dailyV)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got === want)
+    assert(SketchOps.queries("cdc_value_quantile_sketch")(
+      spark, sf) != null) // registry wiring
+    assert(SketchOps.rollupValueQuantiles(
+      SketchOps.dailyValueSketches(ev.limit(0))).count() === 0)
+  }
+
   // --- Misra–Gries heavy hitters ---------------------------------------
 
   private lazy val docs = Tables.documents(spark, sf)
