@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming GK quantile sketch stays within the ε-rank bound") {
+    // like the MG test: the summary is the streaming state, merged across
+    // micro-batches; the complete-mode estimate must honor the same rank
+    // guarantee the batch rollup proves in SketchSpec
+    val src = tmp("graft-stream-gk")
+    val events = Tables.events(spark, sf)
+    events.coalesce(4).write.mode("overwrite").json(src)
+
+    val stream = CdcStream.jsonEventStream(spark, events.schema, src,
+      maxFilesPerTrigger = 1)
+    val agg = stream.agg(graft.functions.QuantileSketch
+      .gkSketch($"value").as("sk"))
+    val q = agg.writeStream.format("memory").queryName("gkstream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // query the streamed summary with the stored-sketch reader
+    val p50 = spark.table("gkstream")
+      .agg(graft.functions.QuantileSketch.gkQuantiles(Seq(0.5))($"sk")
+        .as("qs"))
+      .select(element_at($"qs", 1)).collect()(0).getDouble(0)
+    val n = events.count().toDouble
+    val rank = events.filter($"value" <= p50).count()
+    val eps = graft.functions.QuantileSketch.RelativeError
+    assert(math.abs(rank - 0.5 * n) <= 3 * eps * n + 1,
+      s"p50=$p50 rank=$rank of $n")
+  }
+
   test("streamed envelope fixture == batch unified change log") {
     // the flagship chain (readJsonEvents → unwrap → rewrite → unify) run
     // as a STREAM over the committed Debezium fixture must emit exactly
