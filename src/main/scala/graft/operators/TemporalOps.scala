@@ -69,6 +69,36 @@ object TemporalOps {
         .orderBy(col("error_id"))
     }),
 
+    // FORWARD as-of join: for each 'error', the next purchase of the same
+    // user at-or-after it (time-to-resolution shape). Same merge-scan as
+    // the backward variant with the frame mirrored — first(ignoreNulls)
+    // over [current, following). Purchases sort AFTER errors at equal ts
+    // (kind 1 vs 0) so an equal-timestamp purchase is inside the forward
+    // frame, mirroring the backward variant's inclusive semantics.
+    "asof_next_purchase" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withColumn("kind",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("purchase_id",
+          when(col("event_type") === "purchase", col("event_id")))
+        .withColumn("purchase_ts",
+          when(col("event_type") === "purchase", col("ts")))
+        .withColumn("next_purchase_id",
+          first(col("purchase_id"), ignoreNulls = true).over(w))
+        .withColumn("next_purchase_ts",
+          first(col("purchase_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("next_purchase_id"),
+          (col("next_purchase_ts").cast("long") - col("ts").cast("long"))
+            .as("wait_s"))
+        .orderBy(col("error_id"))
+    }),
+
     // Range (interval) join: all (error, click) pairs of the same user with
     // the click in [error.ts - 5 min, error.ts]. Banded equi-join: bin to
     // 5-min cells, probe side explodes its 2 candidate cells, exact
@@ -124,6 +154,14 @@ object TemporalOps {
          FROM (SELECT * FROM events WHERE event_type = 'error') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY error_id""",
+    "asof_next_purchase" ->
+      """SELECT e.event_id AS error_id, e.user_id,
+           p.event_id AS next_purchase_id,
+           CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS wait_s
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts <= p.ts
          ORDER BY error_id""",
     "range_join_error_clicks" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
