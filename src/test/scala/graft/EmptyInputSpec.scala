@@ -38,7 +38,12 @@ class EmptyInputSpec extends SparkSpec {
       "curate_dedup_apply", "curate_temperature_sample",
       "curate_source_quality", "curate_chunk_documents",
       "text_heavy_hitters",
-      "sim_vector_norms", "dedup_embedding_cosine")
+      "sim_vector_norms", "dedup_embedding_cosine",
+      // events-family: per-row/per-group outputs must vanish with the
+      // input (global aggregates like cdc_funnel legitimately keep their
+      // one zero-row and are excluded)
+      "asof_last_click", "asof_next_purchase", "sessionize",
+      "cdc_value_quantile_sketch")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
       assert(rows.isEmpty, s"$n returned ${rows.length} rows on empty input")
