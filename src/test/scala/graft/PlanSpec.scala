@@ -294,14 +294,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("heavy hitters aggregate partially before the shuffle") {
-    import graft.operators.TextOps
-    val p = TextOps.queries("text_heavy_hitters")(spark, sf)
+  test("sketch aggregators run partially before the shuffle") {
+    import graft.operators.{SketchOps, TextOps}
+    // the sketches' whole point: bounded state per task ships through the
+    // exchange — a plan without the partial mode would move every row
+    val hh = TextOps.queries("text_heavy_hitters")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the sketch's whole point: ≤ m counters per task ship through the
-    // exchange — a plan without the partial mode would move every token
-    assert(p.contains("partial_misragries"), p)
-    assert(p.contains("ObjectHashAggregate"), p)
+    assert(hh.contains("partial_misragries"), hh)
+    assert(hh.contains("ObjectHashAggregate"), hh)
+    val gk = SketchOps.queries("cdc_value_quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(gk.contains("partial_gksketchagg"), gk)
+    assert(gk.contains("ObjectHashAggregate"), gk)
   }
 
   test("approx_count_distinct is within 5% of exact per group") {
