@@ -26,6 +26,35 @@ import graft.sources.Tables._
   * user_id) — at 100 TB this is the unavoidable shuffle, and it's the only
   * one; everything downstream of the rank-filter is pipelined. Per-type and
   * per-hour aggregations are hash-aggs with map-side partials.
+  *
+  * == Window/aggregate cardinality ledger ==
+  *
+  * Every registered window or rank-family query, the key it partitions on,
+  * and the scale path — pick by your key's cardinality:
+  *
+  *  - `cdc_latest_state`, `cdc_state_at_time`, `cdc_first_last`,
+  *    `cdc_event_gaps`, `cdc_funnel`: `Window.partitionBy(user_id)` —
+  *    HIGH-cardinality key, the window shuffle spreads across the cluster;
+  *    per-user state is O(1). Safe as registered.
+  *  - `cdc_value_quartiles`: event_type is LOW-cardinality (~5), so the
+  *    registered plan IS the two-phase [[ScaleWindows.groupRanks]] form
+  *    (each type spans many partitions); the window formulation exists
+  *    only as the spec reference (ScaleSpec pins equality).
+  *  - `cdc_value_percentiles`: exact interpolated quantiles derived from
+  *    [[ScaleWindows.groupRanks]] positions — no per-group value-multiset
+  *    buffer anywhere. Sketch twins for when ±ε is acceptable:
+  *    `cdc_value_percentiles_approx` (t-digest-style approx_percentile)
+  *    and `cdc_value_quantile_sketch` (persisted mergeable GK table,
+  *    [[SketchOps]]).
+  *  - Grouped aggregates (`cdc_counts_by_type`, `cdc_value_stats`,
+  *    `cdc_hourly_window`, `cdc_pivot_counts`, `cdc_weekly_retention`,
+  *    `cdc_props_*`, `cdc_lag_monitor`, `cdc_time_partition`): hash-aggs
+  *    with map-side partials and bounded per-group state — safe at any
+  *    group cardinality; skewed GROUPS don't funnel (partials combine
+  *    before the exchange).
+  *  - Running totals over low-cardinality stream keys: use
+  *    [[ScaleWindows.groupCumsum]] (see `curate_pack_sequences`' spec
+  *    twin), not a window cumsum.
   */
 object EventOps {
   type Q = (SparkSession, String) => DataFrame
@@ -109,14 +138,37 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
-    // Exact interpolated percentiles per type (median + p95). Both engines
-    // define the continuous quantile identically (rank = p·(n-1), linear
-    // interpolation); round(4) absorbs the last-ulp arithmetic differences.
+    // Exact interpolated percentiles per type (median + p95) WITHOUT the
+    // exact-percentile aggregate: Spark's percentile() buffers each
+    // group's full value multiset in its final task — with ~5 types that
+    // is data-sized state in 5 reducers at warehouse scale. Instead rank
+    // once via the two-phase groupRanks plan (each type spans many
+    // partitions) and interpolate in closed form: both engines define the
+    // continuous quantile at rank r = p·(n−1), so the rows at ⌊r⌋ and
+    // ⌊r⌋+1 contribute v·(1−frac) and v·frac and every other row
+    // contributes 0 to a plain mergeable SUM. round(4) absorbs last-ulp
+    // arithmetic differences (as it did between percentile and
+    // quantile_cont). Nulls excluded exactly as percentile()/
+    // quantile_cont do. Sketch twins: cdc_value_percentiles_approx,
+    // cdc_value_quantile_sketch.
     "cdc_value_percentiles" -> ((s, d) => {
-      events(s, d)
-        .groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      val ranked = ScaleWindows.groupRanks(
+        events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .filter(col("value").isNotNull),
+        group = Seq("event_type"), order = Seq("value", "event_id"),
+        numPartitions = 32)
+      def contrib(p: Double): org.apache.spark.sql.Column = {
+        val rk = lit(p) * (col("__cnt") - 1).cast("double")
+        val lo = floor(rk).cast("long")
+        val frac = rk - lo.cast("double")
+        when(col("__pos") === lo, col("value") * (lit(1.0) - frac))
+          .when(col("__pos") === lo + 1, col("value") * frac)
+          .otherwise(lit(0.0))
+      }
+      ranked.groupBy(col("event_type"))
+        .agg(round(sum(contrib(0.5)), 4).as("p50"),
+          round(sum(contrib(0.95)), 4).as("p95"))
         .orderBy(col("event_type"))
     }),
 
@@ -219,12 +271,23 @@ object EventOps {
 
     // W2: distribution ranks — quartile (ntile) and percent_rank per value
     // within type; deterministic under the (value, event_id) total order.
+    // event_type is LOW-cardinality, so Window.partitionBy(event_type)
+    // would funnel every row of each type through ONE reducer at any
+    // cluster size; the registered plan is the two-phase
+    // ScaleWindows.groupRanks form (range-partition on (type, value, id),
+    // tiny offset collect, one sequential pass) with ntile/percent_rank
+    // derived in closed form from (__pos, __cnt) — spec-equal to the
+    // window formulation (ScaleSpec) and oracle-gated here.
     "cdc_value_quartiles" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      events(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pr", round(percent_rank().over(w), 4))
+      val ranked = ScaleWindows.groupRanks(
+        events(s, d).select(col("event_type"), col("value"), col("event_id")),
+        group = Seq("event_type"), order = Seq("value", "event_id"),
+        numPartitions = 32)
+      ranked
+        .withColumn("quartile",
+          ScaleWindows.ntileCol(col("__pos"), col("__cnt"), 4).cast("int"))
+        .withColumn("pr",
+          round(ScaleWindows.percentRankCol(col("__pos"), col("__cnt")), 4))
         .groupBy(col("event_type"), col("quartile"))
         .agg(count(lit(1)).as("n"), round(max(col("pr")), 4).as("max_pr"))
         .orderBy(col("event_type"), col("quartile"))

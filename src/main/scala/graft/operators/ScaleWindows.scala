@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.LongType
 
 /** Scale-safe replacement for rank-family window functions over
@@ -148,5 +148,36 @@ object ScaleWindows {
     val r = cnt % n
     if (pos < r * (q + 1)) pos / (q + 1) + 1
     else r + (pos - r * (q + 1)) / math.max(q, 1L) + 1
+  }
+
+  /** Exact integral division of non-negative long Columns:
+    * (a − a%b)/b has an integral quotient, so the double division is
+    * exact while the quotient < 2^53 — any realistic group size.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast("long")
+
+  /** [[ntileOf]] as a Column over groupRanks' `__pos`/`__cnt` — lets the
+    * closed-form bucket run inside codegen instead of a per-row driver
+    * function.
+    */
+  def ntileCol(pos: Column, cnt: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{greatest, lit, when}
+    val nl = lit(n.toLong)
+    val q = idiv(cnt, nl)
+    val r = cnt % nl
+    val qp1 = q + lit(1L)
+    when(pos < r * qp1, idiv(pos, qp1) + lit(1L))
+      .otherwise(r + idiv(pos - r * qp1, greatest(q, lit(1L))) + lit(1L))
+  }
+
+  /** SQL percent_rank as a Column over `__pos`/`__cnt`: pos/(cnt−1),
+    * defined as 0 for single-row groups — identical to the window
+    * function when the order is total (rank == row_number).
+    */
+  def percentRankCol(pos: Column, cnt: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(cnt === lit(1L), lit(0.0))
+      .otherwise(pos.cast("double") / (cnt - lit(1L)).cast("double"))
   }
 }

@@ -244,6 +244,20 @@ class ScaleSpec extends SparkSpec {
       .distinct().groupBy($"event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(spread.values.exists(_ > 1), spread.toString)
+    // the Column closed forms (what the registered quartile query runs)
+    // are bit-equal to the Scala reference forms
+    val colForms = ranked.select(
+        ScaleWindows.ntileCol($"__pos", $"__cnt", 4).as("nt"),
+        ScaleWindows.percentRankCol($"__pos", $"__cnt").as("pr"),
+        $"__pos", $"__cnt")
+      .collect()
+    assert(colForms.nonEmpty)
+    colForms.foreach { r =>
+      val (pos, cnt) = (r.getLong(2), r.getLong(3))
+      assert(r.getLong(0) == ScaleWindows.ntileOf(pos, cnt, 4), r)
+      val wantPr = if (cnt == 1) 0.0 else pos.toDouble / (cnt - 1)
+      assert(r.getDouble(1) == wantPr, r)
+    }
   }
 
   test("file metrics report every data file with its partition and size") {
