@@ -62,6 +62,10 @@ object HeavyHitters {
     override def zero: MGState = MGState(Map.empty, 0L)
 
     override def reduce(b: MGState, toks: Seq[String]): MGState = {
+      // a null text column splits to a NULL array, not an empty one —
+      // the sketch must tolerate the whole Seq being null, not just
+      // null elements inside it
+      if (toks == null) return b
       val acc = mutable.HashMap.from(b.counts)
       var sub = b.subtracted
       toks.foreach { t =>

@@ -12,11 +12,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 object LayoutExprs {
 
-  /** Java source for the 32→64-bit Morton spread (classic bit-twiddling
-    * dilation); shared by eval and codegen so the two cannot drift.
+  /** Java source for the Morton spread (classic bit-twiddling dilation);
+    * shared by eval and codegen so the two cannot drift. Inputs are
+    * masked to 31 bits: with full 32-bit inputs, the odd-position key's
+    * bit 31 would land on bit 63 after the interleave's `<< 1`, flipping
+    * the SIGN of the z-key and breaking curve monotonicity under the
+    * signed long sort.
     */
   private val SpreadBody =
-    """x &= 0xFFFFFFFFL;
+    """x &= 0x7FFFFFFFL;
       |x = (x | (x << 16)) & 0x0000FFFF0000FFFFL;
       |x = (x | (x << 8))  & 0x00FF00FF00FF00FFL;
       |x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL;
@@ -25,7 +29,7 @@ object LayoutExprs {
       |return x;""".stripMargin
 
   private[functions] def spread(v: Long): Long = {
-    var x = v & 0xFFFFFFFFL
+    var x = v & 0x7FFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
     x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
     x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
@@ -34,11 +38,13 @@ object LayoutExprs {
     x
   }
 
-  /** 2-D Morton (Z-order) key: interleave the low 32 bits of two bigint
+  /** 2-D Morton (Z-order) key: interleave the low 31 bits of two bigint
     * keys, `a` on even bit positions, `b` on odd. Sorting by the result
     * clusters rows that are close in BOTH dimensions — the layout key
-    * behind multi-dimensional file skipping. Keys wider than 32 bits
-    * must be rank-normalized first (the curve uses the low bits only).
+    * behind multi-dimensional file skipping. Keys wider than 31 bits
+    * must be normalized first (the curve uses the low bits only); the
+    * 31-bit mask keeps the interleaved key non-negative so the signed
+    * long sort preserves curve order.
     */
   case class ZValue(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -44,8 +44,9 @@ object TemporalOps {
       // secondary sort key `kind` puts clicks BEFORE other events at equal
       // (user_id, ts): ASOF semantics are ts-inclusive (click.ts <=
       // error.ts matches), so an equal-ts click must be visible to the
-      // error row regardless of event-id order. (Multiple clicks at the
-      // same ts remain unspecified in ASOF; none exist in the testdata.)
+      // error row regardless of event-id order. Multiple clicks at the
+      // same ts resolve to the max event_id (frame order) — the oracle's
+      // row_number formulation pins the same tie-break.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("kind"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -147,22 +148,35 @@ object TemporalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Explicit window formulations instead of DuckDB's ASOF JOIN: ASOF
+    // picks an ARBITRARY row among matches tied on ts, so the gate could
+    // flake on data with duplicate (user_id, ts) per event type. The
+    // row_number pins the tie-break the engine implements — backward
+    // takes the LATEST (ts, event_id) click at-or-before, forward the
+    // EARLIEST (ts, event_id) purchase at-or-after.
     "asof_last_click" ->
-      """SELECT e.event_id AS error_id, e.user_id,
-           c.event_id AS last_click_id,
-           CAST(date_diff('second', c.ts, e.ts) AS BIGINT) AS gap_s
-         FROM (SELECT * FROM events WHERE event_type = 'error') e
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON e.user_id = c.user_id AND e.ts >= c.ts
-         ORDER BY error_id""",
+      """SELECT error_id, user_id, last_click_id, gap_s FROM (
+           SELECT e.event_id AS error_id, e.user_id,
+             c.event_id AS last_click_id,
+             CAST(date_diff('second', c.ts, e.ts) AS BIGINT) AS gap_s,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST)
+               AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'error') e
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON e.user_id = c.user_id AND c.ts <= e.ts) t
+         WHERE rn = 1 ORDER BY error_id""",
     "asof_next_purchase" ->
-      """SELECT e.event_id AS error_id, e.user_id,
-           p.event_id AS next_purchase_id,
-           CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS wait_s
-         FROM (SELECT * FROM events WHERE event_type = 'error') e
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-           ON e.user_id = p.user_id AND e.ts <= p.ts
-         ORDER BY error_id""",
+      """SELECT error_id, user_id, next_purchase_id, wait_s FROM (
+           SELECT e.event_id AS error_id, e.user_id,
+             p.event_id AS next_purchase_id,
+             CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS wait_s,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY p.ts NULLS LAST, p.event_id NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'error') e
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             ON e.user_id = p.user_id AND p.ts >= e.ts) t
+         WHERE rn = 1 ORDER BY error_id""",
     "range_join_error_clicks" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
            CAST((epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_s

@@ -14,13 +14,27 @@ class LayoutSpec extends SparkSpec {
 
   test("z_value interleaves bits (a even, b odd)") {
     import spark.implicits._
-    // spread(3)=0b0101, spread(5)=0b010001 → 5 | (17<<1) = 39
+    // spread(3)=0b0101, spread(5)=0b010001 → 5 | (17<<1) = 39; inputs
+    // are masked to 31 bits (bit 31 of the odd-position key would land
+    // on the sign bit), so 32 ones spread like 31 ones
     val rows = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (3L, 5L, 39L),
-        (0xFFFFFFFFL, 0L, 0x5555555555555555L))
+        (0xFFFFFFFFL, 0L, 0x1555555555555555L),
+        (0x7FFFFFFFL, 0x7FFFFFFFL, 0x3FFFFFFFFFFFFFFFL))
       .toDF("a", "b", "want")
       .select(LayoutExprs.zValue($"a", $"b").as("z"), $"want")
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("z_value stays non-negative for full-width keys (signed sort order holds)") {
+    import spark.implicits._
+    // the regression this pins: an unmasked 32-bit odd-position key put
+    // its bit 31 on bit 63, flipping the z-key's sign and breaking curve
+    // monotonicity under the signed long sort
+    val keys = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, 0xFFFFFFFFL, Long.MaxValue)
+    val zs = keys.flatMap(a => keys.map(b => (a, b))).toDF("a", "b")
+      .select(LayoutExprs.zValue($"a", $"b").as("z")).collect()
+    zs.foreach(r => assert(r.getLong(0) >= 0L, r.toString))
   }
 
   test("z-order write bounds per-file spans in both dimensions") {

@@ -166,6 +166,16 @@ class SketchSpec extends SparkSpec {
       .foreach(t => assert(reported(t), s"guaranteed heavy hitter $t missing"))
   }
 
+  test("MG tolerates null token arrays (split of a null text column)") {
+    import spark.implicits._
+    // split(null) yields a NULL array, not an empty one — the rows must
+    // be no-ops, not NPEs, and must not disturb the counts
+    val withNulls = Seq(Some("a b a"), None, Some("b"), None)
+      .toDF("text")
+    val got = mg(16, withNulls).map { case (t, c, _) => t -> c }.toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L))
+  }
+
   test("MG exact regime is partitioning-invariant (mergeable partials)") {
     val a = mg(256).toSeq
     val b = mg(256, docs.repartition(13, pmod(col("doc_id"), lit(13)))).toSeq
