@@ -41,25 +41,46 @@ object CdcStream {
     * metadata — the offset columns are what the lag/reconciliation monitor
     * sums (monitor-pipeline.sh:33-34).
     *
-    * NOT RUNNABLE IN THIS SANDBOX: there is no broker and no
-    * spark-sql-kafka connector jar (zero egress), so tests exercise the
-    * file-backed twin [[jsonEventStream]] instead — the downstream
-    * operators are identical. This method compiles against the stable
-    * DataSource-string API only; on a cluster with the connector on the
-    * classpath it is the drop-in source.
+    * TRANSPORT NOT RUNNABLE IN THIS SANDBOX: there is no broker and no
+    * spark-sql-kafka connector jar (zero egress), so `.format("kafka")`
+    * fails at source RESOLUTION — and that resolution is the ONLY
+    * unexecuted seam: every transform this source applies after
+    * `.load()` lives in [[decodeKafkaRecords]], which StreamingSpec
+    * executes over the exact Kafka wire schema (tombstone drop,
+    * PERMISSIVE decode, metadata projection, sink round-trip), and the
+    * named resolution failure itself is pinned by a spec. On a cluster
+    * with the connector jar this is the drop-in source.
     */
   def kafkaEventStream(spark: SparkSession, schema: StructType,
       bootstrapServers: String, topicPattern: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Long = 100000L): DataFrame =
-    spark.readStream
+    decodeKafkaRecords(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topicPattern)       // topics.regex (P5)
       .option("startingOffsets", startingOffsets)     // snapshot-then-stream
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // T1 batching
       .option("failOnDataLoss", "false")              // errors.tolerance=all
-      .load()
+      .load(), schema)
+
+  /** The Kafka source's record schema as spark-sql-kafka presents it —
+    * what [[decodeKafkaRecords]] consumes and tests synthesize.
+    */
+  val KafkaWireSchema: StructType = StructType.fromDDL(
+    "key binary, value binary, topic string, partition int, offset bigint, " +
+      "timestamp timestamp, timestampType int")
+
+  /** Everything [[kafkaEventStream]] does AFTER the transport: tombstone
+    * drop (P4: a Kafka delete marker is a record with a null value),
+    * PERMISSIVE schemaed JSON decode of the value bytes (S5/S9), and the
+    * (topic, partition, offset, key) metadata projection the
+    * lag/reconciliation monitor sums. Works identically on streaming and
+    * batch frames in the wire schema — which is what lets the sandbox
+    * execute the full engine-side path with only the broker stubbed.
+    */
+  def decodeKafkaRecords(raw: DataFrame, schema: StructType): DataFrame =
+    raw
       .filter(col("value").isNotNull)                 // P4 tombstone drop
       .select(
         from_json(col("value").cast("string"), schema,
@@ -69,17 +90,26 @@ object CdcStream {
       .select(col("r.*"), col("topic"), col("partition"), col("offset"),
         col("key"))
 
+  /** The producer-side wire format [[startKafkaSink]] writes: the record
+    * id as the Kafka key (per-key ordering lands changes for one entity
+    * in one partition) and the full row JSON-serialized as the value —
+    * exactly what the reference's connect sink consumes, and the exact
+    * inverse of [[decodeKafkaRecords]] (round-trip spec-pinned).
+    */
+  def kafkaWireFormat(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+
   /** S4/S6 (production shape): Kafka sink twin of the partitioned file
-    * sink — JSON-serialized value keyed by the record id, exactly the wire
-    * format the reference's connect sink consumes. Same sandbox caveat as
-    * [[kafkaEventStream]].
+    * sink. Same sandbox caveat as [[kafkaEventStream]] — the
+    * serialization is executed via [[kafkaWireFormat]]; only
+    * `.format("kafka").start()` needs the connector.
     */
   def startKafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
       keyCol: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
-    df.select(
-        col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+    kafkaWireFormat(df, keyCol)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)

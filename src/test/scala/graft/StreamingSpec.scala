@@ -21,6 +21,95 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
+  test("kafka decode path: tombstones drop, PERMISSIVE decode, metadata kept") {
+    // everything kafkaEventStream does after the transport, executed as a
+    // STREAM over the exact wire schema the connector emits — only the
+    // broker itself is stubbed (none exists in this sandbox)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id bigint, name string, v double")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaWireRow]
+    def rec(off: Long, key: String, value: String) = KafkaWireRow(
+      if (key == null) null else key.getBytes("UTF-8"),
+      if (value == null) null else value.getBytes("UTF-8"),
+      "pg.public.events", 0, off,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0)
+    mem.addData(
+      rec(0L, "1", """{"id":1,"name":"a","v":1.5}"""),
+      rec(1L, "1", null),                       // tombstone (delete marker)
+      rec(2L, "2", """{"id":2,"name":"b","v":-0.5}"""),
+      rec(3L, "3", "{not json"))                // corrupt → PERMISSIVE nulls
+    val decoded = CdcStream.decodeKafkaRecords(mem.toDF(), schema)
+    assert(decoded.isStreaming)
+    val q = decoded.writeStream.format("memory").queryName("kdec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("kdec")
+      .select($"id", $"name", $"v", $"topic", $"partition", $"offset", $"key")
+      .orderBy($"offset").collect()
+    // tombstone dropped, both JSON rows decoded, corrupt row kept as nulls
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a" &&
+      rows(0).getDouble(2) == 1.5)
+    assert(rows.forall(r => r.getString(3) == "pg.public.events" &&
+      r.getInt(4) == 0))
+    assert(rows.map(_.getLong(5)).toSeq == Seq(0L, 2L, 3L))
+    assert(rows.map(_.getString(6)).toSeq == Seq("1", "2", "3"))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("kafka wire format round-trips through the decode path") {
+    // startKafkaSink's serialization (kafkaWireFormat) is the exact
+    // inverse of kafkaEventStream's decode — producer→consumer
+    // round-trip with only the broker transport stubbed. Second-precision
+    // timestamps: Spark's JSON writer emits milliseconds, so micro data
+    // would not round-trip bit-exact (NOTES.md).
+    val src = Seq(
+        (1L, "click", 3.25, java.sql.Timestamp.valueOf("2024-01-02 10:00:01")),
+        (2L, "view", -1.0, java.sql.Timestamp.valueOf("2024-01-02 10:00:02")),
+        (3L, "purchase", 0.0, java.sql.Timestamp.valueOf("2024-01-02 10:00:03")))
+      .toDF("event_id", "event_type", "value", "ts")
+    val wire = CdcStream.kafkaWireFormat(src, "event_id")
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    // what the broker hands back: value bytes + consumer metadata
+    val handedBack = wire.select(
+      $"key".cast("binary").as("key"), $"value".cast("binary").as("value"),
+      lit("events").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      lit(null).cast("timestamp").as("timestamp"),
+      lit(0).as("timestampType"))
+    val back = CdcStream.decodeKafkaRecords(handedBack, src.schema)
+      .select($"event_id", $"event_type", $"value", $"ts", $"key")
+      .orderBy($"event_id").collect()
+    val want = src.orderBy($"event_id").collect()
+    assert(back.length == want.length)
+    back.zip(want).foreach { case (b, w) =>
+      assert(b.getLong(0) == w.getLong(0))
+      assert(b.getString(1) == w.getString(1))
+      assert(b.getDouble(2) == w.getDouble(2))
+      assert(b.getTimestamp(3) == w.getTimestamp(3))
+      assert(b.getString(4) == w.getLong(0).toString) // key = record id
+    }
+  }
+
+  test("kafka transport resolution is the only unexecuted seam") {
+    // this sandbox has no spark-sql-kafka connector jar and no broker:
+    // building the source must fail AT SOURCE RESOLUTION, by name — if a
+    // connector is ever on the classpath this test accepts the stream
+    // instead (the decode chain is covered either way)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id bigint")
+    try {
+      val df = CdcStream.kafkaEventStream(spark, schema,
+        "localhost:9092", "events\\..*")
+      assert(df.isStreaming) // connector present: full path builds
+    } catch {
+      case e: Exception =>
+        assert(Option(e.getMessage).exists(_.toLowerCase.contains("kafka")),
+          s"expected a kafka source-resolution failure, got: $e")
+    }
+  }
+
   test("streaming windowed stats == batch groupBy on the same data") {
     val src = tmp("graft-stream-src")
     val events = Tables.events(spark, sf)
@@ -412,3 +501,11 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === events.count())
   }
 }
+
+/** One record in the shape spark-sql-kafka's source emits
+  * ([[graft.streaming.CdcStream.KafkaWireSchema]]) — top-level so the
+  * case-class Encoder derives cleanly for MemoryStream.
+  */
+case class KafkaWireRow(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+    timestampType: Int)
