@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Space-filling-curve keys for multi-dimensional data layout
   * (see [[graft.operators.Layout]]).
@@ -77,4 +77,55 @@ object LayoutExprs {
 
   def zValue(a: Column, b: Column): Column =
     Bridge.column(ZValue(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Rank (quantile-bucket) normalization for curve keys: the bucket
+    * index of a double under sorted, distinct boundary values — the
+    * count of boundaries ≤ the input, via binary search (upper-bound
+    * convention, deterministic under duplicates in the DATA; the
+    * boundary array itself must be strictly increasing). Codegen'd so
+    * the per-row cost is log₂(buckets) compares with no per-row
+    * allocation — an interpreted HOF here would pay a lambda dispatch
+    * per boundary.
+    *
+    * This is what makes Z-order work on heavy-tailed keys: the linear
+    * lattice ([[graft.operators.Layout.writeZOrdered]]) maps a skewed
+    * key's mass into a handful of cells and the curve degenerates to a
+    * single-key sort; equi-DEPTH buckets from approx quantiles spread
+    * the mass uniformly over the lattice
+    * ([[graft.operators.Layout.writeZOrderedRanked]]).
+    */
+  case class BucketIndex(child: Expression, bounds: Array[Double])
+      extends UnaryExpression {
+    require(bounds.nonEmpty, "bucket boundaries must be non-empty")
+    require(bounds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "bucket boundaries must be strictly increasing")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bucket_index expects double, got ${child.dataType.simpleString}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bucket_index"
+
+    override def nullSafeEval(v: Any): Any = {
+      val r = java.util.Arrays.binarySearch(bounds, v.asInstanceOf[Double])
+      (if (r >= 0) r + 1 else -(r + 1)).toLong
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val b = ctx.addReferenceObj("bounds", bounds, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val r = ctx.freshName("r")
+        s"""int $r = java.util.Arrays.binarySearch($b, $v);
+           |${ev.value} = (long) ($r >= 0 ? $r + 1 : -($r + 1));""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : BucketIndex = copy(child = newChild)
+  }
+
+  def bucketIndex(c: Column, bounds: Array[Double]): Column =
+    Bridge.column(BucketIndex(Bridge.expression(c), bounds))
 }

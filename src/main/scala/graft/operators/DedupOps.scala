@@ -171,52 +171,125 @@ object DedupOps {
     * beyond", SoCC'14) — same join-groupBy primitives, fewer rounds.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // persist (not localCheckpoint) so superseded generations can be
-    // UNPERSISTED as soon as they are dead — checkpoint blocks are only
-    // reclaimed at a driver GC, and an iterative loop that pins every
-    // generation is exactly the leak NOTES.md measured degrading later
-    // queries. Live cached frames stay bounded at 2 (edges + current
-    // labels); lineage depth equals the iteration count, bounded by the
-    // dup graph's diameter (shallow: near-clique clusters).
+    // every generation is EAGERLY localCheckpoint'd: each `next`
+    // references the previous labels frame 3× (join, union, convergence
+    // check), so without lineage TRUNCATION Catalyst re-analyzes a plan
+    // that grows ~3× per iteration — measured 44 s of pure driver
+    // analysis by iteration ~10 on a 60-node graph, unbounded beyond.
+    // persist() would release blocks sooner but does NOT truncate
+    // analysis lineage; the checkpointed generations are label-sized
+    // (two longs per node) and their blocks are reclaimed at the next
+    // driver GC (NOTES.md).
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    try {
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < maxIters) {
-        // explicit aliases: labels shares lineage with edges (persist does
-        // not truncate lineage the way a checkpoint would), so unqualified
-        // column refs would be ambiguous self-join refs
-        val next = labels.as("l")
-          .join(edges.as("e"), col("l.id") === col("e.v"))
-          .select(col("e.u").as("id"), col("l.lbl").as("lbl"))
-          .union(labels)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .persist()
-        try changed = next.as("n")
-          .join(labels.as("p"), col("n.id") === col("p.id"))
-          .filter(col("n.lbl") =!= col("p.lbl")).count()
-        catch { case t: Throwable => next.unpersist(false); throw t }
-        labels.unpersist(false)
-        labels = next
-        iters += 1
-      }
-      require(changed == 0,
-        s"label propagation did not converge in $maxIters")
-      // EAGER snapshot of the converged labels BEFORE the finally block
-      // releases the caches backing it — a lazy checkpoint here would
-      // materialize after the unpersists and recompute the whole chain
-      labels.localCheckpoint()
-    } finally {
-      // release every cached input even on failure; the returned frame
-      // owns its (already materialized) data
-      labels.unpersist(false)
-      edges.unpersist(false)
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var changed = if (labels.isEmpty) 0L else 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val next = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.v"))
+        .select(col("e.u").as("id"), col("l.lbl").as("lbl"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels = next
+      iters += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIters")
+    labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR/SMALL-STAR (Kiveris
+    * et al., "Connected components in MapReduce and beyond", SoCC'14) —
+    * the round-efficient twin of [[connectedComponents]] for graphs with
+    * LONG CHAINS. Min-label propagation moves a label one hop per round
+    * (diameter rounds total: a 10⁶-link chain is 10⁶ shuffles); the star
+    * operations rewire the graph itself, halving-or-better the effective
+    * diameter per alternation (O(log²) rounds on any graph, O(log) in
+    * practice):
+    *
+    *  - large-star, per node u: every strictly-larger neighbor is
+    *    re-attached to m = min(Γ(u) ∪ u);
+    *  - small-star, per node u: every smaller-or-equal neighbor (and u)
+    *    is re-attached to m = min of those neighbors.
+    *
+    * Both are one groupBy + one equi-join over (long, long) edge rows —
+    * the same primitives as propagation, so the 100 TB story is
+    * identical per round, just with far fewer rounds. Converges to star
+    * graphs rooted at each component's minimum (the paper's invariant),
+    * from which labels read off as min(Γ(u) ∪ u). Fixpoint detection:
+    * edge-set signature (count + order-independent XOR of edge hashes;
+    * edges are distinct so XOR cancellation needs a hash collision) —
+    * byte-equal frames are not required, only set equality.
+    *
+    * Dup graphs are usually shallow (near-clique clusters), so the
+    * registered queries keep propagation ([[clusterLabels]]); this is
+    * the documented escape hatch when a profile shows deep chains —
+    * ScaleSpec pins label equality and the round advantage.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 30)
+      : DataFrame = {
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // Each generation is EAGERLY localCheckpoint'd, unlike the persist
+    // juggling in connectedComponents: a star generation references its
+    // predecessor ~6× (undirected doubling, two joins, the union), so
+    // without lineage TRUNCATION Catalyst re-analyzes a plan that grows
+    // ~6× per iteration and the driver stalls long before any executor
+    // works. The checkpointed generations are tiny (edge rows), and
+    // their blocks are reclaimed at the next driver GC (NOTES.md).
+    // canonical direction (small → large), no self loops, distinct
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var sig = signature(edges)
+    var iters = 0
+    var done = edges.isEmpty
+    while (!done && iters < maxIters) {
+      val adj = undirected(edges)
+      // large-star: larger neighbors re-attach to min(Γ(u) ∪ u)
+      val minsL = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val large = adj.as("a")
+        .join(minsL.as("m"), col("a.u") === col("m.u"))
+        .filter(col("a.v") > col("a.u"))
+        .select(least(col("m.mn"), col("a.u")).as("u"), col("a.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // small-star over the large-star output: each node's ≤-neighbors
+      // (and the node) re-attach to their minimum
+      val smallAdj = undirected(large).filter(col("v") < col("u"))
+      val minsS = smallAdj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val next = smallAdj.as("a")
+        .join(minsS.as("m"), col("a.u") === col("m.u"))
+        .select(col("m.mn").as("u"), col("a.v").as("v"))
+        .union(minsS.select(col("mn").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      val nextSig = signature(next)
+      edges = next
+      done = nextSig == sig
+      sig = nextSig
+      iters += 1
+    }
+    require(done, s"star contraction did not converge in $maxIters")
+    // converged: star graphs rooted at component minima — labels read
+    // off as min over the closed neighborhood; roots label themselves
+    val adj = undirected(edges)
+    adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint()
   }
 
   /** Co-occurring doc pairs by per-gram combination generation (groupBy

@@ -62,6 +62,57 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Z-ordered write with RANK normalization — the heavy-tailed-key
+    * variant [[writeZOrdered]]'s doc points at. Linear min/max scaling
+    * maps a Zipfian key's mass into a handful of lattice cells (one hot
+    * value can own 99% of rows), so the curve degenerates to a sort on
+    * the OTHER key and skipping dies on the skewed dimension. Instead:
+    * approx-quantile boundaries (distributed GK sketch — bounded memory
+    * and a boundary array of `buckets` doubles on the driver, never
+    * data-sized) give equi-DEPTH buckets; the codegen'd binary-search
+    * [[LayoutExprs.bucketIndex]] maps each key to its bucket, and the
+    * same Morton curve interleaves the bucket indexes. Duplicate
+    * boundaries (a single value spanning many quantiles) are collapsed —
+    * rows of one hot value share a cell, which is the best any
+    * order-preserving map can do.
+    *
+    * `buckets` bounds the lattice resolution per dimension (≤ 2²¹); a
+    * few thousand is plenty — resolution only needs to exceed the file
+    * count by enough that curve segments tile both dimensions.
+    */
+  def writeZOrderedRanked(df: DataFrame, keyA: String, keyB: String,
+      dir: String, numFiles: Int, buckets: Int = 4096): Unit = {
+    require(buckets > 1 && buckets <= (1 << LatticeBits),
+      s"buckets must be in (1, 2^$LatticeBits]")
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    def boundsOf(k: String): Array[Double] = {
+      val b = df.stat.approxQuantile(k, probes, 1.0 / (4 * buckets))
+        .distinct.sorted
+      if (b.isEmpty) Array(0.0) else b
+    }
+    val (bA, bB) = (boundsOf(keyA), boundsOf(keyB))
+    // same-bit-width requirement as the linear path: raw bucket indexes
+    // span [0, |bounds|], and |bounds| differs per key after duplicate
+    // collapse — interleaving them directly lets the key with more
+    // surviving boundaries dominate the curve's top bits (measured: the
+    // skewed dim got at most one split). Stretch each index uniformly
+    // onto the shared lattice instead.
+    val cells = (1L << LatticeBits) - 1
+    def onLattice(c: org.apache.spark.sql.Column, nBuckets: Int) =
+      least(lit(cells), floor(c.cast("double") *
+        ((cells + 1).toDouble / nBuckets)).cast("long"))
+    val z = s"__z_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(z, LayoutExprs.zValue(
+        onLattice(LayoutExprs.bucketIndex(col(keyA).cast("double"), bA),
+          bA.length + 1),
+        onLattice(LayoutExprs.bucketIndex(col(keyB).cast("double"), bB),
+          bB.length + 1)))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Per-file min/max spans of a key in a written dataset — the stats a
     * file-skipping scan consults, surfaced as a frame for inspection and
     * for LayoutSpec's locality assertions. One job; reads only the key

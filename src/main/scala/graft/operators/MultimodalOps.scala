@@ -144,8 +144,13 @@ object MultimodalOps {
         .orderBy(col("asset_id"), col("frame_no"))
     }),
 
-    // The batched stubbed-decode stage; engine-specific byte features →
-    // rows-only driver check, exactness spec-tested in MultimodalSpec.
+    // The batched stubbed-decode stage. The stub codec is deterministic
+    // byte arithmetic, so it IS oracle-gated: the corpus text is ASCII,
+    // where byte values equal char codes — the DuckDB twin recomputes
+    // mean/max/stride-subsample/fold char-level. If the generator ever
+    // emits non-ASCII the hash gate fails loudly (byte-level and
+    // char-level diverge), which is the right failure. Byte-exactness on
+    // arbitrary binary stays spec-tested in MultimodalSpec.
     "mm_decode_features" -> ((s, d) =>
       decodeFeatures(s, assets(s, d)).orderBy(col("asset_id"))),
   )
@@ -170,6 +175,46 @@ object MultimodalOps {
            CAST(max(16 + n_chars % 64) AS INT) AS max_width,
            CAST(sum(8 + doc_id % 8) AS BIGINT) AS sum_frames
          FROM documents GROUP BY 1 ORDER BY modality""",
+    // The stub codec re-expressed char-level (exact on the ASCII corpus;
+    // see the query comment): stride = max(n/64, 1), k = min(64, ⌈n/stride⌉)
+    // sampled positions, mean/max over all bytes, and the 31x+b mod 1e9+7
+    // fold via list_reduce (whose seedless first step equals the
+    // zero-seeded fold's, since b0 < the modulus).
+    "mm_decode_features" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  text,
+                  CAST(octet_length(encode(text)) AS INT) AS n
+           FROM documents),
+         b AS (
+           SELECT *, CAST(greatest(n // 64, 1) AS INT) AS stride,
+                  CAST(least(64, (n + greatest(n // 64, 1) - 1)
+                    // greatest(n // 64, 1)) AS INT) AS k
+           FROM a),
+         c AS (
+           SELECT asset_id, modality, n, k,
+                  CASE WHEN n = 0 THEN 0.0
+                       ELSE CAST(list_aggregate(list_transform(range(1, n + 1),
+                              i -> ascii(substr(text, CAST(i AS INT), 1))),
+                            'sum') AS DOUBLE) / n
+                  END AS mean_byte,
+                  CASE WHEN n = 0 THEN 0
+                       ELSE CAST(list_aggregate(list_transform(range(1, n + 1),
+                              i -> ascii(substr(text, CAST(i AS INT), 1))),
+                            'max') AS INT)
+                  END AS max_byte,
+                  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                       ELSE list_reduce(list_transform(range(0, k),
+                              i -> CAST(ascii(substr(text,
+                                CAST(1 + i * stride AS INT), 1)) AS BIGINT)),
+                            (x, y) -> (x * 31 + y) % 1000000007)
+                  END AS thumb_ck
+           FROM b)
+         SELECT asset_id, modality, n AS n_bytes, mean_byte, max_byte,
+                k AS thumb_bytes, thumb_ck
+         FROM c ORDER BY asset_id""",
     "mm_frame_sample" ->
       """WITH f AS (
            SELECT asset_id, text, stride, unnest(range(0, n_frames)) AS frame_no

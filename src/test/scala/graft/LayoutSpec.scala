@@ -80,4 +80,62 @@ class LayoutSpec extends SparkSpec {
     // and strictly better than the single-key layout where it matters
     assert(zPart < sPart / 2, s"z partkey $zPart vs sorted $sPart")
   }
+
+  test("rank-normalized z-order keeps skipping on a Zipfian key") {
+    // heavy-tailed key: 90% of rows share 100 small values; the tail
+    // reaches ~1e9. The linear lattice maps the hot mass into ONE cell,
+    // the curve degenerates to a partkey sort, and every file's span
+    // covers the hot values — a point predicate on the skewed key reads
+    // every file. Equi-depth buckets (approx quantiles) spread the mass.
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("skew",
+        when(pmod(col("l_orderkey"), lit(10)) < 9,
+          pmod(col("l_orderkey"), lit(100)))
+          .otherwise(pmod(col("l_orderkey") * 7919L + col("l_partkey"),
+            lit(1000000000L))))
+      .select(col("skew"), col("l_partkey"))
+    val linDir = java.nio.file.Files
+      .createTempDirectory("graft-zlin-").toString
+    val rnkDir = java.nio.file.Files
+      .createTempDirectory("graft-zrnk-").toString
+    // 16 files = 4 curve bits = two splits per dimension (8 files would
+    // split the skew dim only once, capping its best span near 1/2)
+    Layout.writeZOrdered(li, "skew", "l_partkey", linDir, 16)
+    Layout.writeZOrderedRanked(li, "skew", "l_partkey", rnkDir, 16,
+      buckets = 256)
+    assert(spark.read.parquet(rnkDir).count() == li.count())
+
+    // metric: expected fraction of ROW MASS a file's [lo, hi] span
+    // covers — i.e. how much of the table a point query on a random row
+    // fails to skip. (Value-space spans are meaningless under skew.)
+    val (values, cum) = {
+      val vc = li.groupBy(col("skew")).count().orderBy(col("skew"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cums = vc.map(_._2).scanLeft(0L)(_ + _)
+      (vc.map(_._1), cums) // cum(i) = rows with value < values(i)
+    }
+    val total = cum.last.toDouble
+    def massSpan(dir: String): Double = {
+      val spans = Layout.fileSpans(spark.read.parquet(dir), "skew")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(spans.length >= 12)
+      spans.map { case (lo, hi) =>
+        val i = java.util.Arrays.binarySearch(values, lo)
+        val j = java.util.Arrays.binarySearch(values, hi)
+        assert(i >= 0 && j >= 0) // spans come from actual data values
+        (cum(j + 1) - cum(i)) / total
+      }.sum / spans.length
+    }
+    val linMass = massSpan(linDir)
+    val rnkMass = massSpan(rnkDir)
+    info(s"per-file row-mass span: linear=$linMass ranked=$rnkMass")
+    // linear: the hot cell's rows land in most files → spans swallow the
+    // table; ranked: equi-depth cells bound per-file mass near the
+    // curve's geometric limit (two splits → ~1/4, plus equi-depth cut
+    // raggedness and hot-value granularity)
+    assert(linMass > 0.5, s"linear lattice unexpectedly fine: $linMass")
+    assert(rnkMass < linMass * 0.6, s"ranked $rnkMass vs linear $linMass")
+    assert(rnkMass < 0.55, s"ranked layout mass span $rnkMass")
+  }
 }

@@ -304,6 +304,39 @@ class ScaleSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("large-star/small-star CC == min-label propagation, in far fewer rounds") {
+    import graft.operators.DedupOps
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // random graphs (fixed seed): identical labels on every node
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 10
+      val es = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = es.toDF("doc_a", "doc_b")
+      val a = labelsOf(DedupOps.connectedComponents(pairs))
+      val b = labelsOf(DedupOps.connectedComponentsStar(pairs))
+      assert(a === b, s"trial $trial")
+    }
+    // the round claim: an 80-link chain needs ~80 propagation rounds
+    // (labels travel one hop per iteration) but converges via star
+    // contraction in ≤ 12 alternations
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = labelsOf(DedupOps.connectedComponentsStar(chain, maxIters = 12))
+    assert(star.size == 81 && star.values.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain, maxIters = 12)
+    }
+    // and on the real dedup pair graph: same clusters as the registered
+    // propagation path (dedup_clusters' output is therefore unchanged)
+    val pairs = DedupOps.ngramJaccardPairs(spark, sf)
+      .select($"doc_a", $"doc_b")
+    assert(labelsOf(DedupOps.connectedComponents(pairs)) ===
+      labelsOf(DedupOps.connectedComponentsStar(pairs)))
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
