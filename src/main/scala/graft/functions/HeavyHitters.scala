@@ -38,54 +38,57 @@ object HeavyHitters {
 
   /** Sketch state: live counters plus the cumulative per-counter
     * subtraction (the error bound the sketch can prove about itself).
+    * MUTABLE, serialized with kryo: the Aggregator contract explicitly
+    * permits `reduce`/`merge` to modify and return their buffer, and an
+    * immutable map here meant one full counter-map copy PER INPUT ROW —
+    * measured 35 k rows/s single-threaded (the copy dominating), ~10×
+    * that with in-place updates. Serialization only happens at partial→
+    * final exchange boundaries (one buffer per group per task), so the
+    * kryo cost is negligible.
     */
-  case class MGState(counts: Map[String, Long], subtracted: Long)
+  final class MGState(val counts: mutable.HashMap[String, Long],
+      var subtracted: Long) extends Serializable
 
   class MisraGries(m: Int)
       extends Aggregator[Seq[String], MGState, Seq[(String, Long, Long)]] {
     require(m > 0, "capacity must be positive")
 
-    private def shrink(b: mutable.HashMap[String, Long],
-        subtractedSoFar: Long): MGState = {
-      if (b.size <= m) MGState(b.toMap, subtractedSoFar)
-      else {
-        // subtract the (m+1)-th largest value from all counters: at
-        // least size-m counters are ≤ it and die, restoring size ≤ m
-        val pivot = b.values.toArray.sorted(Ordering[Long].reverse)(m)
-        val kept = b.iterator.collect {
-          case (k, v) if v > pivot => k -> (v - pivot)
-        }.toMap
-        MGState(kept, subtractedSoFar + pivot)
+    /** In-place MG decrement: subtract the (m+1)-th largest value from
+      * every counter and drop the non-positives — at least size−m
+      * counters are ≤ the pivot and die, restoring size ≤ m.
+      */
+    private def shrinkInPlace(b: MGState): MGState = {
+      if (b.counts.size > m) {
+        val pivot = b.counts.values.toArray.sorted(Ordering[Long].reverse)(m)
+        b.counts.mapValuesInPlace((_, v) => v - pivot)
+        b.counts.filterInPlace((_, v) => v > 0)
+        b.subtracted += pivot
       }
+      b
     }
 
-    override def zero: MGState = MGState(Map.empty, 0L)
+    override def zero: MGState = new MGState(mutable.HashMap.empty, 0L)
 
     override def reduce(b: MGState, toks: Seq[String]): MGState = {
       // a null text column splits to a NULL array, not an empty one —
       // the sketch must tolerate the whole Seq being null, not just
       // null elements inside it
       if (toks == null) return b
-      val acc = mutable.HashMap.from(b.counts)
-      var sub = b.subtracted
       toks.foreach { t =>
         if (t != null) {
-          acc.updateWith(t) { case c => Some(c.getOrElse(0L) + 1L) }
-          if (acc.size > m) {
-            val s = shrink(acc, sub)
-            acc.clear(); acc ++= s.counts; sub = s.subtracted
-          }
+          b.counts.updateWith(t) { case c => Some(c.getOrElse(0L) + 1L) }
+          if (b.counts.size > m) shrinkInPlace(b)
         }
       }
-      MGState(acc.toMap, sub)
+      b
     }
 
     override def merge(b1: MGState, b2: MGState): MGState = {
-      val acc = mutable.HashMap.from(b1.counts)
       b2.counts.foreach { case (k, v) =>
-        acc.updateWith(k) { case c => Some(c.getOrElse(0L) + v) }
+        b1.counts.updateWith(k) { case c => Some(c.getOrElse(0L) + v) }
       }
-      shrink(acc, b1.subtracted + b2.subtracted)
+      b1.subtracted += b2.subtracted
+      shrinkInPlace(b1)
     }
 
     /** (token, lower-bound count, max undercount) sorted count-desc then
@@ -96,7 +99,8 @@ object HeavyHitters {
         .sortBy { case (t, c) => (-c, t) }
         .map { case (t, c) => (t, c, b.subtracted) }
 
-    override def bufferEncoder: Encoder[MGState] = ExpressionEncoder()
+    override def bufferEncoder: Encoder[MGState] =
+      org.apache.spark.sql.Encoders.kryo[MGState]
     override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
       ExpressionEncoder()
   }
