@@ -59,6 +59,14 @@ import graft.sources.Tables._
 object EventOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Parallelism for the two-phase groupRanks plans: the session's
+    * shuffle-partition setting — a hardcoded count would pin the rank
+    * queries to one width regardless of cluster size, the exact failure
+    * mode the two-phase form exists to avoid.
+    */
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   val queries: Map[String, Q] = Map(
     // W1: compact the event log to the latest row per user — the same
     // Cdc.compactLog the envelope path uses (one compaction definition).
@@ -157,7 +165,7 @@ object EventOps {
           .select(col("event_type"), col("value"), col("event_id"))
           .filter(col("value").isNotNull),
         group = Seq("event_type"), order = Seq("value", "event_id"),
-        numPartitions = 32)
+        numPartitions = shufflePartitions(s))
       def contrib(p: Double): org.apache.spark.sql.Column = {
         val rk = lit(p) * (col("__cnt") - 1).cast("double")
         val lo = floor(rk).cast("long")
@@ -282,7 +290,7 @@ object EventOps {
       val ranked = ScaleWindows.groupRanks(
         events(s, d).select(col("event_type"), col("value"), col("event_id")),
         group = Seq("event_type"), order = Seq("value", "event_id"),
-        numPartitions = 32)
+        numPartitions = shufflePartitions(s))
       ranked
         .withColumn("quartile",
           ScaleWindows.ntileCol(col("__pos"), col("__cnt"), 4).cast("int"))
