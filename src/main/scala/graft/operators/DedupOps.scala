@@ -634,6 +634,36 @@ object DedupOps {
         .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    // embeddings on the unit sphere, then near-dup only WITHIN each
+    // cluster — semantic duplicates co-locate, so the quadratic work is
+    // ~n²/k instead of n². This is the LEARNED-blocking twin of
+    // dedup_embedding_cosine's label blocking, and it reuses the SAME
+    // memoized spherical k-means cells the ANN path serves from (one
+    // clustering pays for both operators). Production sizes the cell
+    // count to n/target-block (Ann.Cells here is test-scale geometry);
+    // the block guard still fails fast if a cell outgrows the cap.
+    // Approximate by design — cross-cell duplicates are missed, so there
+    // is no SQL oracle; DedupAnnSpec pins exactness of every reported
+    // pair (precision 1.0) and measures recall against the global
+    // brute-force pair set on this worst-case (near-uniform) corpus.
+    "dedup_semantic" -> ((s, d) => {
+      val idx = Ann.ivfIndex(s, d)
+      val v = requireBoundedBlocks(
+        s.read.parquet(idx.dir)
+          .select(col("vec_id"), col("cell"), col("vec")),
+        "cell", MaxCosineBlockRows)
+      val a = v.toDF("vec_a", "cell", "ev_a")
+      val b = v.toDF("vec_b", "cell", "ev_b")
+      a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
+        .filter(col("cos") >= 0.30)
+        .select(col("vec_a"), col("vec_b"), col("cell"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
   )
 
   /** 64-bit SimHash per document: hash each token, sum ±1 per bit position

@@ -332,6 +332,42 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Unpivot (melt): the per-type stats row widened by aggregation,
+    // reshaped back to tidy (event_type, stat, v) rows — the inverse of
+    // cdc_pivot_counts' reshaping direction. Row-local after the agg
+    // (no extra shuffle).
+    "cdc_unpivot_stats" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          round(min(col("value")), 4).as("mn"),
+          round(max(col("value")), 4).as("mx"))
+        .unpivot(Array(col("event_type")),
+          Array(col("sd"), col("variance"), col("mn"), col("mx")),
+          "stat", "v")
+        .orderBy(col("event_type"), col("stat"))
+    }),
+
+    // W2: RANGE-frame window — per user, trailing 1-hour event count and
+    // exact money sum by EVENT TIME (not row count): the frame is
+    // [ts − 1h, ts] in epoch micros, so bursts widen the frame's row
+    // count while quiet periods shrink it. user_id is high-cardinality —
+    // the window shuffle spreads (see the cardinality ledger). Epoch
+    // MICROS on both engines: second-truncated ordering would disagree
+    // with DuckDB's exact interval arithmetic on sub-second timestamps.
+    "cdc_user_trailing_1h" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(money(col("value"))).over(w)
+          .cast("double"))
+        .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // W2: per-user event ordering with lag — inter-event gap in seconds.
     "cdc_event_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -459,6 +495,23 @@ object EventOps {
            CAST(date_diff('second', max_ts, (SELECT max(max_ts) FROM p))
              AS BIGINT) AS lag_s
          FROM p ORDER BY event_type""",
+    "cdc_unpivot_stats" ->
+      """WITH w AS (SELECT event_type,
+             round(stddev_samp(value), 4) AS sd,
+             round(var_samp(value), 4) AS variance,
+             round(min(value), 4) AS mn, round(max(value), 4) AS mx
+           FROM events GROUP BY event_type)
+         SELECT event_type, stat, v
+         FROM (UNPIVOT w ON sd, variance, mn, mx INTO NAME stat VALUE v)
+         ORDER BY event_type, stat""",
+    "cdc_user_trailing_1h" ->
+      """SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "cdc_event_gaps" ->
       """SELECT user_id, event_id,
          CAST(date_diff('second',

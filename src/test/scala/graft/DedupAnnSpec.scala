@@ -39,6 +39,37 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: exact pairs within cells, measured recall vs brute force") {
+    import spark.implicits._
+    val got = DedupOps.queries("dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // global brute-force truth at the same threshold
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val a = vecs.toDF("vec_a", "ev_a")
+    val b = vecs.toDF("vec_b", "ev_b")
+    val brute = a.crossJoin(b).filter($"vec_a" < $"vec_b")
+      .withColumn("cos", round(SimilarityOps.cosine($"ev_a", $"ev_b"), 4))
+      .filter($"cos" >= 0.30)
+      .select($"vec_a", $"vec_b", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every reported pair is a true pair with the exact
+    // similarity (the within-cell compute is exact, only COVERAGE is
+    // approximate)
+    got.foreach { case (pair, cos) =>
+      assert(brute.get(pair).contains(cos), s"$pair not exact: $cos")
+    }
+    // recall: this corpus is the documented IVF worst case (near-uniform
+    // sphere — 0.30-cosine pairs sit ~72° apart and often straddle cell
+    // boundaries), the floor below is what spherical k-means@10 cells
+    // actually retains there; clustered corpora retain far more
+    assert(brute.nonEmpty)
+    val recall = got.size.toDouble / brute.size
+    info(s"semantic-dedup recall vs brute force: $recall (${got.size}/${brute.size})")
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("ann_ivf_topk query plan probes the prebuilt index, no k-means job") {
     val df = Ann.queries("ann_ivf_topk")(spark, sf)
     // the returned plan reads ONLY the cell-partitioned index path — the

@@ -43,7 +43,10 @@ class EmptyInputSpec extends SparkSpec {
       // input (global aggregates like cdc_funnel legitimately keep their
       // one zero-row and are excluded)
       "asof_last_click", "asof_next_purchase", "sessionize",
-      "cdc_value_quantile_sketch")
+      "cdc_value_quantile_sketch",
+      // the two-phase groupRanks registrations and the round-4 additions
+      "cdc_value_quartiles", "cdc_value_percentiles",
+      "cdc_unpivot_stats", "cdc_user_trailing_1h")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
       assert(rows.isEmpty, s"$n returned ${rows.length} rows on empty input")
