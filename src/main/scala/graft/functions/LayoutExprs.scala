@@ -94,11 +94,16 @@ object LayoutExprs {
     * the mass uniformly over the lattice
     * ([[graft.operators.Layout.writeZOrderedRanked]]).
     */
-  case class BucketIndex(child: Expression, bounds: Array[Double])
+  case class BucketIndex(child: Expression, bounds: Seq[Double])
       extends UnaryExpression {
+    // Seq, not Array: a case class with an Array parameter compares by
+    // reference, defeating Catalyst canonicalization/CSE for identical
+    // bucket_index expressions
     require(bounds.nonEmpty, "bucket boundaries must be non-empty")
     require(bounds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       "bucket boundaries must be strictly increasing")
+
+    private lazy val boundsArr: Array[Double] = bounds.toArray
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -108,13 +113,13 @@ object LayoutExprs {
     override def prettyName: String = "bucket_index"
 
     override def nullSafeEval(v: Any): Any = {
-      val r = java.util.Arrays.binarySearch(bounds, v.asInstanceOf[Double])
+      val r = java.util.Arrays.binarySearch(boundsArr, v.asInstanceOf[Double])
       (if (r >= 0) r + 1 else -(r + 1)).toLong
     }
 
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
-      val b = ctx.addReferenceObj("bounds", bounds, "double[]")
+      val b = ctx.addReferenceObj("bounds", boundsArr, "double[]")
       nullSafeCodeGen(ctx, ev, v => {
         val r = ctx.freshName("r")
         s"""int $r = java.util.Arrays.binarySearch($b, $v);
@@ -126,6 +131,6 @@ object LayoutExprs {
         : BucketIndex = copy(child = newChild)
   }
 
-  def bucketIndex(c: Column, bounds: Array[Double]): Column =
+  def bucketIndex(c: Column, bounds: Seq[Double]): Column =
     Bridge.column(BucketIndex(Bridge.expression(c), bounds))
 }

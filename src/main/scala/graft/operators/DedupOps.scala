@@ -285,10 +285,17 @@ object DedupOps {
     }
     require(done, s"star contraction did not converge in $maxIters")
     // converged: star graphs rooted at component minima — labels read
-    // off as min over the closed neighborhood; roots label themselves
+    // off as min over the closed neighborhood; roots label themselves.
+    // Nodes whose only edges were self-loops were dropped with those
+    // loops at canonicalization — re-attach them as their own singleton
+    // components so the output node set matches propagation's exactly.
     val adj = undirected(edges)
-    adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    val starLabels = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
+    val allNodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    allNodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
       .localCheckpoint()
   }
 

@@ -332,6 +332,44 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Equi-width histogram: 10 value bins per type. The global [lo, hi]
+    // is a 2-value aggregate — driver-side and data-size-independent
+    // (same bounded-collect pattern as Layout's lattice bounds); the
+    // binning itself is a row-local expression feeding one hash-agg.
+    // Both engines bin with identical IEEE double arithmetic.
+    "cdc_value_histogram" -> ((s, d) => {
+      // NULL values carry no bin (and would make the engines disagree on
+      // the degenerate all-NULL column) — excluded on both sides
+      val ev = events(s, d).filter(col("value").isNotNull)
+      val r = ev.agg(min(col("value")).cast("double"),
+        max(col("value")).cast("double")).collect()(0)
+      // empty/all-NULL input: bounds are NULL — any constants keep the
+      // contract (the groupBy over zero rows yields zero rows regardless)
+      val (lo, hi) =
+        if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
+      val bin =
+        if (hi == lo) lit(0)
+        else least(lit(9), floor((col("value") - lit(lo))
+          / lit(hi - lo) * 10)).cast("int")
+      ev.groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Pearson correlation per type between the event value and the
+    // JSON-extracted props key — single-pass mergeable moments, safe at
+    // any group cardinality (both engines define sample correlation
+    // identically; round(4) absorbs merge-order ulps).
+    "cdc_value_corr" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("k")), 4).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("cov_vk"))
+        .orderBy(col("event_type"))
+    }),
+
     // Unpivot (melt): the per-type stats row widened by aggregation,
     // reshaped back to tidy (event_type, stat, v) rows — the inverse of
     // cdc_pivot_counts' reshaping direction. Row-local after the agg
@@ -346,6 +384,10 @@ object EventOps {
         .unpivot(Array(col("event_type")),
           Array(col("sd"), col("variance"), col("mn"), col("mx")),
           "stat", "v")
+        // DuckDB's UNPIVOT excludes NULL values (a single-row type has
+        // NULL sd/variance) while Spark retains them — drop them here so
+        // both engines agree on degenerate groups
+        .filter(col("v").isNotNull)
         .orderBy(col("event_type"), col("stat"))
     }),
 
@@ -447,11 +489,15 @@ object EventOps {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // WHERE value IS NOT NULL: quantile_cont skips NULLs but would still
+    // EMIT a group whose values are all NULL; the groupRanks plan drops
+    // such rows before grouping, so the group vanishes on both sides.
     "cdc_value_percentiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.95), 4) AS p95
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "cdc_type_filter" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE regexp_matches(event_type, '^(click|view)$')
@@ -495,6 +541,23 @@ object EventOps {
            CAST(date_diff('second', max_ts, (SELECT max(max_ts) FROM p))
              AS BIGINT) AS lag_s
          FROM p ORDER BY event_type""",
+    "cdc_value_histogram" ->
+      """WITH b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                           CAST(max(value) AS DOUBLE) AS hi FROM events)
+         SELECT event_type,
+           CAST(CASE WHEN hi = lo THEN 0
+                ELSE least(9, floor((value - lo) / (hi - lo) * 10))
+                END AS INT) AS bin,
+           count(*) AS n
+         FROM events, b WHERE value IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "cdc_value_corr" ->
+      """SELECT event_type,
+           round(corr(value, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+             AS INT)), 4) AS corr_vk,
+           round(covar_samp(value, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+             AS INT)), 4) AS cov_vk
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_unpivot_stats" ->
       """WITH w AS (SELECT event_type,
              round(stddev_samp(value), 4) AS sd,

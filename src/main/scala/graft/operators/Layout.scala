@@ -85,12 +85,15 @@ object Layout {
     require(buckets > 1 && buckets <= (1 << LatticeBits),
       s"buckets must be in (1, 2^$LatticeBits]")
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    def boundsOf(k: String): Array[Double] = {
-      val b = df.stat.approxQuantile(k, probes, 1.0 / (4 * buckets))
-        .distinct.sorted
-      if (b.isEmpty) Array(0.0) else b
+    // one GK-sketch scan computes BOTH keys' boundaries (the
+    // single-column overload would read the table twice)
+    val both = df.stat.approxQuantile(Array(keyA, keyB), probes,
+      1.0 / (4 * buckets))
+    def cleaned(b: Array[Double]): Array[Double] = {
+      val d = b.distinct.sorted
+      if (d.isEmpty) Array(0.0) else d
     }
-    val (bA, bB) = (boundsOf(keyA), boundsOf(keyB))
+    val (bA, bB) = (cleaned(both(0)), cleaned(both(1)))
     // same-bit-width requirement as the linear path: raw bucket indexes
     // span [0, |bounds|], and |bounds| differs per key after duplicate
     // collapse — interleaving them directly lets the key with more

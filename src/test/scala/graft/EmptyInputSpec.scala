@@ -46,7 +46,8 @@ class EmptyInputSpec extends SparkSpec {
       "cdc_value_quantile_sketch",
       // the two-phase groupRanks registrations and the round-4 additions
       "cdc_value_quartiles", "cdc_value_percentiles",
-      "cdc_unpivot_stats", "cdc_user_trailing_1h")
+      "cdc_unpivot_stats", "cdc_user_trailing_1h",
+      "cdc_value_histogram", "cdc_value_corr")
     names.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, emptyDir).collect()
       assert(rows.isEmpty, s"$n returned ${rows.length} rows on empty input")

@@ -322,10 +322,16 @@ class ScaleSpec extends SparkSpec {
     }
     // the round claim: an 80-link chain needs ~80 propagation rounds
     // (labels travel one hop per iteration) but converges via star
-    // contraction in ≤ 12 alternations
-    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // contraction in ≤ 12 alternations. The appended self-loop pins the
+    // node-set parity: a node whose only edge is (d, d) must still be
+    // labeled (as its own singleton), exactly as propagation labels it.
+    val chain = ((0L until 80L).map(i => (i, i + 1)) :+ (200L, 200L))
+      .toDF("doc_a", "doc_b")
     val star = labelsOf(DedupOps.connectedComponentsStar(chain, maxIters = 12))
-    assert(star.size == 81 && star.values.forall(_ == 0L))
+    assert(star.size == 82 && star(200L) == 200L &&
+      star.removed(200L).values.forall(_ == 0L))
+    assert(star === labelsOf(DedupOps.connectedComponents(chain,
+      maxIters = 100)))
     intercept[IllegalArgumentException] {
       DedupOps.connectedComponents(chain, maxIters = 12)
     }
