@@ -37,6 +37,21 @@ object GraftFunctions {
         s"$name: $arg must be an INT literal, got $other")
     }
 
+  private def litDoubleArray(name: String, arg: String,
+      e: Expression): Seq[Double] =
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) if e.foldable =>
+        e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"$name: $arg did not fold to an array, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$name: $arg must be a foldable ARRAY<DOUBLE> literal, got $e")
+    }
+
   val all: Seq[Triple] = Seq(
     triple("cosine_sim", classOf[VectorExprs.CosineSimilarity], 2)(a =>
       VectorExprs.CosineSimilarity(a(0), a(1))),
@@ -69,6 +84,11 @@ object GraftFunctions {
       a => TextExprs.SortedIntersectSize(a(0), a(1))),
     triple("z_value", classOf[LayoutExprs.ZValue], 2)(a =>
       LayoutExprs.ZValue(a(0), a(1))),
+    // boundaries must be a foldable array<double> (e.g. array(0.5, 1.5))
+    // — they parameterize the expression instance like the width args do
+    triple("bucket_index", classOf[LayoutExprs.BucketIndex], 2)(a =>
+      LayoutExprs.BucketIndex(a(0), litDoubleArray("bucket_index",
+        "bounds", a(1)))),
     // BloomExprs.BloomMightContainLong has no SQL face: its filter
     // argument is a driver-built sketch object, not a SQL-expressible
     // literal (Spark's own might_contain is internal-only for the same

@@ -113,6 +113,15 @@ object ScaleWindows {
         }
         m.iterator.map { case (k, n) => (pid, k, n) }
       }.collect()
+    // this machinery exists for LOW-cardinality groups — with a
+    // high-cardinality key the offset table itself becomes data-sized
+    // on the driver, and the plain window (which spreads fine on such
+    // keys) is the right tool. Named failure instead of a silent OOM.
+    require(counts.length <= 4_000_000,
+      s"groupRanks collected ${counts.length} (partition, group) " +
+        "offsets — the group key looks high-cardinality; use " +
+        "Window.partitionBy for high-cardinality keys (they spread " +
+        "across tasks on their own)")
     val totals: Map[Seq[Any], Long] =
       counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
     val offsets: Map[(Int, Seq[Any]), Long] =
