@@ -299,6 +299,23 @@ object DedupOps {
       .localCheckpoint()
   }
 
+  /** INCREMENTAL connected components — the continuous-ingest companion
+    * to [[dedup_incremental]]'s pair stream: fold a new batch of dup
+    * edges into EXISTING labels without revisiting the historical pair
+    * table. A label table IS a star graph (every node linked to its
+    * component root), and star graphs preserve connectivity — so
+    * labels-as-edges ∪ new-pairs has exactly the components of
+    * old-pairs ∪ new-pairs, at the cost of |nodes| + |batch| edges
+    * instead of |all historical pairs|. Runs the round-efficient star
+    * contraction (the batch may chain components together). Spec pins
+    * incremental == monolithic recompute.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame)
+      : DataFrame =
+    connectedComponentsStar(
+      labels.select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+        .union(newPairs.select(col("doc_a"), col("doc_b"))))
+
   /** Co-occurring doc pairs by per-gram combination generation (groupBy
     * gram, collect doc list, explode ordered pairs): Σ df² rows. This is
     * the NAIVE candidate generator — quadratic in the hottest gram's df —

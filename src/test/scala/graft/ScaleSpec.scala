@@ -343,6 +343,25 @@ class ScaleSpec extends SparkSpec {
       labelsOf(DedupOps.connectedComponentsStar(pairs)))
   }
 
+  test("incremental components == recompute over old ∪ new pairs") {
+    import graft.operators.DedupOps
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // old graph: two chains and a singleton-ish pair; the new batch
+    // BRIDGES the two chains (the case where stale labels would be
+    // wrong without re-running contraction) and adds a fresh node
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((3L, 10L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val incremental = labelsOf(DedupOps.incrementalComponents(
+      DedupOps.connectedComponents(oldPairs), newPairs))
+    val monolithic = labelsOf(
+      DedupOps.connectedComponents(oldPairs.union(newPairs)))
+    assert(incremental === monolithic)
+    // the bridge actually merged: both chains now share root 1
+    assert(incremental(12L) == 1L && incremental(30L) == 30L)
+  }
+
   test("stateAt reconstructs table state as of an LSN") {
     val log = Seq(
       // (id, name, op, lsn)  — lsn in the reference's X/Y hex format
