@@ -38,19 +38,25 @@ object GraftFunctions {
     }
 
   private def litDoubleArray(name: String, arg: String,
-      e: Expression): Seq[Double] =
+      e: Expression): Seq[Double] = {
+    import org.apache.spark.sql.types.{ArrayType, NumericType}
+    // any numeric element type: SQL `array(0.5, 1.5)` parses as
+    // array<decimal(2,1)>, so an exact ARRAY<DOUBLE> match would reject
+    // the natural call form
     e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, _) if e.foldable =>
-        e.eval() match {
+      case ArrayType(_: NumericType, n) if e.foldable =>
+        val widened = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, ArrayType(org.apache.spark.sql.types.DoubleType, n))
+        widened.eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             a.toDoubleArray().toSeq
           case other => throw new IllegalArgumentException(
             s"$name: $arg did not fold to an array, got $other")
         }
       case _ => throw new IllegalArgumentException(
-        s"$name: $arg must be a foldable ARRAY<DOUBLE> literal, got $e")
+        s"$name: $arg must be a foldable numeric-array literal, got $e")
     }
+  }
 
   val all: Seq[Triple] = Seq(
     triple("cosine_sim", classOf[VectorExprs.CosineSimilarity], 2)(a =>

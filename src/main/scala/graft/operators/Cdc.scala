@@ -222,20 +222,23 @@ object Cdc {
       filesPerPartition: Int = 1): Unit = {
     // eager localCheckpoint breaks lineage from the input files — Spark
     // (rightly) refuses to overwrite a path its plan still reads from
+    // eager checkpoint: the compaction overwrites the very path it
+    // reads, so the snapshot must be materialized first. Checkpoint
+    // blocks are reclaimed at the next driver GC — an unpersist() here
+    // would be a no-op (CacheManager-only; see the DedupOps/kmeans
+    // notes), so none is attempted.
     val snapshot = spark.read.parquet(path).localCheckpoint()
-    try {
-      // hash-partitioning on the time columns alone would land each
-      // time-partition cell in exactly ONE task (one output file) whatever
-      // filesPerPartition says — a stable row-hash salt splits each cell
-      // across up to filesPerPartition tasks/files. Shuffle width stays the
-      // session default so compaction parallelism is not capped by the
-      // per-cell file target.
-      val compacted = snapshot.repartition(
-        col("year"), col("month"), col("day"), col("hour"),
-        pmod(xxhash64(snapshot.columns.toIndexedSeq.map(col): _*),
-          lit(filesPerPartition)))
-      overwriteTimePartitions(compacted, path)
-    } finally snapshot.unpersist()
+    // hash-partitioning on the time columns alone would land each
+    // time-partition cell in exactly ONE task (one output file) whatever
+    // filesPerPartition says — a stable row-hash salt splits each cell
+    // across up to filesPerPartition tasks/files. Shuffle width stays the
+    // session default so compaction parallelism is not capped by the
+    // per-cell file target.
+    val compacted = snapshot.repartition(
+      col("year"), col("month"), col("day"), col("hour"),
+      pmod(xxhash64(snapshot.columns.toIndexedSeq.map(col): _*),
+        lit(filesPerPartition)))
+    overwriteTimePartitions(compacted, path)
   }
 
   /** Count-conservation probe (reference monitor-pipeline.sh:55-58 vs

@@ -124,10 +124,14 @@ object EventOps {
     }),
 
     // S5: schemaless JSON props → typed column with an explicit pattern.
+    // nullif: regexp_extract yields '' on no-match, and CAST('' AS INT)
+    // ABORTS under ANSI mode (the session default) — a props row without
+    // the key must degrade to a NULL-skipped aggregate, not kill the job.
     "cdc_props_extract" -> ((s, d) => {
       events(s, d)
         .withColumn("k",
-          regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("int"))
+          nullif(regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1),
+            lit("")).cast("int"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
@@ -287,8 +291,13 @@ object EventOps {
     // derived in closed form from (__pos, __cnt) — spec-equal to the
     // window formulation (ScaleSpec) and oracle-gated here.
     "cdc_value_quartiles" -> ((s, d) => {
+      // NULL values are excluded from the ranking: Spark's sort would
+      // rank them FIRST while the oracle's window (DuckDB default)
+      // ranks them LAST — there is no portable NULL quartile, so both
+      // sides drop the rows (same choice as cdc_value_percentiles)
       val ranked = ScaleWindows.groupRanks(
-        events(s, d).select(col("event_type"), col("value"), col("event_id")),
+        events(s, d).select(col("event_type"), col("value"), col("event_id"))
+          .filter(col("value").isNotNull),
         group = Seq("event_type"), order = Seq("value", "event_id"),
         numPartitions = shufflePartitions(s))
       ranked
@@ -363,7 +372,8 @@ object EventOps {
     "cdc_value_corr" -> ((s, d) => {
       events(s, d)
         .withColumn("k",
-          regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("int"))
+          nullif(regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1),
+            lit("")).cast("int"))
         .groupBy(col("event_type"))
         .agg(round(corr(col("value"), col("k")), 4).as("corr_vk"),
           round(covar_samp(col("value"), col("k")), 4).as("cov_vk"))
@@ -446,8 +456,8 @@ object EventOps {
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "cdc_props_extract" ->
       """SELECT event_type,
-         CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
-         CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS INT) AS max_k
+         CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT)) AS BIGINT) AS sum_k,
+         CAST(max(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_weekly_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
@@ -519,7 +529,7 @@ object EventOps {
            SELECT event_type,
              ntile(4) OVER w AS quartile,
              round(percent_rank() OVER w, 4) AS pr
-           FROM events
+           FROM events WHERE value IS NOT NULL
            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
          SELECT event_type, quartile, count(*) AS n,
            round(max(pr), 4) AS max_pr
@@ -553,10 +563,10 @@ object EventOps {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "cdc_value_corr" ->
       """SELECT event_type,
-           round(corr(value, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
-             AS INT)), 4) AS corr_vk,
-           round(covar_samp(value, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
-             AS INT)), 4) AS cov_vk
+           round(corr(value, CAST(NULLIF(regexp_extract(props,
+             '"k":\s*(-?\d+)', 1), '') AS INT)), 4) AS corr_vk,
+           round(covar_samp(value, CAST(NULLIF(regexp_extract(props,
+             '"k":\s*(-?\d+)', 1), '') AS INT)), 4) AS cov_vk
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_unpivot_stats" ->
       """WITH w AS (SELECT event_type,

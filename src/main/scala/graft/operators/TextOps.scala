@@ -49,9 +49,12 @@ object TextOps {
     * fragment expecting `text` in scope (emits alpha_ratio/punct_ratio).
     */
   private[operators] val qualityRatioSql: String =
+    // \x0B: RE2's \s omits the vertical tab that Java's \s (and the
+    // kernel) count as whitespace — spell it out so a VT in a document
+    // cannot flip punct_ratio between the engines
     """round(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
          AS DOUBLE) / length(text), 4) AS alpha_ratio,
-       round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+       round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s\x0B]'))
          AS DOUBLE) / length(text), 4) AS punct_ratio"""
 
   /** DuckDB twin of the keep predicate over len/alpha_ratio/punct_ratio. */

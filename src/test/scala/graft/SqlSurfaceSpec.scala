@@ -48,7 +48,7 @@ class SqlSurfaceSpec extends SparkSpec {
              sorted_distinct_longs(shingle_hashes(text, 5)), 16)) AS k,
            sorted_intersect_size(array(1L, 3L), array(3L, 9L)) AS c,
            z_value(1L, 3L) AS z,
-           bucket_index(CAST(1.0 AS DOUBLE), array(0.5D, 1.5D)) AS bk
+           bucket_index(CAST(1.0 AS DOUBLE), array(0.5, 1.5)) AS bk
          FROM documents ORDER BY doc_id LIMIT 3""").collect()
     assert(r.length === 3)
     r.foreach { row =>
