@@ -500,6 +500,45 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(out).count() === events.count())
   }
+
+  test("streaming cluster maintenance: folding pair batches == batch CC") {
+    // continuous dedup clustering: each micro-batch of near-dup pairs
+    // folds into the label state via incrementalComponents — the
+    // historical pair table is never revisited. Batches are chosen so a
+    // LATER batch bridges two components built in EARLIER batches (the
+    // case where stale labels must be re-contracted, not just appended).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((11L, 12L), (20L, 21L)),
+      Seq((3L, 10L), (30L, 30L))) // bridge + a self-loop singleton
+    var labels = spark.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("lbl", lit(0L)).limit(0)
+    var nBatches = 0
+    val run = mem.toDS().toDF("doc_a", "doc_b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          labels = DedupOps.incrementalComponents(labels, batch)
+          nBatches += 1
+        }
+      }
+      .start()
+    // one processAllAvailable per addData = one REAL micro-batch each,
+    // so the fold genuinely runs incrementally (AvailableNow over
+    // pre-added data would collapse everything into a single batch)
+    batches.foreach { b => mem.addData(b: _*); run.processAllAvailable() }
+    run.stop()
+    assert(nBatches == batches.length, s"expected 3 micro-batches, got $nBatches")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = DedupOps.connectedComponents(
+        batches.flatten.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got(12L) == 1L && got(30L) == 30L) // bridged + singleton
+  }
 }
 
 /** One record in the shape spark-sql-kafka's source emits
