@@ -49,6 +49,14 @@ object GraftFunctions {
           e, ArrayType(org.apache.spark.sql.types.DoubleType, n))
         widened.eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            // a NULL element would otherwise surface as an opaque
+            // NPE/assertion out of toDoubleArray — name the error
+            var i = 0
+            while (i < a.numElements()) {
+              if (a.isNullAt(i)) throw new IllegalArgumentException(
+                s"$name: $arg must not contain NULL elements (element $i)")
+              i += 1
+            }
             a.toDoubleArray().toSeq
           case other => throw new IllegalArgumentException(
             s"$name: $arg did not fold to an array, got $other")

@@ -631,16 +631,18 @@ object TextExprs {
     Bridge.column(MinhashSignature(Bridge.expression(arr), k))
 
   /** Fused 64-bit SimHash of the single-space tokenization: per token t,
-    * h = xxhash64(t); per bit position, count +1/−1 by the bit of h; the
-    * signature sets the bits with positive balance. Bit-identical to the
-    * explode(split)+64-sum-aggregate formulation [[graft.operators
-    * .DedupOps.simhash]] (spec-pinned): tokenization mirrors
-    * `split(text, " ")` with limit −1 — split at EVERY space byte (0x20
-    * never occurs inside a UTF-8 multibyte sequence), empty tokens kept —
-    * and each token's hash is computed over the SAME UTF-8 bytes Spark's
-    * xxhash64 hashes, in place over the parent buffer (zero allocation).
-    * Turns the simhash pipeline's posting shuffle + 64-column aggregate
-    * into a per-row projection.
+    * h = the SAME FNV-1a-over-code-points + fmix64 hash every window
+    * kernel here uses (== each element of [[tokenNgramHash]](text, 1) —
+    * one hash-primitive family, so the constants cannot drift); per bit
+    * position, count +1/−1 by the bit of h; the signature sets the bits
+    * with positive balance. Bit-identical to the explode+64-sum-aggregate
+    * formulation [[graft.operators.DedupOps.simhash]] (spec-pinned):
+    * tokenization mirrors `split(text, " ")` with limit −1 (split at
+    * EVERY space, empty tokens kept). The code-point fold is also what
+    * makes the signature CROSS-ENGINE verifiable: DuckDB's substr/ascii
+    * walk code points, so the dedup_simhash oracle replays the exact
+    * fold with HUGEINT modular arithmetic. Turns the simhash pipeline's
+    * posting shuffle + 64-column aggregate into a per-row projection.
     */
   case class SimhashSignature(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes()
@@ -672,26 +674,25 @@ object TextExprs {
 
   /** The simhash kernel — also the call target of generated code. */
   def simhashSignature(s: UTF8String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val n = s.numBytes()
+    val toks = s.toString.split(" ", -1)
     val cnt = new Array[Int](64)
-    var start = 0
-    var i = 0
-    while (i <= n) {
-      val atSpace = i < n &&
-        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
-      if (i == n || atSpace) {
-        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
-          b += 1
-        }
-        start = i + 1
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var h0 = FnvBasis
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h0 = fnvStep(h0, cp)
+        i += Character.charCount(cp)
       }
-      i += 1
+      val h = fmix64(h0)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      t += 1
     }
     var sig = 0L
     var b = 0

@@ -91,6 +91,24 @@ object Ann {
     */
   def cellOf(v: Column, cents: Seq[Seq[Double]]): Column = nearestCell(v, cents)
 
+  /** Top-m nearest cell ids for a vector, ascending (distance, cell) —
+    * element 1 is exactly [[cellOf]]. SOFT assignment: near-threshold
+    * cosine pairs often straddle a cell boundary (the worst case on
+    * near-uniform corpora), so a within-cell operator that expands each
+    * vector into its m nearest cells sees boundary pairs at m× the
+    * assignment rows — the standard IVF/SemDeDup soft-assignment fix.
+    * Codegen-friendly: one literal-centroid distance array, sorted once
+    * per row, m element_at projections (no per-element lambda).
+    */
+  def softCellsOf(v: Column, cents: Seq[Seq[Double]], m: Int): Column = {
+    require(m >= 1 && m <= cents.length,
+      s"softCellsOf m=$m out of range 1..${cents.length}")
+    val sorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2(v, c).as("d"), lit(i).as("cell"))
+    }: _*))
+    array((1 to m).map(j => element_at(sorted, j).getField("cell")): _*)
+  }
+
   /** Distributed Lloyd k-means over an (id, vec: array<double>) frame.
     * Returns k centroids. Each iteration: broadcast-assign (narrow) +
     * one posexplode/groupBy shuffle emitting k·dim rows. Centroid means

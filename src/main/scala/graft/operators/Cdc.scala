@@ -220,10 +220,9 @@ object Cdc {
     */
   def compactTimePartitions(spark: SparkSession, path: String,
       filesPerPartition: Int = 1): Unit = {
-    // eager localCheckpoint breaks lineage from the input files — Spark
-    // (rightly) refuses to overwrite a path its plan still reads from
     // eager checkpoint: the compaction overwrites the very path it
-    // reads, so the snapshot must be materialized first. Checkpoint
+    // reads, so the snapshot must be materialized first (Spark rightly
+    // refuses to overwrite a path its plan still reads from). Checkpoint
     // blocks are reclaimed at the next driver GC — an unpersist() here
     // would be a no-op (CacheManager-only; see the DedupOps/kmeans
     // notes), so none is attempted.

@@ -136,6 +136,13 @@ object DedupOps {
     */
   val MaxCosineBlockRows = 20000L
 
+  /** Soft-assignment width for dedup_semantic: each vector joins from
+    * its 3 nearest cells (primary first). Measured on the near-uniform
+    * worst-case corpus: recall 0.31 (single-cell) → see DedupAnnSpec's
+    * gate, at ≤3× the single-cell join rows.
+    */
+  val SemDedupProbes = 3
+
   /** Fail-fast guard for blocked all-pairs operators: a block whose row
     * count exceeds `maxBlockRows` would generate n²/2 pairs inside one
     * join — at scale that is a silent stage meltdown, so surface it as an
@@ -278,8 +285,13 @@ object DedupOps {
         .union(minsS.select(col("mn").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
       val nextSig = signature(next)
+      // the signature is 64-bit — a collision across an iteration would
+      // otherwise declare FALSE convergence and silently read labels off
+      // a non-star graph. When signatures first match, confirm real set
+      // equality with one cheap exceptAll (counts already match, so one
+      // direction suffices); a collision then just keeps iterating.
+      done = nextSig == sig && next.exceptAll(edges).isEmpty
       edges = next
-      done = nextSig == sig
       sig = nextSig
       iters += 1
     }
@@ -448,33 +460,11 @@ object DedupOps {
     * result immediately so the posting-list checkpoint backing it can be
     * released right away instead of waiting on a driver GC.
     */
-  // strong-keyed map + explicit eviction when the session's context ends.
-  // A WeakHashMap cannot work here: the cached DataFrames hold a strong
-  // reference back to their SparkSession — the key — and value→key strong
-  // references defeat weak-key reclamation, so a stopped session would be
-  // pinned for the process lifetime anyway. Sessions sharing one context
-  // via newSession() stay cached until the context stops (acceptable: the
-  // inner map is tiny — one entry per scale dir).
-  private val pairTables = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  private def sessionCache(s: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, DataFrame] =
-    pairTables.computeIfAbsent(s, sess => {
-      sess.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = {
-            pairTables.remove(sess); ()
-          }
-        })
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    })
-
+  // session-scoped memoization via [[SessionCache]] (strong keys +
+  // applicationEnd eviction — see its scaladoc for why weak keys can't work)
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    sessionCache(s)
-      .getOrElseUpdate(d, {
+    SessionCache
+      .getOrElseUpdate(s, "ngramPairs#" + d, {
         // the doc-set arrays feed the posting explode (df table + prefix
         // ranking) and both sides of the verification join — persist()
         // (NOT localCheckpoint: on a checkpointed frame unpersist() only
@@ -499,8 +489,8 @@ object DedupOps {
     * eagerly checkpointed frame.
     */
   private[graft] def ngramClusterLabels(s: SparkSession, d: String): DataFrame =
-    sessionCache(s)
-      .getOrElseUpdate(d + "#cc", connectedComponents(
+    SessionCache
+      .getOrElseUpdate(s, "ngramPairs#" + d + "#cc", connectedComponents(
         ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
 
   val queries: Map[String, Q] = Map(
@@ -588,6 +578,22 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // The ROUND-BOUNDED twin of dedup_clusters: same verified pair
+    // table, labels from the alternating large-star/small-star
+    // contraction ([[connectedComponentsStar]]) instead of min-label
+    // propagation — O(log²) alternations on ANY graph shape where
+    // propagation needs diameter rounds. Gated against the SAME
+    // recursive-CTE oracle, so the choice between the two is a measured
+    // one: propagation for known-shallow dup graphs (fewer jobs per
+    // round), star contraction for an unknown corpus (bounded rounds).
+    "dedup_clusters_star" -> ((s, d) => {
+      connectedComponentsStar(
+        ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup: the pairs a NEWLY ARRIVED batch (doc_id ≡ 0
     // mod 10 stands in for the batch) forms against the existing corpus
     // and within itself, J >= 0.5 on token trigrams — computed without
@@ -608,8 +614,9 @@ object DedupOps {
     }),
 
     // SimHash near-dup: 64-bit sign-sum signature over token hashes,
-    // 4×16-bit band join, Hamming distance <= 3. Engine-specific hashing →
-    // no SQL oracle (driver does rows-only); properties are spec-tested.
+    // 4×16-bit band join, Hamming distance <= 3. Oracle-gated: the
+    // signature hash is the shared FNV-1a+fmix64 code-point fold, which
+    // the DuckDB twin replays exactly in HUGEINT modular arithmetic.
     "dedup_simhash" -> ((s, d) => {
       // fused per-row signature kernel — the explode+64-sum aggregate
       // formulation ([[simhash]], spec-pinned bit-equal) shuffles every
@@ -665,27 +672,53 @@ object DedupOps {
     // ~n²/k instead of n². This is the LEARNED-blocking twin of
     // dedup_embedding_cosine's label blocking, and it reuses the SAME
     // memoized spherical k-means cells the ANN path serves from (one
-    // clustering pays for both operators). Production sizes the cell
-    // count to n/target-block (Ann.Cells here is test-scale geometry);
-    // the block guard still fails fast if a cell outgrows the cap.
-    // Approximate by design — cross-cell duplicates are missed, so there
-    // is no SQL oracle; DedupAnnSpec pins exactness of every reported
-    // pair (precision 1.0) and measures recall against the global
-    // brute-force pair set on this worst-case (near-uniform) corpus.
+    // clustering pays for both operators). MULTI-CELL assignment
+    // (round-5): single-cell SemDeDup measured recall 0.31 on the
+    // near-uniform worst-case corpus because 0.30-cosine pairs sit ~72°
+    // apart and straddle cell boundaries — so the join runs
+    // primary-assignment ⋈ top-[[SemDedupProbes]] soft-assignment
+    // ([[Ann.softCellsOf]]): a pair is found whenever EITHER side's
+    // primary cell is among the other's nearest cells, at ≤ Probes× the
+    // single-cell join rows (never Probes²: one side stays primary).
+    // Production sizes the cell count to n/target-block (Ann.Cells here
+    // is test-scale geometry); the block guard fails fast if a cell
+    // outgrows the cap. Approximate by design — pairs outside any
+    // shared probed cell are still missed, so there is no SQL oracle;
+    // DedupAnnSpec pins exactness of every reported pair (precision
+    // 1.0) and gates recall ≥ 0.6 against the global brute-force pair
+    // set on this worst-case corpus.
     "dedup_semantic" -> ((s, d) => {
       val idx = Ann.ivfIndex(s, d)
-      val v = requireBoundedBlocks(
-        s.read.parquet(idx.dir)
-          .select(col("vec_id"), col("cell"), col("vec")),
-        "cell", MaxCosineBlockRows)
-      val a = v.toDF("vec_a", "cell", "ev_a")
-      val b = v.toDF("vec_b", "cell", "ev_b")
+      val raw = s.read.parquet(idx.dir)
+        .select(col("vec_id"), col("cell"), col("vec"))
+      // soft side: nearest cells over the SAME unit-sphere geometry the
+      // index was built with (the index stores the RAW vector — re-derive
+      // the unit vector row-locally; zero-norm guard mirrors the build)
+      val soft = raw
+        .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+        .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+          .otherwise(transform(col("vec"), x => x / col("nrm"))))
+        .select(col("vec_id"),
+          explode(Ann.softCellsOf(col("uvec"), idx.cents, SemDedupProbes))
+            .as("cell"),
+          col("vec"))
+      // primary ⊆ soft (element 1 of the soft cells IS the primary), so
+      // guarding the soft side bounds both join inputs; the cap scales
+      // by the probe count because soft rows are Probes× by construction
+      val sGuard = requireBoundedBlocks(soft, "cell",
+        SemDedupProbes * MaxCosineBlockRows)
+      val a = raw.toDF("vec_a", "cell", "ev_a")
+      val b = sGuard.toDF("vec_b", "cell", "ev_b")
       a.join(b, Seq("cell"))
-        .filter(col("vec_a") < col("vec_b"))
+        .filter(col("vec_a") =!= col("vec_b"))
         .withColumn("cos",
           round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
         .filter(col("cos") >= 0.30)
-        .select(col("vec_a"), col("vec_b"), col("cell"), col("cos"))
+        // a pair can surface from both orientations and from several
+        // shared cells — canonicalize and dedupe on emit
+        .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+        .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
   )
@@ -695,12 +728,16 @@ object DedupOps {
     * One explode + one groupBy (64 partial-agg sums), single shuffle.
     * REFERENCE formulation — production uses the shuffle-free fused
     * [[graft.functions.TextExprs.SimhashSignature]] kernel, which
-    * VectorExprsSpec pins bit-equal to this construction.
+    * VectorExprsSpec pins bit-equal to this construction. The per-token
+    * hash is `token_ngram_hashes(text, 1)` — the shared FNV-1a+fmix64
+    * window primitive — so the independent part of the pin is the
+    * tokenize→sign-sum construction, and the hash itself is ALSO
+    * cross-engine gated (the dedup_simhash DuckDB oracle replays it).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      explode(graft.functions.TextExprs.tokenNgramHashes(col("text"), 1))
+        .as("h"))
     val bitAggs = (0 until 64).map(i =>
       sum(when(getbit(col("h"), lit(i)) === 1, 1).otherwise(-1)).as(s"b$i"))
     toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
@@ -718,7 +755,98 @@ object DedupOps {
     * levels (min true pair J≈0.93) LSH detection probability is ≥ 1-1e-5,
     * i.e. the outputs agree.
     */
+  /** dedup_simhash DuckDB twin, generated programmatically (64 bit-sum
+    * aggregates): replays the kernel's per-token FNV-1a-over-code-points
+    * + fmix64 fold in HUGEINT modular arithmetic — multiplication mod
+    * 2^64 goes through a 32-bit split because INT128 overflows on the
+    * ~2^64 fmix multipliers — then sign-sums the 64 bit positions per
+    * doc, rebuilds the signed 64-bit signature, and repeats the 4×16
+    * band join + Hamming≤3 filter. DuckDB's substr/ascii walk CODE
+    * POINTS, matching the kernel's fold exactly (not just on ASCII).
+    * NULL-text docs drop on both sides (unnest(NULL) → no rows; a NULL
+    * signature never equi-joins).
+    */
+  private def simhashOracle: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    def mulmod(h: String, k: String): String =
+      s"((($h // 4294967296) * $k % 4294967296) * 4294967296 + " +
+        s"($h % 4294967296) * $k) % $mod"
+    def shr33(h: String): String = s"xor($h, $h // 8589934592)"
+    def pow2(b: Int): java.math.BigInteger =
+      java.math.BigInteger.ONE.shiftLeft(b)
+    val bitSums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h // ${pow2(b)}::HUGEINT) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS c$b"
+    }.mkString(", ")
+    val sigSum = (0 until 64).map { b =>
+      s"CASE WHEN c$b > 0 THEN ${pow2(b)}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, sig, $b AS band, " +
+        s"CAST((sigu // ${pow2(16 * b)}::HUGEINT) % 65536 AS BIGINT) AS bh " +
+        "FROM sg"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       f0 AS (
+         SELECT doc_id, list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(range(1, length(tok)+1),
+               i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+           (h, c) -> (xor(h, c) * 1099511628211) % $mod) AS h0
+         FROM toks),
+       f1 AS (SELECT doc_id,
+         ${mulmod(shr33("h0"), "18397679294719823053::HUGEINT")} AS h1
+         FROM f0),
+       f2 AS (SELECT doc_id,
+         ${mulmod(shr33("h1"), "14181476777654086739::HUGEINT")} AS h2
+         FROM f1),
+       f3 AS (SELECT doc_id, ${shr33("h2")} AS h FROM f2),
+       sums AS (SELECT doc_id, $bitSums FROM f3 GROUP BY doc_id),
+       sigs AS (SELECT doc_id, ($sigSum) AS sigu FROM sums),
+       sg AS (SELECT doc_id, sigu,
+           CAST(CASE WHEN sigu >= 9223372036854775808::HUGEINT
+                THEN sigu - $mod ELSE sigu END AS BIGINT) AS sig
+         FROM sigs),
+       banded AS ($bands)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+       FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** Recursive-CTE connected components over the exact ngram-Jaccard
+    * pair semantics — gates BOTH cluster queries (propagation and star
+    * contraction compute the same labeling).
+    */
+  private val clustersOracle: String =
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+           i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                string_split(text,' ')[CAST(i AS INT)+2])) AS s
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+           (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5),
+       e AS (SELECT doc_a AS u, doc_b AS v FROM p
+             UNION ALL SELECT doc_b, doc_a FROM p),
+       n AS (SELECT DISTINCT u AS id FROM e),
+       reach(id, v) AS (
+         SELECT id, id FROM n
+         UNION
+         SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u)
+       SELECT id AS doc_id, min(v) AS cluster_id,
+         (id = min(v)) AS keep
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(
@@ -774,29 +902,9 @@ object DedupOps {
          SELECT doc_id, count(*) AS n_shared_8grams
          FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
-             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
-                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
-                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
-           FROM documents),
-         p AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
-             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5),
-         e AS (SELECT doc_a AS u, doc_b AS v FROM p
-               UNION ALL SELECT doc_b, doc_a FROM p),
-         n AS (SELECT DISTINCT u AS id FROM e),
-         reach(id, v) AS (
-           SELECT id, id FROM n
-           UNION
-           SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u)
-         SELECT id AS doc_id, min(v) AS cluster_id,
-           (id = min(v)) AS keep
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_clusters" -> clustersOracle,
+    // the star twin computes the SAME clustering — one oracle gates both
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

@@ -45,7 +45,18 @@ import graft.sources.Tables._
   *    buffer anywhere. Sketch twins for when ±ε is acceptable:
   *    `cdc_value_percentiles_approx` (t-digest-style approx_percentile)
   *    and `cdc_value_quantile_sketch` (persisted mergeable GK table,
-  *    [[SketchOps]]).
+  *    [[SketchOps]]). Quartiles and percentiles share one memoized
+  *    layout ([[rankedEventValues]]) — one range-partition+sort, not two.
+  *  - `cdc_user_trailing_1h`: event-time RANGE frame partitioned by
+  *    user_id — HIGH-cardinality key, spreads across tasks; per-row frame
+  *    state is bounded by the hour window. Safe as registered.
+  *  - `cdc_value_histogram`: 2-value bounds aggregate (min/max collect)
+  *    + row-local binning + hash-agg on (type, bin) — ~40 bounded groups,
+  *    map-side partials; no window, no skew funnel.
+  *  - `cdc_value_corr`: mergeable co-moment aggregate (corr) per type —
+  *    bounded per-group state, partials combine before the exchange.
+  *  - `cdc_unpivot_stats`: melt is row-local (no shuffle); the upstream
+  *    stats aggregate is the same bounded hash-agg as cdc_value_stats.
   *  - Grouped aggregates (`cdc_counts_by_type`, `cdc_value_stats`,
   *    `cdc_hourly_window`, `cdc_pivot_counts`, `cdc_weekly_retention`,
   *    `cdc_props_*`, `cdc_lag_monitor`, `cdc_time_partition`): hash-aggs
@@ -66,6 +77,25 @@ object EventOps {
     */
   private def shufflePartitions(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** The range-partitioned rank layout both `cdc_value_quartiles` and
+    * `cdc_value_percentiles` read: non-null (event_type, value, event_id)
+    * rows ranked by the two-phase [[ScaleWindows.groupRanks]] plan.
+    * Memoized per (session, dir) like the ngram pair table — the two
+    * queries share one range-partition+sort and one offset collect
+    * instead of each paying its own (the layout, checkpointed inside
+    * groupRanks, is the expensive half of the two-phase plan). NULL
+    * values are excluded: Spark's sort ranks them FIRST, DuckDB's window
+    * LAST — there is no portable NULL rank, so both sides drop the rows.
+    */
+  private[graft] def rankedEventValues(s: SparkSession, d: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, "eventValueRanks#" + d,
+      ScaleWindows.groupRanks(
+        events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .filter(col("value").isNotNull),
+        group = Seq("event_type"), order = Seq("value", "event_id"),
+        numPartitions = shufflePartitions(s)))
 
   val queries: Map[String, Q] = Map(
     // W1: compact the event log to the latest row per user — the same
@@ -164,12 +194,7 @@ object EventOps {
     // quantile_cont do. Sketch twins: cdc_value_percentiles_approx,
     // cdc_value_quantile_sketch.
     "cdc_value_percentiles" -> ((s, d) => {
-      val ranked = ScaleWindows.groupRanks(
-        events(s, d)
-          .select(col("event_type"), col("value"), col("event_id"))
-          .filter(col("value").isNotNull),
-        group = Seq("event_type"), order = Seq("value", "event_id"),
-        numPartitions = shufflePartitions(s))
+      val ranked = rankedEventValues(s, d)
       def contrib(p: Double): org.apache.spark.sql.Column = {
         val rk = lit(p) * (col("__cnt") - 1).cast("double")
         val lo = floor(rk).cast("long")
@@ -291,15 +316,9 @@ object EventOps {
     // derived in closed form from (__pos, __cnt) — spec-equal to the
     // window formulation (ScaleSpec) and oracle-gated here.
     "cdc_value_quartiles" -> ((s, d) => {
-      // NULL values are excluded from the ranking: Spark's sort would
-      // rank them FIRST while the oracle's window (DuckDB default)
-      // ranks them LAST — there is no portable NULL quartile, so both
-      // sides drop the rows (same choice as cdc_value_percentiles)
-      val ranked = ScaleWindows.groupRanks(
-        events(s, d).select(col("event_type"), col("value"), col("event_id"))
-          .filter(col("value").isNotNull),
-        group = Seq("event_type"), order = Seq("value", "event_id"),
-        numPartitions = shufflePartitions(s))
+      // shares the memoized two-phase layout with cdc_value_percentiles
+      // (NULL handling documented at [[rankedEventValues]])
+      val ranked = rankedEventValues(s, d)
       ranked
         .withColumn("quartile",
           ScaleWindows.ntileCol(col("__pos"), col("__cnt"), 4).cast("int"))

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped DataFrame memoization for per-(session, dir) artifacts
+  * that several registry queries share — the ngram pair table, its cluster
+  * labels ([[DedupOps]]), and the range-partitioned rank layout
+  * ([[EventOps]]). One build per session+key; whichever consumer runs
+  * first absorbs the build cost.
+  *
+  * Strong-keyed map + explicit eviction when the session's context ends.
+  * A WeakHashMap cannot work here: the cached DataFrames hold a strong
+  * reference back to their SparkSession — the key — and value→key strong
+  * references defeat weak-key reclamation, so a stopped session would be
+  * pinned for the process lifetime anyway. Sessions sharing one context
+  * via newSession() stay cached until the context stops (acceptable: the
+  * inner map is tiny — a handful of entries per scale dir).
+  */
+private[graft] object SessionCache {
+
+  private val caches = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def of(s: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, DataFrame] =
+    caches.computeIfAbsent(s, sess => {
+      sess.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            caches.remove(sess); ()
+          }
+        })
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    })
+
+  def getOrElseUpdate(s: SparkSession, key: String, build: => DataFrame)
+      : DataFrame =
+    of(s).getOrElseUpdate(key, build)
+}

@@ -43,7 +43,9 @@ class DedupAnnSpec extends SparkSpec {
     import spark.implicits._
     val got = DedupOps.queries("dedup_semantic")(spark, sf)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // canonical + deduped: multi-cell emission must not leak a pair twice
+    assert(got.keys.forall { case (a, b) => a < b })
     // global brute-force truth at the same threshold
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
@@ -62,12 +64,13 @@ class DedupAnnSpec extends SparkSpec {
     }
     // recall: this corpus is the documented IVF worst case (near-uniform
     // sphere — 0.30-cosine pairs sit ~72° apart and often straddle cell
-    // boundaries), the floor below is what spherical k-means@10 cells
-    // actually retains there; clustered corpora retain far more
+    // boundaries). Single-cell assignment retained 0.31 here; the
+    // registered top-3 soft-assignment (primary ⋈ soft, ≤3× join rows)
+    // must clear 0.6. Clustered corpora retain far more at either width.
     assert(brute.nonEmpty)
     val recall = got.size.toDouble / brute.size
     info(s"semantic-dedup recall vs brute force: $recall (${got.size}/${brute.size})")
-    assert(recall >= 0.25, s"recall $recall")
+    assert(recall >= 0.6, s"recall $recall")
   }
 
   test("ann_ivf_topk query plan probes the prebuilt index, no k-means job") {

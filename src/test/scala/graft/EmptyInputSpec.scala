@@ -32,6 +32,7 @@ class EmptyInputSpec extends SparkSpec {
       "text_stats", "text_normalize", "text_quality_score",
       "text_repetition", "text_entropy", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+      "dedup_clusters_star",
       "dedup_contamination", "dedup_incremental",
       "curate_corpus_mix", "curate_stratified_sample", "curate_split",
       "curate_pack_sequences", "curate_quality_filter",
