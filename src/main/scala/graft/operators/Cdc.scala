@@ -104,6 +104,35 @@ object Cdc {
     out
   }
 
+  /** Persistent catalog registration of the unified event lake — the
+    * reference's query surface is a METASTORE-BACKED external table
+    * (`CREATE EXTERNAL TABLE cdc_db.cdc_events ... JsonSerDe ...
+    * LOCATION ...`, cdc_pipeline_dag.py:360-387) that any beeline
+    * session can query with no per-session setup. Spark twin:
+    * `CREATE TABLE ... USING JSON LOCATION ...` over the same fixed
+    * 22-column schema ([[graft.sources.CdcSchemas.unified]]) — a
+    * LOCATION-backed (external: DROP TABLE never deletes the data)
+    * table in the shared catalog, so any other session on that catalog
+    * queries it without re-registration — `newSession()` on the
+    * default in-memory catalog, or a later JVM entirely when the
+    * session runs a persistent metastore (`enableHiveSupport()`; the
+    * hive+derby jars ship with Spark) — exactly the parity point where
+    * session-scoped temp views stop. Read semantics match the
+    * reference's JsonSerDe: absent fields are NULL (fixed-on-read,
+    * never inference), unknown fields are dropped silently (monitor
+    * with [[unknownFieldStats]]). `format="parquet"` is the columnar
+    * variant for a compacted lake.
+    */
+  def createEventsTable(spark: SparkSession, location: String,
+      table: String = "cdc_events", format: String = "json"): DataFrame = {
+    require(Seq("json", "parquet").contains(format),
+      s"unsupported event-lake format '$format' (json | parquet)")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table (${CdcSchemas.unified.toDDL}) " +
+        s"USING $format LOCATION '$location'")
+    spark.table(table)
+  }
+
   /** S9/risk-register: schema-drift detector. An explicit read schema
     * null-pads absent fields and silently DROPS unknown ones — so a source
     * that starts sending a new column (ALTER TABLE upstream) degrades

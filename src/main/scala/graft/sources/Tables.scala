@@ -63,21 +63,52 @@ object Tables {
 
   /** SQL face of the engine — the reference's consumers query Hive tables
     * with SQL, so a user switching to this library gets the same surface:
-    * every table registered as a temp view over the scale directory, plus
-    * the custom function surface (`cosine_sim`), after which
-    * `spark.sql("SELECT ... FROM lineitem ...")` just works. Views are
-    * session-scoped and lazily planned: registering costs nothing until a
-    * query reads a view, and pushdown/pruning through views is identical
-    * to the DataFrame path (same analyzed plan).
+    * every table registered over the scale directory, plus the custom
+    * function surface (`cosine_sim`), after which
+    * `spark.sql("SELECT ... FROM lineitem ...")` just works.
+    *
+    * `persistent = false` (default): session-scoped temp views — lazily
+    * planned, zero catalog state, pushdown/pruning identical to the
+    * DataFrame path (same analyzed plan).
+    *
+    * `persistent = true`: the reference-parity CATALOG registration
+    * (its tables are metastore-backed Hive external tables any session
+    * can query, cdc_pipeline_dag.py:360-387): each parquet file becomes
+    * a LOCATION-backed `CREATE TABLE ... USING parquet` in the shared
+    * catalog, visible to every session on that catalog (`newSession()`
+    * now; other JVMs too under `enableHiveSupport()`) without
+    * re-registration. `events` needs its nanos→micros rewrite, so the
+    * raw file registers as `events_raw` and `events` becomes a
+    * persistent VIEW applying the exact conversion — a second session
+    * still needs the two session confs below (they are per-session by
+    * nature) and its own function registration (use
+    * [[graft.functions.GraftExtensions]] to get functions on every
+    * session automatically).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
+  def registerAll(spark: SparkSession, dir: String,
+      persistent: Boolean = false): Unit = {
     // documented side effects of this init entry point: registry/oracle
     // semantics are defined in UTC (see table()) and the events table
     // needs the nanos-as-long legacy flag (see events())
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    all.foreach { case (name, load) =>
-      load(spark, dir).createOrReplaceTempView(name)
+    if (persistent) {
+      all.keys.foreach { name =>
+        val tbl = if (name == "events") "events_raw" else name
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$tbl` USING parquet " +
+          s"LOCATION '$dir/$name.parquet'")
+      }
+      // the exact Tables.events conversion, as a catalog view
+      val cols = spark.table("events_raw").columns.map {
+        case "ts" => "timestamp_micros(ts DIV 1000) AS ts"
+        case c => s"`$c`"
+      }.mkString(", ")
+      spark.sql(
+        s"CREATE OR REPLACE VIEW events AS SELECT $cols FROM events_raw")
+    } else {
+      all.foreach { case (name, load) =>
+        load(spark, dir).createOrReplaceTempView(name)
+      }
     }
     graft.functions.VectorExprs.registerFunctions(spark)
   }
