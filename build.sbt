@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // extra -D flags for forked mains (e.g. the IVF geometry confs when
+  // benching a scaled corpus: SPARK_GRAFT_OPTS="-Dspark.graft.ann.cells=100")
+  sys.env.get("SPARK_GRAFT_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -56,6 +56,21 @@ object Ann {
   val Cells = 10
   val Iters = 5
   val Nprobe = 8
+
+  /** Deployed index geometry — session confs so a corpus scale-up
+    * re-sizes the index without a code change (the FAISS nlist/nprobe
+    * knobs). Cell count is the load-bearing one: within-cell work
+    * (dedup_semantic, per-cell probe scans) is quadratic in CELL
+    * OCCUPANCY, so production sizes cells ≈ n / target-block and
+    * occupancy stays CONSTANT as the corpus grows; a fixed cell count
+    * would grow it linearly and the within-cell join quadratically.
+    * Defaults are the measured test-scale geometry ([[Cells]],
+    * [[Nprobe]]); DedupAnnSpec's recall gates license any retuning.
+    */
+  def cellCount(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.cells").map(_.toInt).getOrElse(Cells)
+  def nprobeOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(Nprobe)
   /** Training-sample size target. Centroid quality needs vector COUNT,
     * not corpus fraction — so the sample is COUNT-bounded: the id-hash
     * modulus is derived from the table's row count to land ~this many
@@ -223,12 +238,12 @@ object Ann {
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
-  /** Build (once per scale dir, memoized) the IVF index for `embeddings`:
-    * train on the hash sample, assign every vector, persist
+  /** Build (once per scale dir AND geometry, memoized) the IVF index for
+    * `embeddings`: train on the hash sample, assign every vector, persist
     * cell-partitioned parquet. Columns: vec_id, label, vec, cell.
     */
   def ivfIndex(s: SparkSession, d: String): IvfIndex =
-    indexes.computeIfAbsent(d, _ => {
+    indexes.computeIfAbsent(s"$d#k=${cellCount(s)}", _ => {
       val base = embeddings(s, d).select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       // unit-normalize for spherical clustering (see Index geometry note);
@@ -249,7 +264,7 @@ object Ann {
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val cents = kmeansLocal(sample, Cells, Iters)
+      val cents = kmeansLocal(sample, cellCount(s), Iters)
       // index location: a SHARED path on a real cluster (set
       // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
       // works on local[*] masters, where executors share the filesystem;
@@ -257,7 +272,8 @@ object Ann {
       // scatter across machines and the probe would read partial cells
       val dir = s.conf.getOption("graft.ann.indexDir") match {
         case Some(base) =>
-          s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}"
+          s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}" +
+            s"-k${cellCount(s)}"
         case None => java.nio.file.Files
           .createTempDirectory("graft-ivf-index-").toString
       }
@@ -286,7 +302,7 @@ object Ann {
       val idx = ivfIndex(s, d)
       val qv = embeddings(s, d).filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
-      val probed = idx.probeCells(qv, Nprobe)
+      val probed = idx.probeCells(qv, nprobeOf(s))
       s.read.parquet(idx.dir)
         .filter(col("cell").isin(probed: _*))
         .withColumn("sim", round(
@@ -312,7 +328,7 @@ object Ann {
         .select(col("vec_id"), asDouble(col("embedding")).as("qv"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       val probes = qvs.map { case (q, v) =>
-        (q, v, idx.probeCells(v, Nprobe))
+        (q, v, idx.probeCells(v, nprobeOf(s)))
       }
       val allCells = probes.flatMap(_._3).distinct
       val qlit = array(probes.map { case (q, v, cells) =>

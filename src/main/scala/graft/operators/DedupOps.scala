@@ -55,8 +55,7 @@ import graft.sources.Tables._
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 96      // minhash permutations
-  private val Bands = 16  // bands × rows = K
+  private val Bands = 16  // bands × rows = signature width K (96)
   private val Rows = 6    // the bands/rows S-curve balances BOTH tails:
                           // P(candidate) = 1-(1-J^r)^b = 0.992 at J=0.8
                           // (recall at the threshold) and 1.8e-4 at J=0.15
@@ -65,6 +64,20 @@ object DedupOps {
                           // exact-verification join exploded; longer (r=8)
                           // costs recall at J≈0.8 and doubles the
                           // signature-aggregate codegen.
+
+  /** LSH band geometry as deployment confs (defaults above). Rows per
+    * band is CORPUS-SIZE-dependent: background noise candidates are
+    * ~C(n,2)·b·J_bg^r — QUADRATIC in n at fixed geometry — so r must
+    * grow ~log n to hold the candidate budget while b·(threshold)^r
+    * keeps recall (measured in the sf1 rehearsal: a same-density 10×
+    * corpus at 16×6 multiplied verification work ~100×; 16×8 restores
+    * the budget at recall 0.94 @ J=0.8). The signature kernel width
+    * follows bands·rows, so widening rows needs no code change.
+    */
+  private def bandsOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.lsh.bands").map(_.toInt).getOrElse(Bands)
+  private def rowsOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.lsh.rows").map(_.toInt).getOrElse(Rows)
 
   /** Per-document SORTED DISTINCT char-5-gram hash sets (doc_id, gs) —
     * the fused [[graft.functions.TextExprs.ShingleHashes]] window hasher
@@ -501,19 +514,21 @@ object DedupOps {
       // and both sides of the verification join; materializing once stops
       // the scan+kernel subtree from re-running per branch.
       val docs = shingleDocSets(s, d).localCheckpoint(false)
+      val (nb, nr) = (bandsOf(s), rowsOf(s))
       // the ENTIRE signature is a row-local projection (fused K-min
       // kernel + size of the distinct array): the old groupBy over the
       // exploded postings — the pipeline's biggest shuffle plus a
       // 97-column codegen'd aggregate with multi-second JIT — is gone;
       // the first shuffle of the minhash pipeline is now the banded
-      // candidate join below, which moves 16 rows of 24 bytes per doc.
+      // candidate join below, which moves nb rows of 24 bytes per doc.
       val sig = docs.select(col("doc_id"), size(col("gs")).as("sz"),
-        graft.functions.TextExprs.minhashSignature(col("gs"), K).as("sig"))
-      // band hash = xxhash64 over the band's Rows signature components —
+        graft.functions.TextExprs.minhashSignature(col("gs"), nb * nr)
+          .as("sig"))
+      // band hash = xxhash64 over the band's nr signature components —
       // the same chain the m0..m95 column formulation hashed
-      val bandCols = (0 until Bands).map { b =>
+      val bandCols = (0 until nb).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * Rows until (b + 1) * Rows)
+          xxhash64((b * nr until (b + 1) * nr)
             .map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
       }
       val banded = sig
@@ -686,7 +701,9 @@ object DedupOps {
     // shared probed cell are still missed, so there is no SQL oracle;
     // DedupAnnSpec pins exactness of every reported pair (precision
     // 1.0) and gates recall ≥ 0.6 against the global brute-force pair
-    // set on this worst-case corpus.
+    // set on this worst-case corpus. Cell count is the deployment knob
+    // (spark.graft.ann.cells): size it ≈ n / target-block so occupancy —
+    // and with it the within-cell quadratic — stays constant at any n.
     "dedup_semantic" -> ((s, d) => {
       val idx = Ann.ivfIndex(s, d)
       val raw = s.read.parquet(idx.dir)

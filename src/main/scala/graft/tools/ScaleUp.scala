@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scaler for scale rehearsals: writes a `factor`×
+  * copy of the events / documents / embeddings tables with key-perturbed
+  * copies, so per-query scaling ratios can be measured one decade past
+  * the largest generated testdata (the 100 TB claims should rest on more
+  * than one measured decade).
+  *
+  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> [factor]`
+  * (relational TPC-H tables are not scaled here — copy them alongside;
+  * their FK structure can't be explode-multiplied without re-deriving
+  * the generator).
+  *
+  * Design: every copy k ∈ [0, factor) is a ROW-LOCAL projection of the
+  * source row (explode + column arithmetic — no shuffle, no driver
+  * state), with k=0 the identity so every original row survives
+  * verbatim:
+  *
+  *  - events: ids get a copy stride (event_id + k·10¹², user_id +
+  *    k·10⁹), so per-user row counts and the 5-type skew profile are
+  *    PRESERVED while user cardinality grows 10× — the realistic growth
+  *    shape for an event stream.
+  *  - documents: copy k rotates the ALPHABET by k (bijective
+  *    `translate`), so each copy is an exactly isomorphic corpus —
+  *    within-copy Jaccard structure is IDENTICAL to the original (the
+  *    dedup pipelines see 10× data at the same pair density), while
+  *    cross-copy and copy-vs-original shingles share almost nothing
+  *    (only windows of spaces/digits survive the rotation). Two wrong
+  *    alternatives, both measured: cloning text multiplies the DUP RATE
+  *    (a 10-clique per doc — a different workload, not more data), and
+  *    a shared per-copy token TAG injects high-df shingles spanning the
+  *    tag boundary, inflating same-copy similarity until LSH candidate
+  *    verification explodes (measured 118× wall at 10× data).
+  *  - embeddings: copies rotate the vector by k positions —
+  *    norm-preserving, direction-changing — so the corpus stays
+  *    near-uniform on the sphere (the documented IVF worst case) at 10×
+  *    the vectors; labels stride by copy so label-block sizes stay
+  *    constant (more shards, same shard size — the blocked-cosine
+  *    scaling model).
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ks = expr(s"explode(sequence(0, ${factor - 1}))")
+
+    // events: ts stays byte-identical (read as nanos long under the
+    // legacy flag, written back as a plain int64 nanos column — the
+    // Tables.events DIV conversion reads both forms identically)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+      .withColumn("k", ks)
+      .select(
+        (col("event_id") + col("k") * lit(1000000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * lit(1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    write(ev, s"$dst/events.parquet")
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(a: String, k: Int): String = a.drop(k) + a.take(k)
+    val rotText = (1 until factor).foldLeft(col("text")) { (acc, k) =>
+      when(col("k") === k,
+        translate(col("text"), lower + upper,
+          rot(lower, k % 26) + rot(upper, k % 26))).otherwise(acc)
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("k", ks)
+      .select(
+        (col("doc_id") + col("k") * lit(1000000000000L)).as("doc_id"),
+        rotText.as("text"), col("lang"), col("source"),
+        // translate is length-preserving, so n_chars carries over
+        col("n_chars"))
+    write(docs, s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("k", ks)
+      .select(
+        (col("vec_id") + col("k") * lit(1000000000000L)).as("vec_id"),
+        when(col("k") === 0, col("embedding"))
+          .otherwise(concat(
+            expr("slice(embedding, k + 1, size(embedding) - k)"),
+            expr("slice(embedding, 1, k)"))).as("embedding"),
+        (col("label") + col("k") * lit(100000)).cast("int").as("label"))
+    write(emb, s"$dst/embeddings.parquet")
+
+    println(s"[scaleup] wrote ${factor}x events/documents/embeddings " +
+      s"from $src to $dst")
+    spark.stop()
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

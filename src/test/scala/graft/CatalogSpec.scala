@@ -111,10 +111,15 @@ class CatalogSpec extends SparkSpec {
       assert(viaCatalog.getTimestamp(0) == viaLoader.getTimestamp(0))
       assert(viaCatalog.getLong(1) == viaLoader.getLong(1))
     } finally {
-      spark.sql("DROP VIEW IF EXISTS events")
-      (Tables.all.keys.toSeq :+ "events_raw").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      }
+      // fully-qualified drops: an unqualified DROP VIEW would hit a
+      // sibling suite's TEMP view of the same name (temp shadows catalog
+      // in the shared session) and then DROP TABLE would trip over the
+      // still-present catalog view
+      spark.sql("DROP VIEW IF EXISTS spark_catalog.default.events")
+      (Tables.all.keys.toSeq.filterNot(_ == "events") :+ "events_raw")
+        .foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS spark_catalog.default.`$t`")
+        }
     }
   }
 }
