@@ -127,7 +127,9 @@ object Cdc {
       table: String = "cdc_events", format: String = "json"): DataFrame = {
     require(Seq("json", "parquet").contains(format),
       s"unsupported event-lake format '$format' (json | parquet)")
-    spark.sql(
+    // guarded create: re-registering an existing name against a DIFFERENT
+    // location fails loudly instead of silently serving the old lake
+    graft.sources.Tables.ensureLocationTable(spark, table, location,
       s"CREATE TABLE IF NOT EXISTS $table (${CdcSchemas.unified.toDDL}) " +
         s"USING $format LOCATION '$location'")
     spark.table(table)

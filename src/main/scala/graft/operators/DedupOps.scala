@@ -706,8 +706,16 @@ object DedupOps {
     // and with it the within-cell quadratic — stays constant at any n.
     "dedup_semantic" -> ((s, d) => {
       val idx = Ann.ivfIndex(s, d)
-      val raw = s.read.parquet(idx.dir)
-        .select(col("vec_id"), col("cell"), col("vec"))
+      // a deployment may size cells below the probe width on a small
+      // corpus — probe what exists, never throw
+      val probes = math.min(SemDedupProbes, idx.cents.length)
+      // the primary side keeps the documented per-cell cap — the join
+      // budget is cap × probes·cap (≤ probes× the single-cell pairs),
+      // which only holds if BOTH sides are guarded
+      val raw = requireBoundedBlocks(
+        s.read.parquet(idx.dir)
+          .select(col("vec_id"), col("cell"), col("vec")),
+        "cell", MaxCosineBlockRows)
       // soft side: nearest cells over the SAME unit-sphere geometry the
       // index was built with (the index stores the RAW vector — re-derive
       // the unit vector row-locally; zero-norm guard mirrors the build)
@@ -716,14 +724,13 @@ object DedupOps {
         .withColumn("uvec", when(col("nrm") === 0, col("vec"))
           .otherwise(transform(col("vec"), x => x / col("nrm"))))
         .select(col("vec_id"),
-          explode(Ann.softCellsOf(col("uvec"), idx.cents, SemDedupProbes))
+          explode(Ann.softCellsOf(col("uvec"), idx.cents, probes))
             .as("cell"),
           col("vec"))
-      // primary ⊆ soft (element 1 of the soft cells IS the primary), so
-      // guarding the soft side bounds both join inputs; the cap scales
-      // by the probe count because soft rows are Probes× by construction
+      // the soft cap scales by the probe count (soft rows are probes×
+      // by construction: element 1 of the soft cells IS the primary)
       val sGuard = requireBoundedBlocks(soft, "cell",
-        SemDedupProbes * MaxCosineBlockRows)
+        probes * MaxCosineBlockRows)
       val a = raw.toDF("vec_a", "cell", "ev_a")
       val b = sGuard.toDF("vec_b", "cell", "ev_b")
       a.join(b, Seq("cell"))

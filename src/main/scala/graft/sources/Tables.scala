@@ -95,8 +95,9 @@ object Tables {
     if (persistent) {
       all.keys.foreach { name =>
         val tbl = if (name == "events") "events_raw" else name
-        spark.sql(s"CREATE TABLE IF NOT EXISTS `$tbl` USING parquet " +
-          s"LOCATION '$dir/$name.parquet'")
+        ensureLocationTable(spark, tbl, s"$dir/$name.parquet",
+          s"CREATE TABLE IF NOT EXISTS `$tbl` USING parquet " +
+            s"LOCATION '$dir/$name.parquet'")
       }
       // the exact Tables.events conversion, as a catalog view
       val cols = spark.table("events_raw").columns.map {
@@ -111,5 +112,33 @@ object Tables {
       }
     }
     graft.functions.VectorExprs.registerFunctions(spark)
+  }
+
+  /** Guarded LOCATION-table creation: `CREATE TABLE IF NOT EXISTS` would
+    * SILENTLY keep an existing table pointed at its old location — a
+    * re-registration against a different scale dir would then serve the
+    * old corpus with no error (the temp-view path replaces; the catalog
+    * path must not silently ignore). Same check serves
+    * [[graft.operators.Cdc.createEventsTable]].
+    */
+  private[graft] def ensureLocationTable(spark: SparkSession, table: String,
+      location: String, createSql: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    val id = TableIdentifier(table)
+    if (cat.tableExists(id)) {
+      val existing = new java.io.File(
+        cat.getTableMetadata(id).location.getPath).getCanonicalPath
+      val wanted = new java.io.File(
+        new java.net.URI(
+          if (location.contains(":/")) location else s"file:$location")
+          .getPath).getCanonicalPath
+      require(existing == wanted,
+        s"catalog table `$table` already exists at $existing; refusing to " +
+          s"silently keep it while registering $wanted — DROP TABLE " +
+          s"`$table` first (external: the data stays) or use another name")
+    } else {
+      spark.sql(createSql); ()
+    }
   }
 }

@@ -47,7 +47,12 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    require(factor >= 1, s"factor must be >= 1, got $factor")
+    // 26 alphabet rotations exist; k=26 would be the identity again and
+    // copy 26 an EXACT clone of the original corpus — the dup-rate
+    // distortion the rotation scheme exists to avoid
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in 1..26, got $factor (per-copy alphabet " +
+        "rotations repeat after 26)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,10 +98,14 @@ object ScaleUp {
       .withColumn("k", ks)
       .select(
         (col("vec_id") + col("k") * lit(1000000000000L)).as("vec_id"),
-        when(col("k") === 0, col("embedding"))
+        // rotate by k mod dim: a factor above the vector dimension must
+        // wrap, not feed slice() a negative length
+        when(col("k") % size(col("embedding")) === 0, col("embedding"))
           .otherwise(concat(
-            expr("slice(embedding, k + 1, size(embedding) - k)"),
-            expr("slice(embedding, 1, k)"))).as("embedding"),
+            expr("slice(embedding, (k % size(embedding)) + 1, " +
+              "size(embedding) - (k % size(embedding)))"),
+            expr("slice(embedding, 1, k % size(embedding))")))
+          .as("embedding"),
         (col("label") + col("k") * lit(100000)).cast("int").as("label"))
     write(emb, s"$dst/embeddings.parquet")
 

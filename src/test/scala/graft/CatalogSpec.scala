@@ -62,6 +62,12 @@ class CatalogSpec extends SparkSpec {
       }
       // idempotent maintenance entry (IF NOT EXISTS)
       Cdc.createEventsTable(spark, lake, table = "cdc_events_spec")
+      // ...but re-registering the same name against a DIFFERENT location
+      // must fail loudly, never silently keep serving the old lake
+      intercept[IllegalArgumentException] {
+        Cdc.createEventsTable(spark, tmpDir("graft-catalog-other"),
+          table = "cdc_events_spec")
+      }
 
       // external lifecycle: DROP removes metadata, never the data
       spark.sql("DROP TABLE cdc_events_spec")

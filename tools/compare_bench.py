@@ -24,9 +24,19 @@ def family(name):
 
 def main():
     base, scaled = load(sys.argv[1]), load(sys.argv[2])
+    # a query missing from one side FAILED there (Bench excludes failed
+    # queries from the map) — the strongest scaling signal; never drop
+    # it silently
+    for q in sorted(set(base) - set(scaled)):
+        print(f"MISSING in scaled run (failed or removed): {q}")
+    for q in sorted(set(scaled) - set(base)):
+        print(f"MISSING in base run (failed or new): {q}")
     common = sorted(set(base) & set(scaled))
     rows = [(scaled[q] / base[q], base[q], scaled[q], q) for q in common
             if base[q] > 0]
+    if not rows:
+        print("no comparable queries between the two runs")
+        return
     rows.sort(reverse=True)
     print(f"{'ratio':>7} {'base_s':>8} {'scaled_s':>9}  query")
     for r, b, s, q in rows:
