@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * than one measured decade).
   *
   * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> [factor]`
-  * (relational TPC-H tables are not scaled here — copy them alongside;
-  * their FK structure can't be explode-multiplied without re-deriving
-  * the generator).
+  * Scales every table: the TPC-H star is explode-multiplied
+  * FK-CONSISTENTLY (every key column — customer/supplier/part/order
+  * keys on both their home table and every referencing fact column —
+  * gets the same per-copy stride, so each copy is a closed sub-star;
+  * the nation/region dims stay fixed like real dimension tables, and
+  * unstrided FK columns into them remain valid).
   *
   * Design: every copy k ∈ [0, factor) is a ROW-LOCAL projection of the
   * source row (explode + column arithmetic — no shuffle, no driver
@@ -109,8 +112,29 @@ object ScaleUp {
         (col("label") + col("k") * lit(100000)).cast("int").as("label"))
     write(emb, s"$dst/embeddings.parquet")
 
-    println(s"[scaleup] wrote ${factor}x events/documents/embeddings " +
-      s"from $src to $dst")
+    // TPC-H star, FK-consistently: stride every entity key wherever it
+    // appears (home table AND referencing facts); leave dims fixed
+    val Stride = 1000000000000L
+    def strided(table: String, keyCols: Seq[String]): DataFrame = {
+      val df = spark.read.parquet(s"$src/$table.parquet").withColumn("k", ks)
+      df.select(df.columns.filterNot(_ == "k").map { c =>
+        if (keyCols.contains(c)) (col(c) + col("k") * Stride).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+    }
+    write(strided("customer", Seq("c_custkey")), s"$dst/customer.parquet")
+    write(strided("supplier", Seq("s_suppkey")), s"$dst/supplier.parquet")
+    write(strided("part", Seq("p_partkey")), s"$dst/part.parquet")
+    write(strided("orders", Seq("o_orderkey", "o_custkey")),
+      s"$dst/orders.parquet")
+    write(strided("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      s"$dst/lineitem.parquet")
+    Seq("nation", "region").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), s"$dst/$t.parquet")
+    }
+
+    println(s"[scaleup] wrote ${factor}x of all tables from $src to $dst " +
+      "(nation/region dims copied fixed)")
     spark.stop()
   }
 
