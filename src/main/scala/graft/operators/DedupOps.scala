@@ -705,47 +705,87 @@ object DedupOps {
     // (spark.graft.ann.cells): size it ≈ n / target-block so occupancy —
     // and with it the within-cell quadratic — stays constant at any n.
     "dedup_semantic" -> ((s, d) => {
-      val idx = Ann.ivfIndex(s, d)
-      // a deployment may size cells below the probe width on a small
-      // corpus — probe what exists, never throw
-      val probes = math.min(SemDedupProbes, idx.cents.length)
-      // the primary side keeps the documented per-cell cap — the join
-      // budget is cap × probes·cap (≤ probes× the single-cell pairs),
-      // which only holds if BOTH sides are guarded
-      val raw = requireBoundedBlocks(
-        s.read.parquet(idx.dir)
-          .select(col("vec_id"), col("cell"), col("vec")),
-        "cell", MaxCosineBlockRows)
-      // soft side: nearest cells over the SAME unit-sphere geometry the
-      // index was built with (the index stores the RAW vector — re-derive
-      // the unit vector row-locally; zero-norm guard mirrors the build)
-      val soft = raw
-        .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-        .withColumn("uvec", when(col("nrm") === 0, col("vec"))
-          .otherwise(transform(col("vec"), x => x / col("nrm"))))
-        .select(col("vec_id"),
-          explode(Ann.softCellsOf(col("uvec"), idx.cents, probes))
-            .as("cell"),
-          col("vec"))
-      // the soft cap scales by the probe count (soft rows are probes×
-      // by construction: element 1 of the soft cells IS the primary)
-      val sGuard = requireBoundedBlocks(soft, "cell",
-        probes * MaxCosineBlockRows)
-      val a = raw.toDF("vec_a", "cell", "ev_a")
-      val b = sGuard.toDF("vec_b", "cell", "ev_b")
-      a.join(b, Seq("cell"))
-        .filter(col("vec_a") =!= col("vec_b"))
-        .withColumn("cos",
-          round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
-        .filter(col("cos") >= 0.30)
-        // a pair can surface from both orientations and from several
-        // shared cells — canonicalize and dedupe on emit
-        .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
-          greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+      val (p, soft) = semanticSides(s, d)
+      semanticPairs(p, soft)
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Continuous-ingest companion for the semantic family — the
+    // embedding twin of dedup_incremental: the pairs a NEWLY ARRIVED
+    // batch of vectors (vec_id ≡ 0 mod 10 stands in) forms against the
+    // existing corpus and within itself, WITHOUT re-running the
+    // corpus×corpus within-cell join. Both monolithic orientations are
+    // covered batch-boundedly — corpus-primary ⋈ batch-soft catches
+    // "an existing vector's primary cell is among the newcomer's
+    // probes", batch-primary ⋈ corpus-soft the reverse — so the output
+    // is EXACTLY the monolithic dedup_semantic restricted to pairs
+    // touching the batch (spec-pinned; same memoized index/centroids
+    // on both paths). The corpus-side soft projection is a row-local
+    // scan (like dedup_incremental reading the full posting side); the
+    // JOINS are what stay batch-sized.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val (p, soft) = semanticSides(s, d)
+      def inBatch(df: DataFrame): DataFrame =
+        df.filter(pmod(col("vec_id"), lit(10)) === 0)
+      semanticPairs(p, inBatch(soft))
+        .unionByName(semanticPairs(inBatch(p), soft))
         .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
   )
+
+  /** The two guarded join sides of the SemDeDup queries: the corpus with
+    * its PRIMARY cell assignment (straight from the memoized IVF index),
+    * and its SOFT assignment — each vector expanded to its
+    * min(SemDedupProbes, built cells) nearest cells over the SAME
+    * unit-sphere geometry the index was built with (the index stores
+    * the RAW vector — the unit vector is re-derived row-locally, with
+    * the build's zero-norm guard). Both sides are block-guarded: the
+    * join budget is cap × probes·cap per cell (≤ probes× the
+    * single-cell pairs), which only holds if BOTH inputs are bounded;
+    * the soft cap scales by the probe count because soft rows are
+    * probes× by construction (element 1 of the soft cells IS the
+    * primary).
+    */
+  private def semanticSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val idx = Ann.ivfIndex(s, d)
+    // a deployment may size cells below the probe width on a small
+    // corpus — probe what exists, never throw
+    val probes = math.min(SemDedupProbes, idx.cents.length)
+    val p = requireBoundedBlocks(
+      s.read.parquet(idx.dir)
+        .select(col("vec_id"), col("cell"), col("vec")),
+      "cell", MaxCosineBlockRows)
+    val soft = p
+      .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+      .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .select(col("vec_id"),
+        explode(Ann.softCellsOf(col("uvec"), idx.cents, probes)).as("cell"),
+        col("vec"))
+    (p, requireBoundedBlocks(soft, "cell", probes * MaxCosineBlockRows))
+  }
+
+  /** Within-cell exact-cosine pairs between a primary-assigned side and
+    * a soft-assigned side, canonicalized (a pair can surface from both
+    * orientations and several shared cells — callers dedupe with
+    * distinct()).
+    */
+  private def semanticPairs(p: DataFrame, soft: DataFrame): DataFrame = {
+    val a = p.select(col("vec_id"), col("cell"), col("vec"))
+      .toDF("vec_a", "cell", "ev_a")
+    val b = soft.select(col("vec_id"), col("cell"), col("vec"))
+      .toDF("vec_b", "cell", "ev_b")
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .withColumn("cos",
+        round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
+      .filter(col("cos") >= 0.30)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+  }
 
   /** 64-bit SimHash per document: hash each token, sum ±1 per bit position
     * weighted by occurrence, take the sign vector as the signature bits.

@@ -73,6 +73,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("dedup_semantic_incremental == monolithic restricted to the batch") {
+    val mono = DedupOps.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inc = DedupOps.queries("dedup_semantic_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // both paths read the same memoized index/centroids, so the
+    // incremental fold must reproduce the monolithic decisions EXACTLY
+    // for every pair touching the batch — including corpus↔batch pairs
+    // found through either orientation of the primary⋈soft join
+    val expect = mono.filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+    assert(inc.nonEmpty, "batch formed no pairs — fixture too small")
+    assert(inc.toSeq == expect.toSeq)
+  }
+
   test("ann_ivf_topk query plan probes the prebuilt index, no k-means job") {
     val df = Ann.queries("ann_ivf_topk")(spark, sf)
     // the returned plan reads ONLY the cell-partitioned index path — the
