@@ -162,6 +162,34 @@ object CurationOps {
         .orderBy(col("split"))
     }),
 
+    // Leakage-safe split: the plain curate_split hashes DOC ids, so two
+    // near-duplicate documents can land one in train and one in test —
+    // the classic eval-contamination bug. Splitting on the CLUSTER id
+    // (min reachable doc id from the dedup clustering; singletons are
+    // their own cluster) puts every member of a near-dup cluster in the
+    // SAME split by construction. Consumes the session-materialized
+    // cluster labels from [[DedupOps]]; the label table is |docs in a
+    // cluster| rows — broadcast-sized whenever the dup fraction is small,
+    // and a plain long-key equi-join otherwise. PipelineSpec pins the
+    // zero-straddle property itself.
+    "curate_split_by_cluster" -> ((s, d) => {
+      val lbl = DedupOps.ngramClusterLabels(s, d)
+        .select(col("id").as("doc_id"), col("lbl"))
+      documents(s, d)
+        .select(col("doc_id"), nTokens.as("nt"))
+        .join(lbl, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("split",
+          when(pmod(col("cluster_id"), lit(10)) < 8, "train")
+            .when(pmod(col("cluster_id"), lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("nt")).as("n_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // Quantile-thresholded quality filter: keep a doc iff it passes the
     // static quality gate (text_quality_score's keep rule) AND its length
     // clears the per-lang exact median — the adaptive-threshold curation
@@ -319,6 +347,18 @@ object CurationOps {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "curate_split_by_cluster" ->
+      (DedupOps.clusterLabelsCte +
+        """
+         SELECT CASE WHEN cid % 10 < 8 THEN 'train'
+                WHEN cid % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM (SELECT d.doc_id, d.text,
+                 coalesce(l.cluster_id, d.doc_id) AS cid
+               FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         GROUP BY 1 ORDER BY 1"""),
     "curate_quality_filter" ->
       s"""WITH t AS (
            SELECT lang, n_chars, CAST(length(text) AS INT) AS len,
@@ -333,39 +373,18 @@ object CurationOps {
          FROM t JOIN q ON t.lang = q.lang
          GROUP BY t.lang, med_chars ORDER BY t.lang""",
     "curate_dedup_apply" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
-             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
-                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
-                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
-           FROM documents),
-         p AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
-             (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4)
-             >= 0.5),
-         e AS (SELECT doc_a AS u, doc_b AS v FROM p
-               UNION ALL SELECT doc_b, doc_a FROM p),
-         n AS (SELECT DISTINCT u AS id FROM e),
-         reach(id, v) AS (
-           SELECT id, id FROM n
-           UNION
-           SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u),
-         keepers AS (
-           SELECT id AS doc_id, (id = min(v)) AS keep
-           FROM reach GROUP BY id),
+      (DedupOps.clusterLabelsCte +
+        """,
          docs AS (
            SELECT d.lang, len(string_split(d.text, ' ')) AS nt,
-             coalesce(k.keep, TRUE) AS kept
-           FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id)
+             (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS kept
+           FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
          SELECT lang, count(*) AS n_docs,
            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(nt) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
              AS kept_tokens
-         FROM docs GROUP BY lang ORDER BY lang""",
+         FROM docs GROUP BY lang ORDER BY lang"""),
     "curate_chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
                     FROM documents),

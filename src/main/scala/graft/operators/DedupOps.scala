@@ -881,11 +881,14 @@ object DedupOps {
        ORDER BY doc_a, doc_b"""
   }
 
-  /** Recursive-CTE connected components over the exact ngram-Jaccard
-    * pair semantics — gates BOTH cluster queries (propagation and star
-    * contraction compute the same labeling).
+  /** Recursive-CTE cluster labeling over the exact ngram-Jaccard pair
+    * semantics, ending in `lbl(doc_id, cluster_id)` — the shared prefix
+    * of every oracle that consumes the dedup clustering (the two cluster
+    * queries here plus the leakage-safe split in [[CurationOps]]).
+    * Singleton docs (no pair) are absent from `lbl`; consumers
+    * `LEFT JOIN` + `coalesce(cluster_id, doc_id)`.
     */
-  private val clustersOracle: String =
+  private[graft] val clusterLabelsCte: String =
     """WITH RECURSIVE sh AS (
          SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' '))-2, 1)+1),
@@ -904,10 +907,18 @@ object DedupOps {
        reach(id, v) AS (
          SELECT id, id FROM n
          UNION
-         SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u)
-       SELECT id AS doc_id, min(v) AS cluster_id,
-         (id = min(v)) AS keep
-       FROM reach GROUP BY id ORDER BY doc_id"""
+         SELECT r.id, e.v FROM reach r JOIN e ON r.v = e.u),
+       lbl AS (SELECT id AS doc_id, min(v) AS cluster_id
+               FROM reach GROUP BY id)"""
+
+  /** Gates BOTH cluster queries (propagation and star contraction
+    * compute the same labeling).
+    */
+  private val clustersOracle: String =
+    clusterLabelsCte +
+      """
+       SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
+       FROM lbl ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,

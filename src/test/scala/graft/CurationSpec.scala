@@ -55,6 +55,34 @@ class CurationSpec extends SparkSpec {
     assert(applied === nonRep)
   }
 
+  test("split_by_cluster: no near-dup cluster straddles splits; doc-id split does") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"))
+    val lbl = DedupOps.queries("dedup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val assigned = docs.join(lbl, Seq("doc_id"), "left_outer")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("by_cluster", pmod(col("cid"), lit(10)))
+      .withColumn("by_doc", pmod(col("doc_id"), lit(10)))
+      .localCheckpoint(true)
+    // the leakage property: a cluster's members all share a split class
+    val straddleCluster = assigned.groupBy(col("cid"))
+      .agg(countDistinct(col("by_cluster")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddleCluster === 0)
+    // ...and the naive doc-id split is NOT leakage-safe on this corpus:
+    // at least one multi-doc cluster spans two doc-id split classes, so
+    // the operator differs from curate_split for a real reason
+    val straddleDoc = assigned.groupBy(col("cid"))
+      .agg(countDistinct(col("by_doc")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddleDoc > 0)
+    // conservation: the registered query partitions the whole corpus
+    val out = CurationOps.queries("curate_split_by_cluster")(spark, sf)
+      .agg(sum(col("n_docs"))).first().getLong(0)
+    assert(out === docs.count())
+  }
+
   test("quality_filter keeps at most the above-median half per lang") {
     val out = CurationOps.queries("curate_quality_filter")(spark, sf).collect()
     assert(out.nonEmpty)

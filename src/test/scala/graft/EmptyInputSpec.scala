@@ -35,10 +35,11 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_clusters_star",
       "dedup_contamination", "dedup_incremental",
       "curate_corpus_mix", "curate_stratified_sample", "curate_split",
+      "curate_split_by_cluster",
       "curate_pack_sequences", "curate_quality_filter",
       "curate_dedup_apply", "curate_temperature_sample",
       "curate_source_quality", "curate_chunk_documents",
-      "text_heavy_hitters",
+      "text_heavy_hitters", "text_bm25_top",
       "sim_vector_norms", "dedup_embedding_cosine",
       // events-family: per-row/per-group outputs must vanish with the
       // input (global aggregates like cdc_funnel legitimately keep their
