@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFeatures._
@@ -506,6 +507,57 @@ object DedupOps {
       .getOrElseUpdate(s, "ngramPairs#" + d + "#cc", connectedComponents(
         ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
 
+  /** Duplicate-span coverage (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — the ExactSubstr statistic):
+    * a token `n`-window is DUPLICATED if its gram occurs ≥ 2 times
+    * anywhere in the corpus (cross-doc or a within-doc repeat); per doc,
+    * report how many token positions are covered by at least one
+    * duplicated window. The full suffix-array dedup REMOVES these spans;
+    * the coverage profile is the measurement pass that sizes that
+    * decision (and the per-doc filter signal: high-coverage docs are
+    * boilerplate).
+    *
+    * Scale shape: windows are the fused [[graft.functions.TextExprs
+    * .TokenNgramHashes]] 64-bit hashes — the occurrence count and the
+    * dup-window join shuffle 8-byte keys, never gram text. Coverage is
+    * the classic sorted-interval union, computed with one per-doc window
+    * (lag over pos): fixed width w makes the union length
+    * Σ min(w, posᵢ − posᵢ₋₁) — integer-exact, no geometry. doc_id is a
+    * high-cardinality partition key, so the window spreads across the
+    * cluster (see the EventOps cardinality ledger). The DuckDB oracle
+    * groups by the gram STRING instead of the hash, so the gate also
+    * proves hash-grouping ≡ string-grouping on this corpus (a 64-bit
+    * collision would fail the gate loudly, not skew results silently).
+    */
+  private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
+        .as(Seq("pos", "h")))
+    val dupGrams = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = wins.join(dupGrams, Seq("h"))
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("add", when(col("prev").isNull, lit(n))
+        .otherwise(least(lit(n), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("add")).as("covered_tokens"))
+    val nToks = size(split(col("text"), " "))
+    val stats = docs.select(col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      greatest(nToks - (n - 1), lit(0)).cast("long").as("n_windows"))
+    stats.join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_ratio",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // MinHash + LSH banding + exact-Jaccard verification, J >= 0.8 on
     // char 5-gram shingles.
@@ -733,6 +785,10 @@ object DedupOps {
         .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+
+    // Duplicate 8-token-span coverage per document (the ExactSubstr
+    // measurement pass) — see [[spanCoverage]].
+    "dedup_span_coverage" -> ((s, d) => spanCoverage(documents(s, d), 8)),
   )
 
   /** The two guarded join sides of the SemDeDup queries: the corpus with
@@ -920,8 +976,45 @@ object DedupOps {
        SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
        FROM lbl ORDER BY doc_id"""
 
+  /** dedup_span_coverage twin: same window/coverage arithmetic over the
+    * gram STRINGS (`array_to_string` of the 1-based 8-slice == the
+    * kernel's `concat_ws(" ", tokens)` character stream), so the gate
+    * additionally proves the hash-grouped counts equal string-grouped
+    * counts. All-integer until the final ratio.
+    */
+  private val spanCoverageOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(ts) - 7, 0) + 1),
+                i -> struct_pack(pos := i - 1,
+                  gram := array_to_string(
+                    ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS w
+              FROM d),
+       g AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM g0),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       dw AS (SELECT g.doc_id, g.pos,
+                lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+                  AS prev
+              FROM g JOIN dup USING (gram)),
+       cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+                 CAST(sum(CASE WHEN prev IS NULL THEN 8
+                      ELSE least(8, pos - prev) END) AS BIGINT)
+                   AS covered_tokens
+               FROM dw GROUP BY doc_id),
+       st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows
+              FROM d)
+       SELECT st.doc_id, n_tokens, n_windows,
+         coalesce(n_dup_windows, 0) AS n_dup_windows,
+         coalesce(covered_tokens, 0) AS covered_tokens,
+         round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens, 4)
+           AS dup_ratio
+       FROM st LEFT JOIN cov USING (doc_id) ORDER BY st.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    "dedup_span_coverage" -> spanCoverageOracle,
     "dedup_minhash_lsh" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -124,6 +124,88 @@ object TextOps {
          FROM t, g ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
 
+  /** Corpus-bigram-LM perplexity per document (the CCNet / Wenzek et al.
+    * LREC'20 quality signal: docs far from the corpus distribution —
+    * high perplexity — are noise; suspiciously low ones are boilerplate).
+    * Add-one-smoothed bigram model trained on the corpus itself:
+    * P(w₂|w₁) = (c₂(w₁,w₂)+1) / (c₁(w₁)+V), c₁ counting CONTEXT
+    * occurrences (non-final positions) and V the corpus vocabulary.
+    *
+    * Scale shape: the LM build is two map-side-combinable counts; scoring
+    * joins the bigram stream to the LM on its key (vocabulary-bounded
+    * tables — AQE broadcasts them when they fit, the CCNet deployment
+    * shape where the LM is a small model artifact). Cross-engine
+    * determinism: per-bigram ln is rounded to 12 decimals (absorbing
+    * last-ulp libm drift, same device as text_bm25_top), then the
+    * per-doc sum is a STRICT LEFT FOLD in position order on both engines
+    * — `aggregate` over the pos-sorted collected list here,
+    * `list_reduce(list_prepend(0.0, list(... ORDER BY pos)))` in DuckDB
+    * — never a parallel `sum()` whose association order is
+    * engine-internal (DuckDB's windowed/grouped sums use segment trees;
+    * Spark's partial aggs combine in partition order).
+    */
+  private[graft] def lmPerplexity(df: DataFrame): DataFrame = {
+    val base = df.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val bi = base.filter(size(col("ts")) >= 2)
+      // sequence(0, n) DESCENDS when n < 0 — the size guard above is
+      // load-bearing, not cosmetic
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => struct(element_at(col("ts"), i + 1).as("w1"),
+          element_at(col("ts"), i + 2).as("w2")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", round(
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 12))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("lnp")))).as("arr"))
+      .withColumn("sum_lnp",
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("lnp")))
+      .withColumn("nll", round(-col("sum_lnp") / col("n_bigrams"), 6))
+      .withColumn("ppl", round(exp(-col("sum_lnp") / col("n_bigrams")), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"), col("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[lmPerplexity]] — same counts, same rounded ln,
+    * same left-fold order.
+    */
+  private val lmPerplexityOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents),
+       bi0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                 i -> struct_pack(pos := i - 1,
+                   w1 := ts[CAST(i AS INT)],
+                   w2 := ts[CAST(i AS INT) + 1]))) AS bg
+               FROM d WHERE len(ts) >= 2),
+       bi AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2
+              FROM bi0),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       vv AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ts) AS w FROM d)),
+       sc AS (SELECT bi.doc_id, bi.pos,
+                round(ln((c2.c2 + 1.0) / (c1.c1 + vv.v)), 12) AS lnp
+              FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                JOIN c1 ON bi.w1 = c1.w1, vv),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                 list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
+                   (a, x) -> a + x) AS s
+               FROM sc GROUP BY doc_id)
+       SELECT doc_id, n_bigrams,
+         round(-s / n_bigrams, 6) AS nll,
+         round(exp(-s / n_bigrams), 4) AS ppl
+       FROM agg ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     // Per-document quality features: length, word/token/stopword counts,
     // average word length. Everything codegen'd scalar expressions.
@@ -281,6 +363,10 @@ object TextOps {
     // with round(,4) absorbing the last-ulp stragglers.
     "text_bm25_top" -> ((s, d) => bm25Top(documents(s, d), Bm25Query)),
 
+    // Corpus-LM perplexity scoring (CCNet quality signal) — see
+    // [[lmPerplexity]].
+    "text_lm_perplexity" -> ((s, d) => lmPerplexity(documents(s, d))),
+
     // Repetition detection: the within-document quality signal (heavily
     // repeated n-grams mark boilerplate/spam; cf. Rae et al., Gopher
     // appendix A "repetition filters"). rep_ratio = 1 − distinct/total
@@ -426,6 +512,7 @@ object TextOps {
            ($qualityKeepSql) AS keep
          FROM t ORDER BY doc_id""",
     "text_bm25_top" -> bm25OracleSql(Bm25Query),
+    "text_lm_perplexity" -> lmPerplexityOracle,
     "text_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Hand-computed micro-corpus pins for the corpus-statistics operators
+  * (LM perplexity, duplicate-span coverage) — the oracle gate proves
+  * engine-vs-DuckDB agreement on the real corpus; these prove the
+  * SEMANTICS against closed-form arithmetic a reviewer can re-derive.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lm_perplexity matches the closed-form add-one bigram model") {
+    // corpus: d0 = "x x x x", d1 = "x y".
+    // bigram counts: c2(x,x)=3, c2(x,y)=1; contexts c1(x)=4; V=2.
+    // P(x|x) = (3+1)/(4+2) = 2/3;  P(y|x) = (1+1)/(4+2) = 1/3.
+    // d0: nll = ln(3/2) = 0.405465, ppl = 1.5
+    // d1: nll = ln(3)   = 1.098612, ppl = 3.0
+    val docs = Seq((0L, "x x x x"), (1L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs).collect()
+    assert(out.length == 2)
+    val d0 = out(0)
+    assert(d0.getLong(0) == 0L && d0.getLong(1) == 3L)
+    assert(d0.getDouble(2) == 0.405465 && d0.getDouble(3) == 1.5)
+    val d1 = out(1)
+    assert(d1.getLong(0) == 1L && d1.getLong(1) == 1L)
+    assert(d1.getDouble(2) == 1.098612 && d1.getDouble(3) == 3.0)
+  }
+
+  test("lm_perplexity drops single-token docs but keeps their vocabulary") {
+    // "z" contributes no bigram row, but V grows 2 -> 3, shifting d1:
+    // P(y|x) = (1+1)/(1+3) = 1/2 -> nll = ln 2, ppl = 2.
+    val docs = Seq((0L, "x y"), (1L, "z")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out(0).getDouble(3) == 2.0)
+  }
+
+  test("span_coverage: interval union over duplicated 8-gram windows") {
+    val t16 = (0 until 8).map(i => s"t$i")
+    val doc0 = (t16 ++ t16).mkString(" ")          // 16 toks, halves equal
+    val doc1 = (0 until 10).map(i => s"u$i").mkString(" ") // unique
+    val doc2 = Seq.fill(9)("s").mkString(" ")      // 9 equal toks
+    val docs = Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = DedupOps.spanCoverage(docs, 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // doc0: windows pos0 and pos8 are both t0..t7 (occ=2, duplicated);
+    // pos1..7 mix the halves and are unique. Coverage 8 + min(8, 8) = 16.
+    assert(out(0L) == ((16L, 9L, 2L, 16L, 1.0)))
+    // doc1: no window occurs twice anywhere
+    assert(out(1L) == ((10L, 3L, 0L, 0L, 0.0)))
+    // doc2: both windows are "s"*8 (occ=2): 8 + min(8, 1) = 9 of 9
+    assert(out(2L) == ((9L, 2L, 2L, 9L, 1.0)))
+  }
+
+  test("span_coverage counts cross-doc occurrences into occ >= 2") {
+    // the same 8-gram once in each of two docs — no within-doc repeat —
+    // must still be duplicated (the contamination/boilerplate case)
+    val span = (0 until 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, span + " a b"), (1L, "p q " + span))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanCoverage(docs, 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) == ((1L, 8L)) && out(1L) == ((1L, 8L)))
+  }
+}

@@ -39,7 +39,8 @@ class EmptyInputSpec extends SparkSpec {
       "curate_pack_sequences", "curate_quality_filter",
       "curate_dedup_apply", "curate_temperature_sample",
       "curate_source_quality", "curate_chunk_documents",
-      "text_heavy_hitters", "text_bm25_top",
+      "text_heavy_hitters", "text_bm25_top", "text_lm_perplexity",
+      "dedup_span_coverage",
       "sim_vector_norms", "dedup_embedding_cosine",
       // events-family: per-row/per-group outputs must vanish with the
       // input (global aggregates like cdc_funnel legitimately keep their
