@@ -162,16 +162,16 @@ object CurationOps {
         .orderBy(col("split"))
     }),
 
-    // Leakage-safe split: the plain curate_split hashes DOC ids, so two
-    // near-duplicate documents can land one in train and one in test —
-    // the classic eval-contamination bug. Splitting on the CLUSTER id
-    // (min reachable doc id from the dedup clustering; singletons are
-    // their own cluster) puts every member of a near-dup cluster in the
-    // SAME split by construction. Consumes the session-materialized
-    // cluster labels from [[DedupOps]]; the label table is |docs in a
-    // cluster| rows — broadcast-sized whenever the dup fraction is small,
-    // and a plain long-key equi-join otherwise. PipelineSpec pins the
-    // zero-straddle property itself.
+    // Leakage-safe split: the plain curate_split assigns by doc_id mod
+    // 10, so two near-duplicate documents can land one in train and one
+    // in test — the classic eval-contamination bug. Splitting on the
+    // CLUSTER id (min reachable doc id from the dedup clustering;
+    // singletons are their own cluster) puts every member of a near-dup
+    // cluster in the SAME split by construction. Consumes the
+    // session-materialized cluster labels from [[DedupOps]]; the label
+    // table is |docs in a cluster| rows — broadcast-sized whenever the
+    // dup fraction is small, and a plain long-key equi-join otherwise.
+    // CurationSpec pins the zero-straddle property itself.
     "curate_split_by_cluster" -> ((s, d) => {
       val lbl = DedupOps.ngramClusterLabels(s, d)
         .select(col("id").as("doc_id"), col("lbl"))

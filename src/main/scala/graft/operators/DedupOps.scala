@@ -530,9 +530,13 @@ object DedupOps {
     * collision would fail the gate loudly, not skew results silently).
     */
   private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame = {
+    // the window stream feeds BOTH the occurrence count and the probe
+    // side of the coverage join — checkpoint the kernel+explode subtree
+    // once (the shared-subtree idiom measured on the minhash pipeline)
     val wins = docs.select(col("doc_id"),
       posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
         .as(Seq("pos", "h")))
+      .localCheckpoint(false)
     val dupGrams = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)

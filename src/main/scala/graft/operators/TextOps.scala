@@ -101,10 +101,15 @@ object TextOps {
       .limit(20)
   }
 
-  /** DuckDB twin of [[bm25Top]], generated from the same term list. */
+  /** DuckDB twin of [[bm25Top]], generated from the same term list.
+    * Terms are embedded as SQL string literals — escape quotes so a
+    * term like "don't" yields valid SQL matching Spark's exact
+    * array-element equality.
+    */
   private def bm25OracleSql(terms: Seq[String]): String = {
+    def q(t: String) = t.replace("'", "''")
     val tfCols = terms.indices.map(i =>
-      s"CAST(len(list_filter(ts, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      s"CAST(len(list_filter(ts, x -> x = '${q(terms(i))}')) AS BIGINT) AS tf$i")
       .mkString(",\n             ")
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
@@ -155,8 +160,13 @@ object TextOps {
           element_at(col("ts"), i + 2).as("w2")))).as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // the bigram stream feeds the c2 count AND the scoring probe —
+      // checkpoint the tokenize+posexplode subtree once
+      .localCheckpoint(false)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts marginalize the (much smaller) bigram-count table:
+    // c1(w1) = Σ_w2 c2(w1,w2) — no second corpus-sized shuffle
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = base.select(explode(col("ts")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val scored = bi
