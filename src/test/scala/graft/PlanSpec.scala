@@ -340,6 +340,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus-stats plans: shuffle budgets, no window funnels, BM25 top-k") {
+    // Budgets measured at sf0.001 (AQE-aware executed-plan count).
+    // dedup_span_coverage: occurrence count on the 64-bit gram hash,
+    // coverage lag window on high-card doc_id, final sort — 3; a
+    // regression that shuffles gram STRINGS or loses the shared-subtree
+    // checkpoint shows up as extra exchanges. text_lm_perplexity: bigram
+    // c2 agg + c1 marginalization + scoring join + per-doc fold + sort
+    // — 7, and crucially ZERO Window nodes (the per-doc position-ordered
+    // sum is a fold over a collected list, not a window funnel).
+    import graft.operators.{DedupOps, TextOps}
+    for ((q, budget) <- Seq("dedup_span_coverage" -> 3,
+        "text_lm_perplexity" -> 7)) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val n = shuffleCount(df)
+      assert(n <= budget, s"$q shuffles $n > budget $budget")
+    }
+    assert(windowNodes(TextOps.queries("text_lm_perplexity")(spark, sf)) == 0)
+    // bm25: scan -> one-row global agg -> broadcast cross join ->
+    // TakeOrderedAndProject; the single shuffle is the global agg's.
+    val bm = TextOps.queries("text_bm25_top")(spark, sf)
+    bm.collect()
+    assert(shuffleCount(bm) <= 1, plan(bm))
+    val bp = bm.queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"), bp)
+    assert(!bp.contains("SortMergeJoin"), bp)
+  }
+
   test("sketch aggregators run partially before the shuffle") {
     import graft.operators.{SketchOps, TextOps}
     // the sketches' whole point: bounded state per task ships through the
