@@ -529,10 +529,13 @@ object DedupOps {
     * proves hash-grouping ≡ string-grouping on this corpus (a 64-bit
     * collision would fail the gate loudly, not skew results silently).
     */
-  private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame = {
-    // the window stream feeds BOTH the occurrence count and the probe
-    // side of the coverage join — checkpoint the kernel+explode subtree
-    // once (the shared-subtree idiom measured on the minhash pipeline)
+  /** The shared front half of the ExactSubstr pair: the corpus window
+    * stream `(doc_id, pos, h)` over fused n-gram hashes (checkpointed —
+    * it feeds both the occurrence count and a probe join) and the
+    * hashes occurring ≥ 2 times corpus-wide.
+    */
+  private def dupWindowStream(docs: DataFrame, n: Int)
+      : (DataFrame, DataFrame) = {
     val wins = docs.select(col("doc_id"),
       posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
         .as(Seq("pos", "h")))
@@ -541,6 +544,11 @@ object DedupOps {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
+    (wins, dupGrams)
+  }
+
+  private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame = {
+    val (wins, dupGrams) = dupWindowStream(docs, n)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = wins.join(dupGrams, Seq("h"))
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
@@ -559,6 +567,47 @@ object DedupOps {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("dup_ratio",
         round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The APPLY half of ExactSubstr dedup (the removal [[spanCoverage]]
+    * measures): drop every token covered by a duplicated `n`-window and
+    * emit the cleaned document's shape — kept-token count and an md5
+    * fingerprint of the excised text (the text itself never leaves the
+    * executors, the same ships-hashes-not-text contract as
+    * text_normalize / curate_chunk_documents).
+    *
+    * Scale shape: covered positions explode from dup windows only (≤ n×
+    * the duplicated-window count, not the corpus), the token stream is
+    * a row-local explode, and the kept set is a LEFT ANTI join on the
+    * high-cardinality (doc_id, pos) key. The rebuild is the same
+    * doc-bounded sorted-fold device as text_lm_perplexity: collect each
+    * doc's kept (pos, token) pairs, sort, join — per-doc state is one
+    * document's tokens, never a window funnel. A doc whose every token
+    * is covered (doc0 in the spec) keeps zero tokens and fingerprints
+    * the empty string.
+    */
+  private[graft] def spanExcise(docs: DataFrame, n: Int): DataFrame = {
+    val (wins, dupGrams) = dupWindowStream(docs, n)
+    val covered = wins.join(dupGrams, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("arr"))
+      .select(col("doc_id"), col("kept_tokens"),
+        md5(array_join(transform(col("arr"), x => x.getField("tok")), " "))
+          .as("clean_md5"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -793,6 +842,11 @@ object DedupOps {
     // Duplicate 8-token-span coverage per document (the ExactSubstr
     // measurement pass) — see [[spanCoverage]].
     "dedup_span_coverage" -> ((s, d) => spanCoverage(documents(s, d), 8)),
+
+    // ExactSubstr span REMOVAL (the apply twin): cleaned-doc shape +
+    // md5 fingerprint of the text with duplicated 8-token spans excised
+    // — see [[spanExcise]].
+    "dedup_span_excise" -> ((s, d) => spanExcise(documents(s, d), 8)),
   )
 
   /** The two guarded join sides of the SemDeDup queries: the corpus with
@@ -1016,9 +1070,48 @@ object DedupOps {
            AS dup_ratio
        FROM st LEFT JOIN cov USING (doc_id) ORDER BY st.doc_id"""
 
+  /** dedup_span_excise twin: gram-string windows again (hash-collision
+    * cross-check), covered positions via a constant-list lateral
+    * explode, kept tokens by anti-join, rebuild as
+    * `md5(array_to_string(list(tok ORDER BY pos)))` — the same strict
+    * position order as the engine's sorted-collect fold.
+    */
+  private val spanExciseOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(ts) - 7, 0) + 1),
+                i -> struct_pack(pos := i - 1,
+                  gram := array_to_string(
+                    ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS w
+              FROM d),
+       g AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM g0),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       cov AS (SELECT DISTINCT g.doc_id, g.pos + off.i AS pos
+               FROM g JOIN dup USING (gram)
+                 CROSS JOIN (SELECT unnest(range(8)) AS i) off),
+       t0 AS (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+                i -> struct_pack(pos := i,
+                  tok := ts[CAST(i AS INT) + 1]))) AS t
+              FROM d),
+       tok AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM t0),
+       kept AS (SELECT tok.doc_id, count(*) AS kept_tokens,
+                  md5(array_to_string(list(tok.tok ORDER BY tok.pos), ' '))
+                    AS clean_md5
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                WHERE cov.pos IS NULL GROUP BY tok.doc_id),
+       st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM d)
+       SELECT st.doc_id, n_tokens,
+         CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         coalesce(clean_md5, md5('')) AS clean_md5
+       FROM st LEFT JOIN kept ON st.doc_id = kept.doc_id
+       ORDER BY st.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
     "dedup_span_coverage" -> spanCoverageOracle,
+    "dedup_span_excise" -> spanExciseOracle,
     "dedup_minhash_lsh" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -57,6 +57,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L) == ((9L, 2L, 2L, 9L, 1.0)))
   }
 
+  test("span_excise drops exactly the covered tokens, keeps position order") {
+    val t16 = (0 until 8).map(i => s"t$i")
+    val doc0 = (t16 ++ t16).mkString(" ")            // fully covered
+    val span = (0 until 8).map(i => s"c$i").mkString(" ")
+    val doc1 = span + " keep me"                     // cross-doc dup span
+    val doc2 = "uniq " + span                        // same span, other doc
+    val docs = Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = DedupOps.spanExcise(docs, 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc0: every position covered -> empty cleaned text
+    assert(out(0L) == ((16L, 0L, m(""))))
+    // doc1/doc2: the shared 8-gram excised, residue survives IN ORDER
+    assert(out(1L) == ((10L, 2L, m("keep me"))))
+    assert(out(2L) == ((9L, 1L, m("uniq"))))
+  }
+
+  test("span_excise and span_coverage agree on kept = n_tokens - covered") {
+    val h = (0 until 8).map("t" + _)
+    val docs = Seq((0L, (h ++ h).mkString(" ")),
+      (1L, (0 until 12).map("u" + _).mkString(" ")),
+      (2L, Seq.fill(9)("s").mkString(" "))).toDF("doc_id", "text")
+    val covv = DedupOps.spanCoverage(docs, 8)
+      .select(col("doc_id"), (col("n_tokens") - col("covered_tokens")).as("k"))
+    val exc = DedupOps.spanExcise(docs, 8)
+      .select(col("doc_id"), col("kept_tokens").as("k"))
+    assert(covv.exceptAll(exc).isEmpty && exc.exceptAll(covv).isEmpty)
+  }
+
   test("span_coverage counts cross-doc occurrences into occ >= 2") {
     // the same 8-gram once in each of two docs — no within-doc repeat —
     // must still be duplicated (the contamination/boilerplate case)

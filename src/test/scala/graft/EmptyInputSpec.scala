@@ -40,7 +40,7 @@ class EmptyInputSpec extends SparkSpec {
       "curate_dedup_apply", "curate_temperature_sample",
       "curate_source_quality", "curate_chunk_documents",
       "text_heavy_hitters", "text_bm25_top", "text_lm_perplexity",
-      "dedup_span_coverage",
+      "dedup_span_coverage", "dedup_span_excise",
       "sim_vector_norms", "dedup_embedding_cosine",
       // events-family: per-row/per-group outputs must vanish with the
       // input (global aggregates like cdc_funnel legitimately keep their
