@@ -507,32 +507,14 @@ object DedupOps {
       .getOrElseUpdate(s, "ngramPairs#" + d + "#cc", connectedComponents(
         ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
 
-  /** Duplicate-span coverage (Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better", ACL'22 — the ExactSubstr statistic):
-    * a token `n`-window is DUPLICATED if its gram occurs ≥ 2 times
-    * anywhere in the corpus (cross-doc or a within-doc repeat); per doc,
-    * report how many token positions are covered by at least one
-    * duplicated window. The full suffix-array dedup REMOVES these spans;
-    * the coverage profile is the measurement pass that sizes that
-    * decision (and the per-doc filter signal: high-coverage docs are
-    * boilerplate).
-    *
-    * Scale shape: windows are the fused [[graft.functions.TextExprs
-    * .TokenNgramHashes]] 64-bit hashes — the occurrence count and the
-    * dup-window join shuffle 8-byte keys, never gram text. Coverage is
-    * the classic sorted-interval union, computed with one per-doc window
-    * (lag over pos): fixed width w makes the union length
-    * Σ min(w, posᵢ − posᵢ₋₁) — integer-exact, no geometry. doc_id is a
-    * high-cardinality partition key, so the window spreads across the
-    * cluster (see the EventOps cardinality ledger). The DuckDB oracle
-    * groups by the gram STRING instead of the hash, so the gate also
-    * proves hash-grouping ≡ string-grouping on this corpus (a 64-bit
-    * collision would fail the gate loudly, not skew results silently).
-    */
   /** The shared front half of the ExactSubstr pair: the corpus window
-    * stream `(doc_id, pos, h)` over fused n-gram hashes (checkpointed —
-    * it feeds both the occurrence count and a probe join) and the
-    * hashes occurring ≥ 2 times corpus-wide.
+    * stream `(doc_id, pos, h)` over fused [[graft.functions.TextExprs
+    * .TokenNgramHashes]] 64-bit n-gram hashes, and the hashes occurring
+    * ≥ 2 times corpus-wide (cross-doc or a within-doc repeat). Both
+    * frames shuffle 8-byte keys, never gram text, and both are lazily
+    * checkpointed: the window stream feeds the occurrence count AND a
+    * probe join in each consumer, the dup set is shared across BOTH
+    * span queries when reached through [[dupWindowStreamCached]].
     */
   private def dupWindowStream(docs: DataFrame, n: Int)
       : (DataFrame, DataFrame) = {
@@ -540,15 +522,55 @@ object DedupOps {
       posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
         .as(Seq("pos", "h")))
       .localCheckpoint(false)
-    val dupGrams = wins.groupBy(col("h"))
+    (wins, dupGramsOf(wins))
+  }
+
+  private def dupGramsOf(wins: DataFrame): DataFrame =
+    wins.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
-    (wins, dupGrams)
+      .localCheckpoint(false)
+
+  /** Session-memoized [[dupWindowStream]] over the corpus `documents`
+    * table — coverage and excise read the SAME materialized window
+    * stream and dup set (the ngram-pair-table idiom: whichever query
+    * runs first absorbs the build).
+    */
+  private def dupWindowStreamCached(s: SparkSession, d: String, n: Int)
+      : (DataFrame, DataFrame) = {
+    val wins = SessionCache.getOrElseUpdate(s, s"spanWins#$d#$n",
+      dupWindowStream(documents(s, d), n)._1)
+    (wins, SessionCache.getOrElseUpdate(s, s"spanDup#$d#$n",
+      dupGramsOf(wins)))
   }
 
-  private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame = {
-    val (wins, dupGrams) = dupWindowStream(docs, n)
+  /** Duplicate-span coverage (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — the ExactSubstr statistic):
+    * a token `n`-window is DUPLICATED if its gram occurs ≥ 2 times
+    * anywhere in the corpus (cross-doc or a within-doc repeat); per doc,
+    * report how many token positions are covered by at least one
+    * duplicated window. The full suffix-array dedup REMOVES these spans
+    * ([[spanExcise]]); the coverage profile is the measurement pass that
+    * sizes that decision (and the per-doc filter signal: high-coverage
+    * docs are boilerplate).
+    *
+    * Scale shape: see [[dupWindowStream]] for the hashed window stream.
+    * Coverage is the classic sorted-interval union, computed with one
+    * per-doc window (lag over pos): fixed width w makes the union length
+    * Σ min(w, posᵢ − posᵢ₋₁) — integer-exact, no geometry. doc_id is a
+    * high-cardinality partition key, so the window spreads across the
+    * cluster (see the EventOps cardinality ledger). The DuckDB oracle
+    * groups by the gram STRING instead of the hash, so the gate also
+    * proves hash-grouping ≡ string-grouping on this corpus (a 64-bit
+    * collision would fail the gate loudly, not skew results silently).
+    */
+  private[graft] def spanCoverage(docs: DataFrame, n: Int): DataFrame =
+    spanCoverageFrom(docs, n, dupWindowStream(docs, n))
+
+  private def spanCoverageFrom(docs: DataFrame, n: Int,
+      stream: (DataFrame, DataFrame)): DataFrame = {
+    val (wins, dupGrams) = stream
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = wins.join(dupGrams, Seq("h"))
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
@@ -587,8 +609,12 @@ object DedupOps {
     * is covered (doc0 in the spec) keeps zero tokens and fingerprints
     * the empty string.
     */
-  private[graft] def spanExcise(docs: DataFrame, n: Int): DataFrame = {
-    val (wins, dupGrams) = dupWindowStream(docs, n)
+  private[graft] def spanExcise(docs: DataFrame, n: Int): DataFrame =
+    spanExciseFrom(docs, n, dupWindowStream(docs, n))
+
+  private def spanExciseFrom(docs: DataFrame, n: Int,
+      stream: (DataFrame, DataFrame)): DataFrame = {
+    val (wins, dupGrams) = stream
     val covered = wins.join(dupGrams, Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
@@ -840,13 +866,16 @@ object DedupOps {
     }),
 
     // Duplicate 8-token-span coverage per document (the ExactSubstr
-    // measurement pass) — see [[spanCoverage]].
-    "dedup_span_coverage" -> ((s, d) => spanCoverage(documents(s, d), 8)),
+    // measurement pass) — see [[spanCoverage]]. Shares the memoized
+    // window stream + dup set with the excise twin.
+    "dedup_span_coverage" -> ((s, d) =>
+      spanCoverageFrom(documents(s, d), 8, dupWindowStreamCached(s, d, 8))),
 
     // ExactSubstr span REMOVAL (the apply twin): cleaned-doc shape +
     // md5 fingerprint of the text with duplicated 8-token spans excised
     // — see [[spanExcise]].
-    "dedup_span_excise" -> ((s, d) => spanExcise(documents(s, d), 8)),
+    "dedup_span_excise" -> ((s, d) =>
+      spanExciseFrom(documents(s, d), 8, dupWindowStreamCached(s, d, 8))),
   )
 
   /** The two guarded join sides of the SemDeDup queries: the corpus with
@@ -1034,13 +1063,15 @@ object DedupOps {
        SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
        FROM lbl ORDER BY doc_id"""
 
-  /** dedup_span_coverage twin: same window/coverage arithmetic over the
-    * gram STRINGS (`array_to_string` of the 1-based 8-slice == the
-    * kernel's `concat_ws(" ", tokens)` character stream), so the gate
-    * additionally proves the hash-grouped counts equal string-grouped
-    * counts. All-integer until the final ratio.
+  /** The shared CTE prefix of both span oracles (the [[clusterLabelsCte]]
+    * idiom): the 8-gram window stream over gram STRINGS
+    * (`array_to_string` of the 1-based 8-slice == the kernel's
+    * `concat_ws(" ", tokens)` character stream) and the duplicated-gram
+    * set — so the gates additionally prove hash-grouped == string-grouped,
+    * and the two twins can never disagree on what "duplicated window"
+    * means. Ends in `d(doc_id, ts)`, `g(doc_id, pos, gram)`, `dup(gram)`.
     */
-  private val spanCoverageOracle: String =
+  private val spanWindowCte: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
                   FROM documents),
        g0 AS (SELECT doc_id, unnest(list_transform(
@@ -1050,7 +1081,14 @@ object DedupOps {
                     ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS w
               FROM d),
        g AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM g0),
-       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)"""
+
+  /** dedup_span_coverage twin: same window/coverage arithmetic as the
+    * engine, all-integer until the final ratio.
+    */
+  private val spanCoverageOracle: String =
+    spanWindowCte +
+      """,
        dw AS (SELECT g.doc_id, g.pos,
                 lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
                   AS prev
@@ -1077,16 +1115,8 @@ object DedupOps {
     * position order as the engine's sorted-collect fold.
     */
   private val spanExciseOracle: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
-                  FROM documents),
-       g0 AS (SELECT doc_id, unnest(list_transform(
-                range(1, greatest(len(ts) - 7, 0) + 1),
-                i -> struct_pack(pos := i - 1,
-                  gram := array_to_string(
-                    ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS w
-              FROM d),
-       g AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM g0),
-       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    spanWindowCte +
+      """,
        cov AS (SELECT DISTINCT g.doc_id, g.pos + off.i AS pos
                FROM g JOIN dup USING (gram)
                  CROSS JOIN (SELECT unnest(range(8)) AS i) off),

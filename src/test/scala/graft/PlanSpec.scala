@@ -345,12 +345,16 @@ class PlanSpec extends SparkSpec {
     // dedup_span_coverage: occurrence count on the 64-bit gram hash,
     // coverage lag window on high-card doc_id, final sort — 3; a
     // regression that shuffles gram STRINGS or loses the shared-subtree
-    // checkpoint shows up as extra exchanges. text_lm_perplexity: bigram
-    // c2 agg + c1 marginalization + scoring join + per-doc fold + sort
-    // — 7, and crucially ZERO Window nodes (the per-doc position-ordered
-    // sum is a fold over a collected list, not a window funnel).
+    // checkpoint shows up as extra exchanges. dedup_span_excise (run
+    // after coverage, reading the session-memoized window stream):
+    // covered distinct + anti join + per-doc rebuild + sort — 4.
+    // text_lm_perplexity: bigram c2 agg + c1 marginalization + scoring
+    // join + per-doc fold + sort — 7, and crucially ZERO Window nodes
+    // (the per-doc position-ordered sum is a fold over a collected
+    // list, not a window funnel).
     import graft.operators.{DedupOps, TextOps}
     for ((q, budget) <- Seq("dedup_span_coverage" -> 3,
+        "dedup_span_excise" -> 4,
         "text_lm_perplexity" -> 7)) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
