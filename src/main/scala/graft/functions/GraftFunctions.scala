@@ -103,6 +103,8 @@ object GraftFunctions {
     triple("bucket_index", classOf[LayoutExprs.BucketIndex], 2)(a =>
       LayoutExprs.BucketIndex(a(0), litDoubleArray("bucket_index",
         "bounds", a(1)))),
+    triple("mix64", classOf[LayoutExprs.Mix64], 1)(a =>
+      LayoutExprs.Mix64(a(0))),
     // BloomExprs.BloomMightContainLong has no SQL face: its filter
     // argument is a driver-built sketch object, not a SQL-expressible
     // literal (Spark's own might_contain is internal-only for the same

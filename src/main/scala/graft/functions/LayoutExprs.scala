@@ -133,4 +133,36 @@ object LayoutExprs {
 
   def bucketIndex(c: Column, bounds: Seq[Double]): Column =
     Bridge.column(BucketIndex(Bridge.expression(c), bounds))
+
+  /** Murmur3 fmix64 avalanche of a bigint — the deterministic ordering
+    * key behind seeded corpus shuffles ([[graft.operators.CurationOps]]'
+    * `curate_epoch_shuffle`): mix64(doc_id XOR seed) is a pure function
+    * of the stable key, so a training order is reproducible across runs,
+    * engines, and task re-execution, and changing the seed (epoch)
+    * re-permutes the corpus. Delegates to the SAME
+    * [[TextExprs.fmix64]] the window-hash kernels finish with — one
+    * avalanche definition engine-wide, and the DuckDB oracle replays it
+    * in 32-bit-split HUGEINT arithmetic (see DedupOps.OracleHash).
+    */
+  case class Mix64(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"mix64 expects bigint, got ${child.dataType.simpleString}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "mix64"
+
+    override def nullSafeEval(v: Any): Any =
+      TextExprs.fmix64(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.fmix64($c)")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Mix64 = copy(child = newChild)
+  }
+
+  def mix64(c: Column): Column =
+    Bridge.column(Mix64(Bridge.expression(c)))
 }

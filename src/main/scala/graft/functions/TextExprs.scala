@@ -305,7 +305,9 @@ object TextExprs {
   private final val FnvBasis = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
   @inline private def fnvStep(h: Long, cp: Int): Long = (h ^ cp) * FnvPrime
-  @inline private def fmix64(h0: Long): Long = {
+  // public: [[LayoutExprs.Mix64]]'s eval and generated code call this
+  // same definition (one avalanche, no constant drift)
+  @inline def fmix64(h0: Long): Long = {
     var h = h0
     h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
     h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L

@@ -45,6 +45,57 @@ object CurationOps {
 
   private def nTokens = size(split(col("text"), " "))
 
+  /** Epoch-shuffle geometry: the shard count must divide 2^64 (a power
+    * of two) so the unsigned `h % shards` the oracle computes equals the
+    * signed `pmod` the engine computes — any other modulus would make
+    * the two differ on keys with the sign bit set.
+    */
+  val EpochShards = 8
+
+  /** Weyl/golden-ratio odd multiplier: seed(epoch) = epoch · φ64 wraps
+    * to a well-spread odd-multiple sequence, the standard seeded-stream
+    * construction.
+    */
+  val EpochSeedBase = 0x9e3779b97f4a7c15L
+
+  /** The epoch the registered query materializes (any value works; the
+    * spec re-runs with other epochs to pin that the order re-permutes).
+    */
+  val Epoch = 3
+
+  /** Deterministic epoch shuffle — the training-order operator: every
+    * document gets a pseudorandom but REPRODUCIBLE position
+    * (mix64(doc_id XOR seed(epoch))) and a shard (key mod
+    * [[EpochShards]]), so a data loader can read shard s in `pos` order
+    * and see a uniformly shuffled corpus that is a pure function of
+    * (corpus, epoch) — identical across runs, engines, and task
+    * re-execution, re-permuted every epoch. This is the distributed
+    * replacement for "shuffle the dataset each epoch": no RNG state, no
+    * global sort of text — the ORDER travels as an 8-byte key.
+    *
+    * Scale shape: shard is a LOW-cardinality key, so position-within-
+    * shard is the [[ScaleWindows.groupRanks]] two-phase plan (each shard
+    * spans many partitions; a window over 8 shards would funnel the
+    * corpus through 8 reducers — the exact skew wall the EventOps
+    * cardinality ledger documents). Emitting (shard, pos, doc_id) keeps
+    * the result a slim manifest; the loader joins it back to the corpus
+    * by doc_id or the writer bucket-sorts the full rows by (shard, pos).
+    */
+  private[graft] def epochShuffle(docs: DataFrame, seed: Long,
+      shards: Int, numPartitions: Int): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"epochShuffle shard count must be a power of two, got $shards")
+    val keyed = docs.select(col("doc_id"),
+      graft.functions.LayoutExprs.mix64(
+        col("doc_id").bitwiseXOR(lit(seed))).as("ord_key"))
+      .withColumn("shard", pmod(col("ord_key"), lit(shards.toLong)))
+    ScaleWindows.groupRanks(keyed, group = Seq("shard"),
+      order = Seq("ord_key", "doc_id"), numPartitions = numPartitions)
+      .select(col("shard"), col("__pos").as("pos"), col("doc_id"),
+        col("ord_key"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Mixture planning: per-lang doc/token counts and the sampling rate
     // that would level every lang to a uniform 1/|langs| token share.
@@ -279,7 +330,35 @@ object CurationOps {
             count(lit(1)), 4).as("mean_alpha"))
         .orderBy(col("source"))
     }),
+
+    // Seeded deterministic training order + shard assignment — see
+    // [[epochShuffle]]. Position-within-shard runs the two-phase
+    // groupRanks plan (shard is low-cardinality by construction).
+    "curate_epoch_shuffle" -> ((s, d) =>
+      epochShuffle(documents(s, d), EpochSeedBase * Epoch, EpochShards,
+        EventOps.shufflePartitions(s))),
   )
+
+  /** dedup_simhash's replay device pointed at the shuffle key: the
+    * fmix64 avalanche in 32-bit-split HUGEINT arithmetic
+    * ([[OracleHash]]), the unsigned→signed reinterpretation for the
+    * ORDER BY, and `h % shards` on the UNSIGNED value (equal to the
+    * engine's signed pmod because [[EpochShards]] divides 2^64).
+    */
+  private def epochShuffleOracle: String = {
+    val seedU = java.lang.Long.toUnsignedString(EpochSeedBase * Epoch)
+    s"""WITH __k AS (SELECT doc_id,
+           xor(CAST(doc_id AS HUGEINT), $seedU::HUGEINT) AS __x
+         FROM documents),
+       ${OracleHash.fmixCtes("__k", Seq("doc_id"), "__x", "__h", "h")},
+       keyed AS (SELECT doc_id, ${OracleHash.toSigned("h")} AS ord_key,
+           CAST(h % $EpochShards AS BIGINT) AS shard FROM __h)
+       SELECT shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
+         doc_id, ord_key
+       FROM keyed ORDER BY shard, pos"""
+  }
 
   /** DuckDB twins. Token counts mirror the Spark expression exactly
     * (whitespace split length); sums are CAST to BIGINT because DuckDB
@@ -409,5 +488,6 @@ object CurationOps {
            round(CAST(sum(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE)
              / count(*), 4) AS mean_alpha
          FROM t GROUP BY source ORDER BY source""",
+    "curate_epoch_shuffle" -> epochShuffleOracle,
   )
 }

@@ -974,11 +974,7 @@ object DedupOps {
     * signature never equi-joins).
     */
   private def simhashOracle: String = {
-    val mod = "18446744073709551616::HUGEINT"
-    def mulmod(h: String, k: String): String =
-      s"((($h // 4294967296) * $k % 4294967296) * 4294967296 + " +
-        s"($h % 4294967296) * $k) % $mod"
-    def shr33(h: String): String = s"xor($h, $h // 8589934592)"
+    import OracleHash.{Mod => mod, K1, K2, mulmod, shr33, toSigned}
     def pow2(b: Int): java.math.BigInteger =
       java.math.BigInteger.ONE.shiftLeft(b)
     val bitSums = (0 until 64).map { b =>
@@ -1003,18 +999,12 @@ object DedupOps {
                i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
            (h, c) -> (xor(h, c) * 1099511628211) % $mod) AS h0
          FROM toks),
-       f1 AS (SELECT doc_id,
-         ${mulmod(shr33("h0"), "18397679294719823053::HUGEINT")} AS h1
-         FROM f0),
-       f2 AS (SELECT doc_id,
-         ${mulmod(shr33("h1"), "14181476777654086739::HUGEINT")} AS h2
-         FROM f1),
+       f1 AS (SELECT doc_id, ${mulmod(shr33("h0"), K1)} AS h1 FROM f0),
+       f2 AS (SELECT doc_id, ${mulmod(shr33("h1"), K2)} AS h2 FROM f1),
        f3 AS (SELECT doc_id, ${shr33("h2")} AS h FROM f2),
        sums AS (SELECT doc_id, $bitSums FROM f3 GROUP BY doc_id),
        sigs AS (SELECT doc_id, ($sigSum) AS sigu FROM sums),
-       sg AS (SELECT doc_id, sigu,
-           CAST(CASE WHEN sigu >= 9223372036854775808::HUGEINT
-                THEN sigu - $mod ELSE sigu END AS BIGINT) AS sig
+       sg AS (SELECT doc_id, sigu, ${toSigned("sigu")} AS sig
          FROM sigs),
        banded AS ($bands)
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1213,4 +1203,58 @@ object DedupOps {
                 * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
          ORDER BY vec_a, vec_b""",
   )
+}
+
+/** DuckDB SQL fragments replaying the engine's 64-bit wrapping hash
+  * arithmetic in HUGEINT — the machinery behind every oracle that must
+  * reproduce a JVM long hash exactly (the simhash FNV+fmix fold above,
+  * the mix64 epoch-shuffle key in [[CurationOps]]). One definition so
+  * the multipliers cannot drift from [[graft.functions.TextExprs
+  * .fmix64]]'s.
+  *
+  * Why the 32-bit split: DuckDB HUGEINT is INT128 and OVERFLOWS
+  * multiplying two ~2^64 values, so h·k mod 2^64 is computed as
+  * `((h div 2^32 · k mod 2^32)·2^32 + (h mod 2^32)·k) mod 2^64` — every
+  * intermediate stays below 2^96.
+  */
+private[graft] object OracleHash {
+  /** 2^64 — the modulus of the engine's wrapping long arithmetic. */
+  val Mod = "18446744073709551616::HUGEINT"
+  /** murmur3 fmix64 multipliers (0xff51afd7ed558ccd, 0xc4ceb9fe1a85ec53)
+    * as unsigned decimal literals.
+    */
+  val K1 = "18397679294719823053::HUGEINT"
+  val K2 = "14181476777654086739::HUGEINT"
+
+  /** `h · k mod 2^64` via the 32-bit split (see object doc). */
+  def mulmod(h: String, k: String): String =
+    s"((($h // 4294967296) * $k % 4294967296) * 4294967296 + " +
+      s"($h % 4294967296) * $k) % $Mod"
+
+  /** `h XOR (h >>> 33)` — unsigned shift is integer division here. */
+  def shr33(h: String): String = s"xor($h, $h // 8589934592)"
+
+  /** The unsigned-HUGEINT value reinterpreted as the signed BIGINT with
+    * the same 64 bits (what the JVM side emits).
+    */
+  def toSigned(h: String): String =
+    s"CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+      s"THEN $h - $Mod ELSE $h END AS BIGINT)"
+
+  /** CTE chain applying the full fmix64 avalanche to `src(keys..., in)`,
+    * ending in a relation `<out>(keys..., <col>)` holding the UNSIGNED
+    * mixed value. Staged CTEs, not one nested expression: mulmod/shr33
+    * mention their argument 2–4 times, so textual nesting grows the
+    * expression ~32× and re-evaluates the input as many times.
+    */
+  def fmixCtes(src: String, keys: Seq[String], in: String, out: String,
+      col: String): String = {
+    val ks = keys.mkString(", ")
+    // intermediate CTE names derive from `out` so two chains can share
+    // one statement without colliding
+    val (s1, s2) = (s"${out}_s1", s"${out}_s2")
+    s"""$s1 AS (SELECT $ks, ${mulmod(shr33(in), K1)} AS __m1 FROM $src),
+       $s2 AS (SELECT $ks, ${mulmod(shr33("__m1"), K2)} AS __m2 FROM $s1),
+       $out AS (SELECT $ks, ${shr33("__m2")} AS $col FROM $s2)"""
+  }
 }

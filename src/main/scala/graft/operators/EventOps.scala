@@ -75,7 +75,7 @@ object EventOps {
     * queries to one width regardless of cluster size, the exact failure
     * mode the two-phase form exists to avoid.
     */
-  private def shufflePartitions(s: SparkSession): Int =
+  private[operators] def shufflePartitions(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
   /** The range-partitioned rank layout both `cdc_value_quartiles` and

@@ -30,6 +30,48 @@ class CurationSpec extends SparkSpec {
         col("d").isNull || col("rd").isNull).count() === 0)
   }
 
+  test("epoch_shuffle is a seeded permutation: every doc once, dense " +
+      "positions, epochs re-permute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = CurationOps.queries("curate_epoch_shuffle")(spark, sf)
+      .localCheckpoint(true)
+    // a permutation of the corpus: every doc exactly once
+    assert(out.count() === n)
+    assert(out.select(col("doc_id")).distinct().count() === n)
+    // positions are dense 0..cnt-1 within each shard (sum check), and
+    // the shard is the key's pmod — the loader contract
+    val perShard = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"), sum(col("pos")).as("s"))
+      .collect()
+    assert(perShard.length === CurationOps.EpochShards) // mix spreads: none empty
+    perShard.foreach { r =>
+      val (c, lo, hi, s) =
+        (r.getAs[Long]("c"), r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("s"))
+      assert(lo === 0L && hi === c - 1 && s === c * (c - 1) / 2)
+    }
+    assert(out.filter(
+      pmod(col("ord_key"), lit(CurationOps.EpochShards.toLong))
+        =!= col("shard")).count() === 0)
+    // ord_key really is mix64(doc_id XOR seed) — one row spot-checked
+    // against the JVM kernel the expression delegates to
+    val r0 = out.orderBy(col("doc_id")).first()
+    assert(r0.getAs[Long]("ord_key") ===
+      graft.functions.TextExprs.fmix64(
+        r0.getAs[Long]("doc_id") ^
+          (CurationOps.EpochSeedBase * CurationOps.Epoch)))
+    // a different epoch re-permutes: same doc set, different order
+    val other = CurationOps.epochShuffle(docs,
+      CurationOps.EpochSeedBase * (CurationOps.Epoch + 1),
+      CurationOps.EpochShards, 8)
+    val moved = out.select(col("doc_id"), col("shard"), col("pos"))
+      .except(other.select(col("doc_id"), col("shard"), col("pos")))
+      .count()
+    assert(moved > n / 2, s"epoch change moved only $moved of $n docs")
+  }
+
   test("stratified sample keeps exactly the mod-class rows per lang") {
     val out = CurationOps.queries("curate_stratified_sample")(spark, sf)
     val kept = out.agg(sum(col("n_docs"))).first().getLong(0)

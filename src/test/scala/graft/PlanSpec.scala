@@ -221,8 +221,14 @@ class PlanSpec extends SparkSpec {
     // must be the two-phase groupRanks forms — no Window node, no
     // percentile buffer, anywhere in the executed plan.
     import graft.operators.EventOps
-    for (q <- Seq("cdc_value_quartiles", "cdc_value_percentiles")) {
-      val df = EventOps.queries(q)(spark, sf)
+    // curate_epoch_shuffle joins the pin: its shard key is 8 values at
+    // ANY corpus size, the canonical two-phase case
+    val funnels = Seq(
+      "cdc_value_quartiles" -> EventOps.queries,
+      "cdc_value_percentiles" -> EventOps.queries,
+      "curate_epoch_shuffle" -> graft.operators.CurationOps.queries)
+    for ((q, reg) <- funnels) {
+      val df = reg(q)(spark, sf)
       df.collect()
       val executed = df.queryExecution.executedPlan.toString
       assert(windowNodes(df) == 0, s"$q plans a Window funnel:\n$executed")

@@ -48,7 +48,8 @@ class SqlSurfaceSpec extends SparkSpec {
              sorted_distinct_longs(shingle_hashes(text, 5)), 16)) AS k,
            sorted_intersect_size(array(1L, 3L), array(3L, 9L)) AS c,
            z_value(1L, 3L) AS z,
-           bucket_index(CAST(1.0 AS DOUBLE), array(0.5, 1.5)) AS bk
+           bucket_index(CAST(1.0 AS DOUBLE), array(0.5, 1.5)) AS bk,
+           mix64(5L) AS mx
          FROM documents ORDER BY doc_id LIMIT 3""").collect()
     assert(r.length === 3)
     r.foreach { row =>
@@ -57,6 +58,7 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(row.getInt(5) === 1)
       assert(row.getLong(6) === 11L) // spread(1) | spread(3)<<1
       assert(row.getLong(7) === 1L) // one boundary <= 1.0
+      assert(row.getLong(8) === graft.functions.TextExprs.fmix64(5L))
     }
     // SQL result == Column-API result for the same kernel
     val viaDf = Tables.documents(spark, sf)
