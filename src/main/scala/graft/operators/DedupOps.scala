@@ -516,12 +516,15 @@ object DedupOps {
     * probe join in each consumer, the dup set is shared across BOTH
     * span queries when reached through [[dupWindowStreamCached]].
     */
-  private def dupWindowStream(docs: DataFrame, n: Int)
-      : (DataFrame, DataFrame) = {
-    val wins = docs.select(col("doc_id"),
+  private def winsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
         .as(Seq("pos", "h")))
       .localCheckpoint(false)
+
+  private def dupWindowStream(docs: DataFrame, n: Int)
+      : (DataFrame, DataFrame) = {
+    val wins = winsOf(docs, n)
     (wins, dupGramsOf(wins))
   }
 
@@ -539,8 +542,10 @@ object DedupOps {
     */
   private def dupWindowStreamCached(s: SparkSession, d: String, n: Int)
       : (DataFrame, DataFrame) = {
+    // winsOf, not dupWindowStream: the latter would plan (and discard)
+    // a dup-set frame on every cache miss just to take ._1
     val wins = SessionCache.getOrElseUpdate(s, s"spanWins#$d#$n",
-      dupWindowStream(documents(s, d), n)._1)
+      winsOf(documents(s, d), n))
     (wins, SessionCache.getOrElseUpdate(s, s"spanDup#$d#$n",
       dupGramsOf(wins)))
   }

@@ -358,7 +358,7 @@ class PlanSpec extends SparkSpec {
     // join + per-doc fold + sort — 7, and crucially ZERO Window nodes
     // (the per-doc position-ordered sum is a fold over a collected
     // list, not a window funnel).
-    import graft.operators.{DedupOps, TextOps}
+    import graft.operators.TextOps
     for ((q, budget) <- Seq("dedup_span_coverage" -> 3,
         "dedup_span_excise" -> 4,
         "text_lm_perplexity" -> 7)) {

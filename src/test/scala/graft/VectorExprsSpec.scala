@@ -477,14 +477,16 @@ class VectorExprsSpec extends SparkSpec {
           graft.functions.BloomExprs.mightContainLong(bf, $"k_out").as("bo"),
           graft.functions.LayoutExprs.zValue($"a"(0), $"a"(1)).as("z"),
           graft.functions.LayoutExprs.bucketIndex($"v"(0),
-            Array(0.5, 1.5)).as("bk"))
+            Array(0.5, 1.5)).as("bk"),
+          graft.functions.LayoutExprs.mix64($"k_in").as("mx"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
         direct.getInt(2) == 3 && direct.getInt(3) == 1 &&
         direct.getInt(4) == 3 && direct.getInt(5) == 4 &&
         !direct.isNullAt(6) &&
         direct.getBoolean(7) && !direct.getBoolean(8) &&
-        direct.getLong(9) == 11L && direct.getLong(10) == 1L)
+        direct.getLong(9) == 11L && direct.getLong(10) == 1L &&
+        direct.getLong(11) == TextExprs.fmix64(7L))
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
