@@ -81,19 +81,54 @@ object CurationOps {
     * the result a slim manifest; the loader joins it back to the corpus
     * by doc_id or the writer bucket-sorts the full rows by (shard, pos).
     */
+  /** The seeded key+shard projection both epoch queries start from:
+    * ord_key = mix64(doc_id XOR seed), shard = ord_key pmod shards.
+    * Row-local — the shuffle order travels as an 8-byte key.
+    */
+  private def epochKeys(docs: DataFrame, seed: Long,
+      shards: Int): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"epoch shard count must be a power of two, got $shards")
+    docs.withColumn("ord_key",
+        graft.functions.LayoutExprs.mix64(
+          col("doc_id").bitwiseXOR(lit(seed))))
+      .withColumn("shard", pmod(col("ord_key"), lit(shards.toLong)))
+  }
+
   private[graft] def epochShuffle(docs: DataFrame, seed: Long,
       shards: Int, numPartitions: Int): DataFrame = {
-    require(shards > 0 && (shards & (shards - 1)) == 0,
-      s"epochShuffle shard count must be a power of two, got $shards")
-    val keyed = docs.select(col("doc_id"),
-      graft.functions.LayoutExprs.mix64(
-        col("doc_id").bitwiseXOR(lit(seed))).as("ord_key"))
-      .withColumn("shard", pmod(col("ord_key"), lit(shards.toLong)))
+    val keyed = epochKeys(docs.select(col("doc_id")), seed, shards)
     ScaleWindows.groupRanks(keyed, group = Seq("shard"),
       order = Seq("ord_key", "doc_id"), numPartitions = numPartitions)
       .select(col("shard"), col("__pos").as("pos"), col("doc_id"),
         col("ord_key"))
       .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Token-budgeted micro-batches over the epoch-shuffled order — the
+    * data-loader contract one level up from [[epochShuffle]]: within
+    * each shard, walk the shuffled order and cut a new batch every
+    * [[PackBudget]] tokens (batch = cumulative-tokens-before div
+    * budget, the same greedy rule `curate_pack_sequences` applies per
+    * (lang, source) stream). The plan is [[ScaleWindows.groupCumsum]] —
+    * the two-phase running total, here over the 8-shard key where a
+    * window cumsum would funnel the corpus through 8 reducers. Output
+    * is the batch manifest (shard, batch, docs, tokens): what a trainer
+    * needs to schedule reproducible token-budgeted steps.
+    */
+  private[graft] def epochBatches(docs: DataFrame, seed: Long,
+      shards: Int, numPartitions: Int): DataFrame = {
+    val keyed = epochKeys(
+      docs.select(col("doc_id"), nTokens.cast("long").as("nt")),
+      seed, shards)
+    ScaleWindows.groupCumsum(keyed, group = Seq("shard"),
+      order = Seq("ord_key", "doc_id"), valueCol = "nt",
+      numPartitions = numPartitions)
+      .withColumn("batch",
+        floor(col("__cum_before") / lit(PackBudget.toDouble)))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("batch_tokens"))
+      .orderBy(col("shard"), col("batch"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -337,28 +372,62 @@ object CurationOps {
     "curate_epoch_shuffle" -> ((s, d) =>
       epochShuffle(documents(s, d), EpochSeedBase * Epoch, EpochShards,
         EventOps.shufflePartitions(s))),
+
+    // Token-budgeted micro-batch manifest over the shuffled order — see
+    // [[epochBatches]]. The registered consumer of the two-phase
+    // groupCumsum machinery.
+    "curate_epoch_batches" -> ((s, d) =>
+      epochBatches(documents(s, d), EpochSeedBase * Epoch, EpochShards,
+        EventOps.shufflePartitions(s))),
   )
 
-  /** dedup_simhash's replay device pointed at the shuffle key: the
-    * fmix64 avalanche in 32-bit-split HUGEINT arithmetic
-    * ([[OracleHash]]), the unsigned→signed reinterpretation for the
-    * ORDER BY, and `h % shards` on the UNSIGNED value (equal to the
-    * engine's signed pmod because [[EpochShards]] divides 2^64).
+  /** Shared CTE prefix of both epoch oracles — dedup_simhash's replay
+    * device pointed at the shuffle key: the fmix64 avalanche in
+    * 32-bit-split HUGEINT arithmetic ([[OracleHash]]), the
+    * unsigned→signed reinterpretation for the ORDER BY, and
+    * `h % shards` on the UNSIGNED value (equal to the engine's signed
+    * pmod because [[EpochShards]] divides 2^64). Ends in
+    * `keyed(doc_id, ord_key, shard)`.
     */
-  private def epochShuffleOracle: String = {
+  private def epochKeyCtes: String = {
     val seedU = java.lang.Long.toUnsignedString(EpochSeedBase * Epoch)
     s"""WITH __k AS (SELECT doc_id,
            xor(CAST(doc_id AS HUGEINT), $seedU::HUGEINT) AS __x
          FROM documents),
        ${OracleHash.fmixCtes("__k", Seq("doc_id"), "__x", "__h", "h")},
        keyed AS (SELECT doc_id, ${OracleHash.toSigned("h")} AS ord_key,
-           CAST(h % $EpochShards AS BIGINT) AS shard FROM __h)
+           CAST(h % $EpochShards AS BIGINT) AS shard FROM __h)"""
+  }
+
+  private def epochShuffleOracle: String =
+    epochKeyCtes +
+      """
        SELECT shard,
          CAST(row_number() OVER (PARTITION BY shard
            ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
          doc_id, ord_key
        FROM keyed ORDER BY shard, pos"""
-  }
+
+  /** Same keys, then the greedy budget cut: cumulative tokens BEFORE
+    * each doc in (ord_key, doc_id) order within its shard, batch =
+    * floor(before / budget) — the exact rule curate_pack_sequences'
+    * oracle applies per stream.
+    */
+  private def epochBatchesOracle: String =
+    epochKeyCtes +
+      s""",
+       toks AS (SELECT k.doc_id, k.ord_key, k.shard,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+         FROM keyed k JOIN documents d USING (doc_id)),
+       c AS (SELECT shard, nt,
+           coalesce(sum(nt) OVER (PARTITION BY shard
+             ORDER BY ord_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cb
+         FROM toks)
+       SELECT shard, CAST(floor(cb / $PackBudget.0) AS BIGINT) AS batch,
+         count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS batch_tokens
+       FROM c GROUP BY shard, batch ORDER BY shard, batch"""
 
   /** DuckDB twins. Token counts mirror the Spark expression exactly
     * (whitespace split length); sums are CAST to BIGINT because DuckDB
@@ -489,5 +558,6 @@ object CurationOps {
              / count(*), 4) AS mean_alpha
          FROM t GROUP BY source ORDER BY source""",
     "curate_epoch_shuffle" -> epochShuffleOracle,
+    "curate_epoch_batches" -> epochBatchesOracle,
   )
 }

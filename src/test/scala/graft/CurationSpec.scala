@@ -72,6 +72,40 @@ class CurationSpec extends SparkSpec {
     assert(moved > n / 2, s"epoch change moved only $moved of $n docs")
   }
 
+  test("epoch_batches conserves the corpus and cuts contiguous batches " +
+      "per shard, consistent with epoch_shuffle's shards") {
+    val out = CurationOps.queries("curate_epoch_batches")(spark, sf)
+      .localCheckpoint(true)
+    // conservation: every doc and every token lands in exactly one batch
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totals = docs.agg(count(lit(1)),
+      sum(size(split(col("text"), " ")).cast("long"))).first()
+    val got = out.agg(sum(col("n_docs")), sum(col("batch_tokens"))).first()
+    assert(got.getLong(0) === totals.getLong(0))
+    assert(got.getLong(1) === totals.getLong(1))
+    // every shard starts at batch 0, and no batch index exceeds the
+    // cumulative-token bound (index b needs some doc with cum-before ≥
+    // b·budget, so b ≤ (shard_tokens − 1) / budget). Indexes CAN skip:
+    // a single doc longer than the budget jumps the cumulative count —
+    // so contiguity is deliberately not asserted.
+    val perShard = out.groupBy(col("shard"))
+      .agg(min(col("batch")).as("lo"), max(col("batch")).as("hi"),
+        sum(col("batch_tokens")).as("t"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") === 0L)
+      assert(r.getAs[Long]("hi") <=
+        (r.getAs[Long]("t") - 1) / CurationOps.PackBudget)
+    }
+    // per-shard doc counts agree with the shuffle manifest
+    val fromShuffle = CurationOps.queries("curate_epoch_shuffle")(spark, sf)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val fromBatches = out.groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n"))
+    assert(fromShuffle.except(fromBatches).count() === 0)
+    assert(fromBatches.except(fromShuffle).count() === 0)
+  }
+
   test("stratified sample keeps exactly the mod-class rows per lang") {
     val out = CurationOps.queries("curate_stratified_sample")(spark, sf)
     val kept = out.agg(sum(col("n_docs"))).first().getLong(0)

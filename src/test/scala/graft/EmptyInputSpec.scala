@@ -39,7 +39,7 @@ class EmptyInputSpec extends SparkSpec {
       "curate_pack_sequences", "curate_quality_filter",
       "curate_dedup_apply", "curate_temperature_sample",
       "curate_source_quality", "curate_chunk_documents",
-      "curate_epoch_shuffle",
+      "curate_epoch_shuffle", "curate_epoch_batches",
       "text_heavy_hitters", "text_bm25_top", "text_lm_perplexity",
       "dedup_span_coverage", "dedup_span_excise",
       "sim_vector_norms", "dedup_embedding_cosine",

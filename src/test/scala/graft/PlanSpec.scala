@@ -226,7 +226,8 @@ class PlanSpec extends SparkSpec {
     val funnels = Seq(
       "cdc_value_quartiles" -> EventOps.queries,
       "cdc_value_percentiles" -> EventOps.queries,
-      "curate_epoch_shuffle" -> graft.operators.CurationOps.queries)
+      "curate_epoch_shuffle" -> graft.operators.CurationOps.queries,
+      "curate_epoch_batches" -> graft.operators.CurationOps.queries)
     for ((q, reg) <- funnels) {
       val df = reg(q)(spark, sf)
       df.collect()
