@@ -434,6 +434,11 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing — the redaction pass every published training-data
+    // pipeline runs before release (emails, IPv4s, phone-shaped
+    // numbers). See [[piiScrub]].
+    "text_pii_scrub" -> ((s, d) => piiScrub(documents(s, d))),
+
     // Exact dedup by content hash (sha256) — at 100 TB this is the
     // hash-groupBy dedup: shuffle on a 32-byte key, never on the text.
     "dedup_exact" -> ((s, d) => {
@@ -445,7 +450,57 @@ object TextOps {
     }),
   )
 
+  /** PII patterns, written in the REGEX SUBSET THE TWO ENGINES AGREE ON:
+    * explicit character classes and counted repetition only — no \d, \w,
+    * \b, \s (the measured Java-vs-RE2 divergence class: Java's are
+    * Unicode-aware where RE2's are ASCII, and \b doesn't exist in RE2's
+    * default mode). One definition shared by the query, the DuckDB
+    * oracle, and the closed-form spec.
+    */
+  private[graft] val EmailPat =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private[graft] val Ipv4Pat = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  private[graft] val PhonePat = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** PII scrub: per-doc match counts (each pattern counted independently
+    * on the RAW text) plus the md5 of the text after sequential
+    * email → IP → phone replacement — emitted as counts + fingerprint,
+    * never the text, like [[text_normalize|the normalize query]]. All
+    * row-local regex scans (codegen'd, zero shuffles before the final
+    * sort); the DuckDB oracle replays both the counts
+    * (regexp_extract_all) and the same replacement chain with the 'g'
+    * flag (DuckDB replaces FIRST-match-only by default — a silent
+    * half-scrub if forgotten). The synthetic corpus is alphabetic, so
+    * at the gate the scrub is the identity transform and counts are 0 —
+    * the REDACTION semantics are pinned closed-form on adversarial
+    * micro-docs in CorpusStatsSpec; the gate proves the two engines'
+    * regex dialects agree over the full corpus.
+    */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
+    val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"),
+      md5(scrub).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailPat', '<EMAIL>', 'g'),
+             '$Ipv4Pat', '<IP>', 'g'),
+             '$PhonePat', '<PHONE>', 'g')) AS scrub_md5
+         FROM documents ORDER BY doc_id""",
     "text_entropy" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok

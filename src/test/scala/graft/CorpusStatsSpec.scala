@@ -38,6 +38,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 2.0)
   }
 
+  test("pii_scrub redacts emails/IPs/phones and counts matches closed-form") {
+    val docs = Seq(
+      (0L, "mail bob.smith+x@site.co.uk now"),   // one email
+      (1L, "hosts 10.0.0.1 and 192.168.001.255 up"), // two IPv4s
+      (2L, "call 555-123-4567 or 555 987 6543"), // two phone shapes
+      (3L, "plain alphabetic text only"),        // nothing
+      (4L, "a@b.io at 1.2.3.4 dial 111-222-3333")) // one of each
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out(0L) == ((1L, 0L, 0L, m("mail <EMAIL> now"))))
+    assert(out(1L) == ((0L, 2L, 0L, m("hosts <IP> and <IP> up"))))
+    assert(out(2L) == ((0L, 0L, 2L, m("call <PHONE> or <PHONE>"))))
+    assert(out(3L) == ((0L, 0L, 0L, m("plain alphabetic text only"))))
+    assert(out(4L) == ((1L, 1L, 1L, m("<EMAIL> at <IP> dial <PHONE>"))))
+  }
+
   test("span_coverage: interval union over duplicated 8-gram windows") {
     val t16 = (0 until 8).map(i => s"t$i")
     val doc0 = (t16 ++ t16).mkString(" ")          // 16 toks, halves equal

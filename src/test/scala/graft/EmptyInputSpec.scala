@@ -30,6 +30,7 @@ class EmptyInputSpec extends SparkSpec {
   test("document/dedup/curation queries return empty on an empty corpus") {
     val names = Seq(
       "text_stats", "text_normalize", "text_quality_score",
+      "text_pii_scrub",
       "text_repetition", "text_entropy", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
       "dedup_clusters_star",
