@@ -717,6 +717,37 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // The 100 TB decontamination plan: same semantics as
+    // `dedup_contamination`, but the corpus posting stream is pre-pruned
+    // by a Bloom filter built over the benchmark's distinct gram hashes
+    // (fixed-size — benchmarks are MBs at any corpus scale) BEFORE the
+    // join exchange. At sf the join sides are comparable, but at 100 TB
+    // the corpus posting side dwarfs the benchmark: the codegen'd probe
+    // turns non-matching postings around at the scan instead of shipping
+    // the whole corpus posting table through the shuffle. The exact join
+    // that follows drops bloom false positives, so the output is
+    // bit-identical to the plain plan — one oracle gates both.
+    "dedup_contamination_bloom" -> ((s, d) => {
+      val posts8 = ngramPosts(s, d, n = 8)
+      // materialized: feeds both the driver-side bloom build (an action)
+      // and the confirming join — without this the posting explode runs
+      // twice for the tiny benchmark side
+      val bench = posts8.filter(col("doc_id") < 10)
+        .select(col("g")).distinct().localCheckpoint(false)
+      // Spark's stat.bloomFilter NPEs on a ZERO-ROW build side (no
+      // partial filter to merge) — an empty benchmark shard is routine,
+      // and with nothing to prune the plain (empty) join is the answer
+      val corpus = posts8.filter(col("doc_id") >= 10)
+      val pruned =
+        if (bench.isEmpty) corpus
+        else corpus.filter(graft.functions.BloomExprs.mightContainLong(
+          bench.stat.bloomFilter("g", 1L << 20, 0.01), col("g")))
+      pruned.join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pairs → clusters → keep/drop: connected components over the exact
     // ngram-Jaccard pairs; cluster id = min reachable doc id, the
     // representative (doc_id == cluster_id) is the kept copy. The full
@@ -1182,6 +1213,19 @@ object DedupOps {
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
     "dedup_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g8 AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+               i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
+                 'string_agg', ' '))) AS g
+           FROM d),
+         bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
+         SELECT doc_id, count(*) AS n_shared_8grams
+         FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // bit-identical to the plain plan (the exact join drops bloom false
+    // positives), so the same oracle gates the bloom-pruned variant
+    "dedup_contamination_bloom" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          g8 AS (SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),

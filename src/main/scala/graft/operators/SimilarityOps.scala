@@ -154,6 +154,38 @@ object SimilarityOps {
           .cast("double") / count(lit(1))).as("c"))
         .orderBy(col("label"), col("pos"))
     }),
+
+    // Embedding outlier detection (mislabel / junk pruning — the
+    // NearestCentroid curation pass): squared L2 distance of every vector
+    // to ITS OWN label centroid, top-20 farthest. The centroid table is
+    // labels × dim (tiny at any corpus size) and broadcasts as per-label
+    // arrays; the distance is a row-local ordered fold over zip_with —
+    // the base table never shuffles, and the top-k is
+    // TakeOrderedAndProject (per-partition heap + driver merge). At
+    // 100 TB this is one scan + one broadcast, full stop.
+    // Determinism: centroids via the sim_label_centroids device (round-6
+    // decimal sums / count); per-position terms rounded to 12 decimals,
+    // then a STRICT position-ordered left fold — the lm_perplexity
+    // device, replayed by DuckDB's list_reduce in the same order.
+    "sim_outlier_docs" -> ((s, d) => {
+      val cent = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy(col("label"), col("p"))
+        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+          e => e.getField("c")).as("cv"))
+      embeddings(s, d)
+        .join(broadcast(cent), "label")
+        .withColumn("dist2", aggregate(
+          zip_with(asDouble(col("embedding")), col("cv"),
+            (x, c) => round((round(x, 6) - c) * (round(x, 6) - c), 12)),
+          lit(0.0), (acc, t) => acc + t))
+        .select(col("vec_id"), col("label"), round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +227,21 @@ object SimilarityOps {
            CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
              AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
          FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "sim_outlier_docs" ->
+      """WITH e AS (SELECT label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS pos
+                    FROM embeddings),
+         cent AS (SELECT label, CAST(pos AS INT) AS pos,
+             CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+           FROM e GROUP BY label, pos),
+         cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
+         SELECT v.vec_id, v.label,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(list_zip(CAST(v.embedding AS DOUBLE[]), cv.cv),
+               p -> round((round(p[1], 6) - p[2]) * (round(p[1], 6) - p[2]), 12))),
+             (a, b) -> a + b), 6) AS dist2
+         FROM embeddings v JOIN cv USING (label)
+         ORDER BY dist2 DESC, vec_id LIMIT 20""",
   )
 }

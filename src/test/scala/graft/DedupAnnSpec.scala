@@ -39,6 +39,36 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("sim_outlier_docs matches a driver-side brute-force recompute") {
+    // replay the exact published arithmetic (round-6 decimal centroid
+    // sums / count; per-position terms rounded to 12; strict left fold;
+    // final round-6) on collected rows — any drift in the distributed
+    // plan's rounding or fold order fails bit-for-bit here
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(row => (row.getLong(0), row.getInt(1),
+        row.getSeq[Float](2).map(_.toDouble).toArray))
+    val cent = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length) { i =>
+        vs.map(v => BigDecimal(r(v._3(i), 6))).sum.toDouble / vs.length
+      }
+    }
+    val expect = vecs.map { case (id, l, e) =>
+      val c = cent(l)
+      val d2 = e.indices.foldLeft(0.0) { (acc, i) =>
+        val diff = r(e(i), 6) - c(i)
+        acc + r(diff * diff, 12)
+      }
+      (id, l, r(d2, 6))
+    }.sortBy { case (id, _, d2) => (-d2, id) }.take(20).toSeq
+    val got = SimilarityOps.queries("sim_outlier_docs")(spark, sf)
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getDouble(2)))
+      .toSeq
+    assert(got === expect)
+  }
+
   test("dedup_semantic: exact pairs within cells, measured recall vs brute force") {
     import spark.implicits._
     val got = DedupOps.queries("dedup_semantic")(spark, sf)

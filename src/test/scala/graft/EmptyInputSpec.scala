@@ -34,7 +34,8 @@ class EmptyInputSpec extends SparkSpec {
       "text_repetition", "text_entropy", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
       "dedup_clusters_star",
-      "dedup_contamination", "dedup_incremental",
+      "dedup_contamination", "dedup_contamination_bloom",
+      "dedup_incremental",
       "curate_corpus_mix", "curate_stratified_sample", "curate_split",
       "curate_split_by_cluster",
       "curate_pack_sequences", "curate_quality_filter",
@@ -43,7 +44,7 @@ class EmptyInputSpec extends SparkSpec {
       "curate_epoch_shuffle", "curate_epoch_batches",
       "text_heavy_hitters", "text_bm25_top", "text_lm_perplexity",
       "dedup_span_coverage", "dedup_span_excise",
-      "sim_vector_norms", "dedup_embedding_cosine",
+      "sim_vector_norms", "sim_outlier_docs", "dedup_embedding_cosine",
       // events-family: per-row/per-group outputs must vanish with the
       // input (global aggregates like cdc_funnel legitimately keep their
       // one zero-row and are excluded)

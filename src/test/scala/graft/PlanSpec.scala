@@ -317,6 +317,43 @@ class PlanSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — no pruning")
   }
 
+  test("bloom-pruned decontamination: probe below the join, output identical") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import graft.operators.DedupOps
+    val df = DedupOps.queries("dedup_contamination_bloom")(spark, sf)
+    val got = df.collect()
+    // same structural claim as prune_bloom_join: the probe Filter is a
+    // descendant of a join input, never floated above a join
+    def hasProbe(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case f: FilterExec => f.condition.toString.contains("might_contain_long")
+      case _ => false
+    }
+    val all = walkPlans(df.queryExecution.executedPlan).toSeq
+    val joins = all.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "no join in the executed plan")
+    assert(joins.exists(_.children.exists(c => walkPlans(c).exists(hasProbe))),
+      "probe filter not below any join input")
+    assert(!all.filter(hasProbe).exists(f =>
+        walkPlans(f).drop(1).exists(_.isInstanceOf[BaseJoinExec])),
+      "probe filter floated above a join")
+    // bit-identical to the un-pruned plan (false positives die in the join)
+    val plain = DedupOps.queries("dedup_contamination")(spark, sf).collect()
+    assert(got.toSeq === plain.toSeq)
+  }
+
+  test("sim_outlier_docs: broadcast centroid join + top-k, base never shuffles") {
+    import graft.operators.SimilarityOps
+    val p = plan(SimilarityOps.queries("sim_outlier_docs")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only exchanges belong to the labels×dim centroid build (small
+    // side): the probe-side scan feeds the broadcast join directly, so a
+    // plan with >2 shuffles means the base table started shuffling
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"$shuffles hash exchanges — base side shuffling?\n$p")
+  }
+
   test("AQE's automatic runtime bloom filter fires under the documented confs") {
     // the auto twin of Prune.bloomPruneJoin: InjectRuntimeFilter builds
     // the same bloom from the selective (creation) side and probes it on
