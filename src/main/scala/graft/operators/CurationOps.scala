@@ -118,8 +118,13 @@ object CurationOps {
     */
   private[graft] def epochBatches(docs: DataFrame, seed: Long,
       shards: Int, numPartitions: Int): DataFrame = {
+    // null text → DROP the doc (the corpus convention — see
+    // DedupOps.docSets): a null token count would otherwise NPE inside
+    // groupCumsum's weight pass, and a trainer has nothing to schedule
+    // for a text-less row anyway
     val keyed = epochKeys(
-      docs.select(col("doc_id"), nTokens.cast("long").as("nt")),
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), nTokens.cast("long").as("nt")),
       seed, shards)
     ScaleWindows.groupCumsum(keyed, group = Seq("shard"),
       order = Seq("ord_key", "doc_id"), valueCol = "nt",
@@ -418,7 +423,8 @@ object CurationOps {
       s""",
        toks AS (SELECT k.doc_id, k.ord_key, k.shard,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
-         FROM keyed k JOIN documents d USING (doc_id)),
+         FROM keyed k JOIN documents d USING (doc_id)
+         WHERE d.text IS NOT NULL),
        c AS (SELECT shard, nt,
            coalesce(sum(nt) OVER (PARTITION BY shard
              ORDER BY ord_key, doc_id

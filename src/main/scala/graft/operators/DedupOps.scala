@@ -1080,6 +1080,21 @@ object DedupOps {
        lbl AS (SELECT id AS doc_id, min(v) AS cluster_id
                FROM reach GROUP BY id)"""
 
+  /** Gates BOTH decontamination queries (the bloom variant's false
+    * positives die in the exact join, so its output is bit-identical).
+    */
+  private val contaminationOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g8 AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+             i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
+               'string_agg', ' '))) AS g
+         FROM d),
+       bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
+       SELECT doc_id, count(*) AS n_shared_8grams
+       FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Gates BOTH cluster queries (propagation and star contraction
     * compute the same labeling).
     */
@@ -1212,30 +1227,10 @@ object DedupOps {
            AND round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
-    "dedup_contamination" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g8 AS (SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
-               i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
-                 'string_agg', ' '))) AS g
-           FROM d),
-         bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
-         SELECT doc_id, count(*) AS n_shared_8grams
-         FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_contamination" -> contaminationOracle,
     // bit-identical to the plain plan (the exact join drops bloom false
     // positives), so the same oracle gates the bloom-pruned variant
-    "dedup_contamination_bloom" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g8 AS (SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
-               i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
-                 'string_agg', ' '))) AS g
-           FROM d),
-         bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
-         SELECT doc_id, count(*) AS n_shared_8grams
-         FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_contamination_bloom" -> contaminationOracle,
     "dedup_clusters" -> clustersOracle,
     // the star twin computes the SAME clustering — one oracle gates both
     "dedup_clusters_star" -> clustersOracle,

@@ -47,6 +47,21 @@ object SimilarityOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-(label, 0-based position) centroid components — the
+    * determinism-critical device shared by `sim_label_centroids` (the
+    * published table) and `sim_outlier_docs` (the distance base), so the
+    * two can never silently disagree on what a centroid is: elements are
+    * rounded to 6 decimals in double FIRST (float→decimal cast rules
+    * differ across engines at the 9th digit), then summed as exact
+    * DECIMAL(18,6) — order-independent, safe under any partitioning —
+    * and divided by the count in double.
+    */
+  private def labelCentroidComponents(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("p"))
+      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
+        .cast("double") / count(lit(1))).as("c"))
+
   /** Symmetric per-vector int8 quantization — the embedding STORAGE path
     * at 100 TB (4× smaller than float32 at rest; a 100 TB float corpus
     * becomes 25 TB of tinyint + one float scale per vector). scale =
@@ -141,17 +156,12 @@ object SimilarityOps {
     }),
 
     // Per-label centroids: posexplode to (label, pos, x), one shuffle on
-    // (label, pos). Elements are rounded to 6 decimals in double FIRST
-    // (float→decimal cast rules differ across engines at the 9th digit),
-    // then summed as exact DECIMAL(18,6) — order-independent, safe under
-    // any partitioning — and divided by the count in double.
+    // (label, pos) — see [[labelCentroidComponents]] for the
+    // cross-engine determinism device.
     "sim_label_centroids" -> ((s, d) => {
-      embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      labelCentroidComponents(embeddings(s, d))
         .withColumn("pos", (col("p") + 1).cast("int"))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
-          .cast("double") / count(lit(1))).as("c"))
+        .select(col("label"), col("pos"), col("c"))
         .orderBy(col("label"), col("pos"))
     }),
 
@@ -168,11 +178,7 @@ object SimilarityOps {
     // then a STRICT position-ordered left fold — the lm_perplexity
     // device, replayed by DuckDB's list_reduce in the same order.
     "sim_outlier_docs" -> ((s, d) => {
-      val cent = embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy(col("label"), col("p"))
-        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
-          .cast("double") / count(lit(1))).as("c"))
+      val cent = labelCentroidComponents(embeddings(s, d))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
           e => e.getField("c")).as("cv"))
@@ -219,22 +225,10 @@ object SimilarityOps {
            FROM sims)
          SELECT qid, CAST(rk AS INT) AS rk, vec_id, sim FROM ranked
          WHERE rk <= 5 ORDER BY qid, rk""",
-    "sim_label_centroids" ->
-      """WITH e AS (SELECT label, embedding,
-                      unnest(range(1, len(embedding) + 1)) AS pos
-                    FROM embeddings)
-         SELECT label, CAST(pos AS INT) AS pos,
-           CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
-             AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
-         FROM e GROUP BY label, pos ORDER BY label, pos""",
-    "sim_outlier_docs" ->
-      """WITH e AS (SELECT label, embedding,
-                      unnest(range(1, len(embedding) + 1)) AS pos
-                    FROM embeddings),
-         cent AS (SELECT label, CAST(pos AS INT) AS pos,
-             CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
-               AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
-           FROM e GROUP BY label, pos),
+    "sim_label_centroids" -> (centroidCtes +
+      " SELECT label, pos, c FROM cent ORDER BY label, pos"),
+    "sim_outlier_docs" -> (centroidCtes +
+      """,
          cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
          SELECT v.vec_id, v.label,
            round(list_reduce(list_prepend(0.0,
@@ -242,6 +236,18 @@ object SimilarityOps {
                p -> round((round(p[1], 6) - p[2]) * (round(p[1], 6) - p[2]), 12))),
              (a, b) -> a + b), 6) AS dist2
          FROM embeddings v JOIN cv USING (label)
-         ORDER BY dist2 DESC, vec_id LIMIT 20""",
+         ORDER BY dist2 DESC, vec_id LIMIT 20"""),
   )
+
+  /** Shared centroid CTE prefix of both centroid-based oracles — the SQL
+    * replay of [[labelCentroidComponents]] (1-based `pos`).
+    */
+  private def centroidCtes: String =
+    """WITH e AS (SELECT label, embedding,
+                    unnest(range(1, len(embedding) + 1)) AS pos
+                  FROM embeddings),
+       cent AS (SELECT label, CAST(pos AS INT) AS pos,
+           CAST(sum(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+         FROM e GROUP BY label, pos)"""
 }

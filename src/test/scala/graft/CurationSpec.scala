@@ -106,6 +106,20 @@ class CurationSpec extends SparkSpec {
     assert(fromBatches.except(fromShuffle).count() === 0)
   }
 
+  test("epoch_batches drops null-text docs instead of NPEing in the " +
+      "cumsum weight pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.epochBatches(docs, seed = 7L, shards = 2,
+      numPartitions = 2).collect()
+    // the two non-null docs' 5 tokens all land; the null doc vanishes
+    // (the corpus convention — docSets drops null text too)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 2L)
+    assert(out.map(_.getAs[Long]("batch_tokens")).sum === 5L)
+  }
+
   test("stratified sample keeps exactly the mod-class rows per lang") {
     val out = CurationOps.queries("curate_stratified_sample")(spark, sf)
     val kept = out.agg(sum(col("n_docs"))).first().getLong(0)
