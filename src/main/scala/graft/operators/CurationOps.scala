@@ -325,6 +325,79 @@ object CurationOps {
         .orderBy(col("lang"))
     }),
 
+    // Soft dedup — down-weight, don't drop: every document survives, but
+    // the members of a near-dup cluster share one document's worth of
+    // sampling mass (weight = 1/|cluster|; singletons weigh 1). The
+    // alternative to curate_dedup_apply's hard drop when the trainer
+    // wants frequency-preserving sampling rather than a smaller corpus.
+    // Cluster sizes are counted over the FULL corpus (labels cover only
+    // docs that appear in a pair; everyone else is their own cluster).
+    "curate_dedup_weighted" -> ((s, d) => {
+      val labels = DedupOps.ngramClusterLabels(s, d)
+        .select(col("id").as("doc_id"), col("lbl").as("cid"))
+      // feeds the size count AND the final join — materialize once
+      val full = documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"))
+        .localCheckpoint(false)
+      val sizes = full.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      full.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The whole curation funnel in ONE declarative plan — the
+    // end-to-end report every pipeline run publishes: raw → quality
+    // gate (the curate_quality_filter rule: q_keep + per-lang median
+    // length) → near-dup removal (the curate_dedup_apply rule: cluster
+    // representatives survive) → benchmark decontamination (the
+    // dedup_contamination rule). Stages are CUMULATIVE, and every
+    // decision is computed corpus-wide exactly as its standalone query
+    // computes it (shared helpers, not re-derivations), so this report
+    // can never disagree with the operators it summarizes. One scan
+    // carries all four stage masks; the output is 4 manifest rows.
+    "curate_pipeline_report" -> ((s, d) => {
+      val scored = TextOps.qualityGate(documents(s, d))
+      val med = scored.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+      val q = scored.join(broadcast(med), "lang")
+        .withColumn("q_kept",
+          col("q_keep") && col("n_chars") >= col("med_chars"))
+        .select(col("doc_id"), nTokens.cast("long").as("nt"), col("q_kept"))
+      val rep = DedupOps.ngramClusterLabels(s, d)
+        .select(col("id").as("doc_id"), (col("id") === col("lbl")).as("rep"))
+      val contam = DedupOps.contaminationHits(s, d)
+        .select(col("doc_id")).distinct().withColumn("hit", lit(true))
+      val masks = q
+        .join(rep, Seq("doc_id"), "left_outer")
+        .withColumn("dedup_kept", coalesce(col("rep"), lit(true)))
+        .join(contam, Seq("doc_id"), "left_outer")
+        .withColumn("clean", col("hit").isNull)
+      masks.agg(
+          count(lit(1)).as("d0"), sum(col("nt")).as("t0"),
+          sum(when(col("q_kept"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("q_kept"), col("nt")).otherwise(0L)).as("t1"),
+          sum(when(col("q_kept") && col("dedup_kept"), 1L).otherwise(0L))
+            .as("d2"),
+          sum(when(col("q_kept") && col("dedup_kept"), col("nt"))
+            .otherwise(0L)).as("t2"),
+          sum(when(col("q_kept") && col("dedup_kept") && col("clean"), 1L)
+            .otherwise(0L)).as("d3"),
+          sum(when(col("q_kept") && col("dedup_kept") && col("clean"),
+            col("nt")).otherwise(0L)).as("t3"))
+        .select(expr(
+          """stack(4,
+               0, 'raw', d0, t0,
+               1, 'quality', d1, t1,
+               2, 'dedup', d2, t2,
+               3, 'decontaminated', d3, t3)
+             AS (stage, stage_name, n_docs, n_tokens)"""))
+        .orderBy(col("stage"))
+    }),
+
     // Chunking for embedding/retrieval: overlapping token windows (64
     // tokens, stride 48) per document — the unit every embedding or
     // retrieval index actually stores. Purely row-local (explode of a
@@ -539,6 +612,61 @@ object CurationOps {
            CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
              AS kept_tokens
          FROM docs GROUP BY lang ORDER BY lang"""),
+    "curate_dedup_weighted" ->
+      (DedupOps.clusterLabelsCte +
+        """,
+         fc AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)
+               AS cluster_id
+             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM fc GROUP BY cluster_id)
+         SELECT f.doc_id, f.cluster_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+         FROM fc f JOIN sz s USING (cluster_id) ORDER BY doc_id"""),
+    // composed from the SAME shared fragments the standalone oracles
+    // use: the cluster-label CTE, the contamination gram CTEs, and the
+    // quality ratio/keep SQL twins
+    "curate_pipeline_report" ->
+      (DedupOps.clusterLabelsCte +
+        s""",
+         ${DedupOps.contaminationGramCtes},
+         scored AS (SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(length(text) AS INT) AS len, ${TextOps.qualityRatioSql}
+           FROM documents),
+         med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+                 FROM scored GROUP BY lang),
+         q AS (SELECT s.doc_id, s.nt,
+             (${TextOps.qualityKeepSql} AND s.n_chars >= m.med_chars)
+               AS q_kept
+           FROM scored s JOIN med m USING (lang)),
+         keepf AS (SELECT d.doc_id,
+             (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS dedup_kept
+           FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         contam AS (SELECT DISTINCT doc_id FROM g8
+           WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)),
+         f AS (SELECT q.doc_id, q.nt, q.q_kept, k.dedup_kept,
+             (c.doc_id IS NULL) AS clean
+           FROM q JOIN keepf k ON q.doc_id = k.doc_id
+           LEFT JOIN contam c ON q.doc_id = c.doc_id),
+         a AS (SELECT count(*) AS d0, CAST(sum(nt) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN q_kept THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN q_kept THEN nt ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN q_kept AND dedup_kept THEN 1 ELSE 0 END)
+               AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN q_kept AND dedup_kept THEN nt ELSE 0 END)
+               AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN q_kept AND dedup_kept AND clean THEN 1
+               ELSE 0 END) AS BIGINT) AS d3,
+             CAST(sum(CASE WHEN q_kept AND dedup_kept AND clean THEN nt
+               ELSE 0 END) AS BIGINT) AS t3
+           FROM f)
+         SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name,
+             d0 AS n_docs, t0 AS n_tokens FROM a
+         UNION ALL SELECT 1, 'quality', d1, t1 FROM a
+         UNION ALL SELECT 2, 'dedup', d2, t2 FROM a
+         UNION ALL SELECT 3, 'decontaminated', d3, t3 FROM a
+         ORDER BY stage"""),
     "curate_chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
                     FROM documents),

@@ -144,6 +144,19 @@ object DedupOps {
     ngramDocSets(s, d, n)
       .select(col("doc_id"), explode(col("gs")).as("g"))
 
+  /** Corpus postings (doc_id, g) sharing an 8-gram with the benchmark
+    * set (doc_id < 10) — the decontamination join, shared by
+    * `dedup_contamination` (per-doc counts) and the pipeline report's
+    * contaminated-doc set so the two apply one definition.
+    */
+  private[operators] def contaminationHits(s: SparkSession,
+      d: String): DataFrame = {
+    val posts8 = ngramPosts(s, d, n = 8)
+    val bench = posts8.filter(col("doc_id") < 10)
+      .select(col("g")).distinct()
+    posts8.filter(col("doc_id") >= 10).join(bench, "g")
+  }
+
   /** Blocked all-pairs is quadratic PER BLOCK: cap = 20k rows ≈ 200M
     * pairs for the hottest block — tune to the pair budget a stage can
     * chew, not to row counts.
@@ -706,16 +719,11 @@ object DedupOps {
     // Benchmark postings are tiny at any scale (benchmarks are MBs), so
     // AQE broadcasts the distinct-gram side; the training corpus is
     // scanned once and never shuffled on text.
-    "dedup_contamination" -> ((s, d) => {
-      val posts8 = ngramPosts(s, d, n = 8)
-      val bench = posts8.filter(col("doc_id") < 10)
-        .select(col("g")).distinct()
-      posts8.filter(col("doc_id") >= 10)
-        .join(bench, "g")
+    "dedup_contamination" -> ((s, d) =>
+      contaminationHits(s, d)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_8grams"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // The 100 TB decontamination plan: same semantics as
     // `dedup_contamination`, but the corpus posting stream is pre-pruned
@@ -1080,17 +1088,25 @@ object DedupOps {
        lbl AS (SELECT id AS doc_id, min(v) AS cluster_id
                FROM reach GROUP BY id)"""
 
-  /** Gates BOTH decontamination queries (the bloom variant's false
-    * positives die in the exact join, so its output is bit-identical).
+  /** SQL twin of [[contaminationHits]]'s gram/benchmark tables (no
+    * leading WITH — composable after other CTE prefixes; ends in
+    * `g8(doc_id, g)` + `bench(g)`). Shared by the contamination oracles
+    * here and the pipeline-report oracle in [[CurationOps]].
     */
-  private val contaminationOracle: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private[operators] val contaminationGramCtes: String =
+    """cd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g8 AS (SELECT DISTINCT doc_id,
            unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
              i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT)+7],
                'string_agg', ' '))) AS g
-         FROM d),
-       bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)
+         FROM cd),
+       bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 10)"""
+
+  /** Gates BOTH decontamination queries (the bloom variant's false
+    * positives die in the exact join, so its output is bit-identical).
+    */
+  private val contaminationOracle: String =
+    "WITH " + contaminationGramCtes + """
        SELECT doc_id, count(*) AS n_shared_8grams
        FROM g8 WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
        GROUP BY doc_id ORDER BY doc_id"""

@@ -120,6 +120,46 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("batch_tokens")).sum === 5L)
   }
 
+  test("dedup_weighted: every doc weighted, each cluster's mass sums to 1") {
+    val out = CurationOps.queries("curate_dedup_weighted")(spark, sf)
+      .localCheckpoint(true)
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.count() === corpus, "soft dedup must keep every doc")
+    // frequency preservation: Σ 1/|c| over a cluster's members == 1
+    // (within the published round-6 precision × cluster size)
+    val bad = out.groupBy(col("cluster_id"))
+      .agg(sum(col("weight")).as("w"))
+      .filter(abs(col("w") - 1.0) > 1e-4)
+    assert(bad.count() === 0, bad.collect().mkString(", "))
+    // and the hard-drop twin agrees on what a representative is: weight
+    // 1 exactly for docs outside any pair cluster
+    val singles = out.filter(col("cluster_size") === 1)
+      .filter(col("weight") =!= 1.0)
+    assert(singles.count() === 0)
+  }
+
+  test("pipeline_report: monotone funnel anchored to the standalone stages") {
+    val rep = CurationOps.queries("curate_pipeline_report")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(rep.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "quality", "dedup", "decontaminated"))
+    // cumulative stages can only shrink
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+      assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+    }
+    // raw == the corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totals = docs.agg(count(lit(1)),
+      sum(size(split(col("text"), " ")).cast("long"))).first()
+    assert(rep(0).getAs[Long]("n_docs") === totals.getLong(0))
+    assert(rep(0).getAs[Long]("n_tokens") === totals.getLong(1))
+    // the quality stage is EXACTLY what curate_quality_filter reports
+    val qKept = CurationOps.queries("curate_quality_filter")(spark, sf)
+      .agg(sum(col("n_kept"))).first().getLong(0)
+    assert(rep(1).getAs[Long]("n_docs") === qKept)
+  }
+
   test("stratified sample keeps exactly the mod-class rows per lang") {
     val out = CurationOps.queries("curate_stratified_sample")(spark, sf)
     val kept = out.agg(sum(col("n_docs"))).first().getLong(0)
