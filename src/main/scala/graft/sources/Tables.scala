@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet loaders for the driver testdata (see /root/repo/TESTDATA.md).
   *
@@ -28,26 +29,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as
-    * nanos-since-epoch long and convert to a microsecond TimestampType with
-    * exact integer arithmetic (DIV — a double division would lose precision
-    * above 2^53 ns). The testdata carries microsecond precision, so the
-    * conversion is lossless.
+  /** The events lake has shipped `ts` under three encodings across testdata
+    * generations, so the loader dispatches on the schema it actually read
+    * instead of assuming one (upstream encoding drift must not take the
+    * whole event surface down — the reference's JsonSerDe re-coerces on
+    * read the same way):
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp
+    *    ([PARQUET_TYPE_ILLEGAL]) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (pinned by the repo's
+    *    session builders) reads it as nanos-since-epoch long; convert with
+    *    exact integer arithmetic (DIV — double division loses precision
+    *    above 2^53 ns). The data carries microsecond precision, so lossless.
+    *  - parquet timestamp[us] without UTC adjustment: reads as
+    *    TIMESTAMP_NTZ; cast to TimestampType — the session zone is pinned
+    *    UTC at the documented entry points, so the wall-clock values are
+    *    preserved and match the timezone-naive oracle.
+    *  - TimestampType: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // session-conf only in Spark (no per-read parquet option exists for
-    // it), so like the UTC pin this is NOT silently set here — the
-    // documented entry points (SparkEntry registry, registerAll, the
-    // repo's session builders) set it; a bare read on an unprepared
-    // session fails with instructions instead of mutating the session
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        == "true",
-      "events.parquet stores TIMESTAMP(NANOS); set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the session (done " +
-        "automatically by graft.SparkEntry queries and Tables.registerAll)")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.parquet `ts` has unsupported type $other; expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
@@ -99,9 +110,16 @@ object Tables {
           s"CREATE TABLE IF NOT EXISTS `$tbl` USING parquet " +
             s"LOCATION '$dir/$name.parquet'")
       }
-      // the exact Tables.events conversion, as a catalog view
-      val cols = spark.table("events_raw").columns.map {
-        case "ts" => "timestamp_micros(ts DIV 1000) AS ts"
+      // the exact Tables.events conversion, as a catalog view — same
+      // schema dispatch as events() so the view survives encoding drift
+      val rawEvents = spark.table("events_raw")
+      val tsSql = rawEvents.schema("ts").dataType match {
+        case LongType => "timestamp_micros(ts DIV 1000) AS ts"
+        case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"
+        case _ => "`ts`"
+      }
+      val cols = rawEvents.columns.map {
+        case "ts" => tsSql
         case c => s"`$c`"
       }.mkString(", ")
       spark.sql(
