@@ -23,11 +23,13 @@ object SparkEntry {
   }
 
   /** Registry results are defined under a UTC session zone (the oracle's
-    * timestamps are timezone-naive), and the events table needs the
-    * nanos-as-long legacy parquet flag. Pinned here — the documented
-    * driver contract — rather than silently inside every table read, so
-    * library users composing graft.operators.* directly keep their own
-    * session settings (Tables.events fails with instructions instead).
+    * timestamps are timezone-naive), and legacy TIMESTAMP(NANOS) events
+    * files need the nanos-as-long parquet flag before their schema can
+    * even be read (current driver testdata is timestamp[us] and needs
+    * neither — Tables.events dispatches on the schema it finds). Pinned
+    * here — the documented driver contract — rather than silently inside
+    * every table read, so library users composing graft.operators.*
+    * directly keep their own session settings.
     */
   private def pinSessionDefaults(s: SparkSession): Unit = {
     s.conf.set("spark.sql.session.timeZone", "UTC")

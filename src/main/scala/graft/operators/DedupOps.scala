@@ -712,6 +712,34 @@ object DedupOps {
       // next to the shared pipeline the materialized table amortizes
       ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
+    // Inter-source overlap matrix: which corpus sources duplicate each
+    // other — the provenance question behind every web-crawl dedup run
+    // (mirror sites, syndication, re-crawls land in different source
+    // buckets). Reads the SAME materialized pair table as
+    // dedup_ngram_jaccard (pairs-above-threshold — tiny next to the
+    // corpus at any scale), joins doc→source for both endpoints, and
+    // reports per unordered source pair: pair count, exact-decimal
+    // Jaccard mass, and max Jaccard. The pair table is small, so AQE
+    // broadcasts it against the documents projection; Jaccard sums go
+    // through DECIMAL(18,4) (values are round(...,4) by construction) so
+    // the result is order-independent at any parallelism.
+    "dedup_source_overlap" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      ngramJaccardPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"), col("jaccard"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jaccard").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_jaccard"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
+
     // Benchmark decontamination (Brown et al. GPT-3 appendix C; Dodge et
     // al. "Documenting large webtext corpora", EMNLP'21): flag training
     // documents sharing any long n-gram (8 tokens here) with the
@@ -1227,6 +1255,30 @@ object DedupOps {
          WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
              (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4) >= 0.5
          ORDER BY doc_a, doc_b""",
+    // same shingle/threshold semantics as dedup_ngram_jaccard, rolled up
+    // to unordered source pairs; DECIMAL(18,4) sum mirrors the engine
+    "dedup_source_overlap" ->
+      """WITH sh AS (
+           SELECT doc_id, source, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+                  string_split(text,' ')[CAST(i AS INT)+2])) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.source AS sa, b.source AS sb,
+             round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4)
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (length(a.s)+length(b.s)-length(list_intersect(a.s, b.s))), 4)
+               >= 0.5)
+         SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(jaccard AS DECIMAL(18,4))) AS DOUBLE) AS sum_jaccard,
+           max(jaccard) AS max_jaccard
+         FROM pairs GROUP BY 1, 2 ORDER BY source_lo, source_hi""",
     "dedup_incremental" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -144,6 +144,23 @@ object MultimodalOps {
         .orderBy(col("asset_id"), col("frame_no"))
     }),
 
+    // Asset-level exact dedup report — the first pass of every multimodal
+    // ingest (re-crawled images/videos are byte-identical far more often
+    // than text is near-identical): per modality, how many assets vs how
+    // many distinct payloads. The payload reduces to a 128-bit digest IN
+    // THE SCAN STAGE — only 16-byte hashes ever reach the exchange, never
+    // payload bytes, which is the property that makes this runnable over
+    // 100 TB of video. (On this corpus every payload is unique — n_dups
+    // 0 — which the oracle gate pins; the plan is what's under test.)
+    "mm_dedup_assets" -> ((s, d) =>
+      assets(s, d)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+          countDistinct(md5(col("payload"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("payload"))))
+            .as("n_dup_assets"))
+        .orderBy(col("modality"))),
+
     // The batched stubbed-decode stage. The stub codec is deterministic
     // byte arithmetic, so it IS oracle-gated: the corpus text is ASCII,
     // where byte values equal char codes — the DuckDB twin recomputes
@@ -174,6 +191,15 @@ object MultimodalOps {
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
            CAST(max(16 + n_chars % 64) AS INT) AS max_width,
            CAST(sum(8 + doc_id % 8) AS BIGINT) AS sum_frames
+         FROM documents GROUP BY 1 ORDER BY modality""",
+    // DuckDB md5() hashes the string's UTF-8 bytes — the same bytes the
+    // engine's binary payload carries (payload = CAST(text AS BINARY))
+    "mm_dedup_assets" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           count(*) AS n_assets,
+           count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_assets
          FROM documents GROUP BY 1 ORDER BY modality""",
     // The stub codec re-expressed char-level (exact on the ASCII corpus;
     // see the query comment): stride = max(n/64, 1), k = min(64, ⌈n/stride⌉)
