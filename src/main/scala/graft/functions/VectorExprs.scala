@@ -244,6 +244,159 @@ object VectorExprs {
         newChild: Expression): Expression = copy(newChild)
   }
 
+  /** The m nearest centroid ids for a vector, ascending (distance, id) —
+    * the IVF/k-means assignment kernel for a WHOLE centroid set.
+    *
+    * The composed form this replaces (`array_min`/`array_sort` over
+    * `array(struct(dist2(v, c₀), 0), struct(dist2(v, c₁), 1), ...)`)
+    * unrolls one literal struct per centroid, so the generated code GROWS
+    * WITH k: at the derived-geometry cell counts (k ≈ n/200 — hundreds to
+    * tens of thousands) that means multi-second JIT compiles, then
+    * spilled-past-64KB methods falling out of whole-stage codegen
+    * entirely. Here the centroid matrix rides along as ONE reference
+    * object (`double[][]`), the generated loop is the same ~30 lines at
+    * any k, and the per-row scratch buffers are partition-lifetime
+    * mutable state, not per-row allocations.
+    *
+    * Selection is m passes of strict-< argmin over the distance array, so
+    * ties break toward the LOWER centroid id — bit-identical to the
+    * `(distance, cell)` struct ordering of the composed form it replaces.
+    * Null array → null; null element → null; any centroid whose length
+    * differs from the vector's → null (dist2's length semantics).
+    */
+  case class NearestCentroids(child: Expression,
+      cents: Array[Array[Double]], m: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(cents.nonEmpty, "NearestCentroids needs at least one centroid")
+    require(m >= 1 && m <= cents.length,
+      s"NearestCentroids m=$m out of range 1..${cents.length}")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_centroids expects array<double>, got ${other.simpleString}")
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_centroids"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val k = cents.length
+      val dist = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val cj = cents(j)
+        if (cj.length != n) return null
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (x.isNullAt(i)) return null
+          val d = x.getDouble(i) - cj(i)
+          acc += d * d
+          i += 1
+        }
+        dist(j) = acc
+        j += 1
+      }
+      val used = new Array[Boolean](k)
+      val out = new Array[Int](m)
+      var t = 0
+      while (t < m) {
+        var best = -1
+        var bd = Double.PositiveInfinity
+        var jj = 0
+        while (jj < k) {
+          if (!used(jj) && dist(jj) < bd) { bd = dist(jj); best = jj }
+          jj += 1
+        }
+        // all-NaN distances leave best = -1; fall back to the first
+        // unused id so the output is still a valid permutation prefix
+        if (best < 0) {
+          var ff = 0
+          while (used(ff)) ff += 1
+          best = ff
+        }
+        used(best) = true
+        out(t) = best
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val k = cents.length
+      // partition-lifetime scratch (k is fixed per expression instance):
+      // distances + used flags, reused across rows
+      val dist = ctx.addMutableState("double[]", "ncDist",
+        v => s"$v = new double[$k];")
+      val used = ctx.addMutableState("boolean[]", "ncUsed",
+        v => s"$v = new boolean[$k];")
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val t = ctx.freshName("t")
+        val cj = ctx.freshName("cj")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val out = ctx.freshName("out")
+        val best = ctx.freshName("best")
+        val bd = ctx.freshName("bd")
+        s"""
+        final int $n = $c.numElements();
+        for (int $j = 0; $j < $k && !${ev.isNull}; $j++) {
+          final double[] $cj = $centsRef[$j];
+          if ($cj.length != $n) { ${ev.isNull} = true; break; }
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+            final double $d = $c.getDouble($i) - $cj[$i];
+            $acc += $d * $d;
+          }
+          $dist[$j] = $acc;
+        }
+        if (!${ev.isNull}) {
+          java.util.Arrays.fill($used, false);
+          final int[] $out = new int[$m];
+          for (int $t = 0; $t < $m; $t++) {
+            int $best = -1;
+            double $bd = Double.POSITIVE_INFINITY;
+            for (int $j = 0; $j < $k; $j++) {
+              if (!$used[$j] && $dist[$j] < $bd) { $bd = $dist[$j]; $best = $j; }
+            }
+            if ($best < 0) {
+              $best = 0;
+              while ($used[$best]) { $best++; }
+            }
+            $used[$best] = true;
+            $out[$t] = $best;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions
+            .UnsafeArrayData.fromPrimitiveArray($out);
+        }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column-API face of [[NearestCentroids]]. */
+  def nearestCentroids(v: Column, cents: Seq[Seq[Double]], m: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v),
+      cents.map(_.toArray).toArray, m))
+
   /** Column-API face of [[Int8Quantize]]. */
   def int8Quantize(v: Column): Column =
     Bridge.column(Int8Quantize(Bridge.expression(v)))

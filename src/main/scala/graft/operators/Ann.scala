@@ -61,16 +61,40 @@ object Ann {
     * re-sizes the index without a code change (the FAISS nlist/nprobe
     * knobs). Cell count is the load-bearing one: within-cell work
     * (dedup_semantic, per-cell probe scans) is quadratic in CELL
-    * OCCUPANCY, so production sizes cells ≈ n / target-block and
-    * occupancy stays CONSTANT as the corpus grows; a fixed cell count
-    * would grow it linearly and the within-cell join quadratically.
-    * Defaults are the measured test-scale geometry ([[Cells]],
-    * [[Nprobe]]); DedupAnnSpec's recall gates license any retuning.
+    * OCCUPANCY, so the default now derives cells ≈ n / [[TargetCellRows]]
+    * from the corpus vector count — occupancy (and every consumer's
+    * within-cell quadratic) stays CONSTANT as the corpus grows, where the
+    * old fixed default grew it linearly and the within-cell join
+    * quadratically (measured: dedup_semantic 105× wall at 10× data under
+    * fixed cells=10; linear at the derived cells=100). The round-5
+    * rehearsal set cells=100 at sf1 by hand; the derivation reproduces
+    * exactly that and removes the silent scale trap for callers who
+    * don't. An explicit `spark.graft.ann.cells` always wins;
+    * DedupAnnSpec's recall gates license any retuning.
     */
-  def cellCount(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ann.cells").map(_.toInt).getOrElse(Cells)
+  def cellCount(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.ann.cells").map(_.toInt).getOrElse {
+      val derived = embeddingCount(s, d) / TargetCellRows
+      math.min(math.max(Cells.toLong, derived), 65536L).toInt
+    }
   def nprobeOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(Nprobe)
+
+  /** Target mean cell occupancy for the derived cell count. 200 keeps the
+    * test-scale geometry identical (2 000 vectors → the historical 10
+    * cells, so every measured recall still applies) and is small enough
+    * that a within-cell pairwise block stays ~20k dot products.
+    */
+  val TargetCellRows = 200L
+
+  /** Corpus vector count, once per scale dir (parquet footer metadata —
+    * no data scan). Dir-keyed, not session-keyed: the count is a property
+    * of the files.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingCount(s: SparkSession, d: String): Long =
+    corpusCounts.computeIfAbsent(d, _ => embeddings(s, d).count())
   /** Training-sample size target. Centroid quality needs vector COUNT,
     * not corpus fraction — so the sample is COUNT-bounded: the id-hash
     * modulus is derived from the table's row count to land ~this many
@@ -92,19 +116,19 @@ object Ann {
   private def dist2(v: Column, cent: Seq[Double]): Column =
     graft.functions.VectorExprs.dist2(v, typedlit(cent))
 
-  /** Nearest-cell id for a vector given literal centroids: argmin by
-    * (distance, cell) — the integer tie-break keeps assignment exact.
-    */
-  private def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2(v, c).as("d"), lit(i).as("cell"))
-    }: _*)).getField("cell")
-
   /** Public face of the cell assignment — used to build the at-rest
     * cell-partitioned index (`partitionBy("cell")`), so a probe's
     * `filter(cell isin ...)` prunes to the probed cells' files.
+    *
+    * One [[graft.functions.VectorExprs.NearestCentroids]] kernel holding
+    * the centroid matrix as a reference object: the old literal-unrolled
+    * `array_min(array(struct(dist2...)))` form generated code LINEAR in
+    * the cell count, which the derived geometry (cells ≈ n/200) turned
+    * into multi-second JIT compiles and codegen fallback at scale.
+    * Ties break toward the lower cell id, exactly as before.
     */
-  def cellOf(v: Column, cents: Seq[Seq[Double]]): Column = nearestCell(v, cents)
+  def cellOf(v: Column, cents: Seq[Seq[Double]]): Column =
+    graft.functions.VectorExprs.nearestCentroids(v, cents, 1).getItem(0)
 
   /** Top-m nearest cell ids for a vector, ascending (distance, cell) —
     * element 1 is exactly [[cellOf]]. SOFT assignment: near-threshold
@@ -112,17 +136,11 @@ object Ann {
     * near-uniform corpora), so a within-cell operator that expands each
     * vector into its m nearest cells sees boundary pairs at m× the
     * assignment rows — the standard IVF/SemDeDup soft-assignment fix.
-    * Codegen-friendly: one literal-centroid distance array, sorted once
-    * per row, m element_at projections (no per-element lambda).
+    * Same constant-size [[graft.functions.VectorExprs.NearestCentroids]]
+    * kernel as [[cellOf]].
     */
-  def softCellsOf(v: Column, cents: Seq[Seq[Double]], m: Int): Column = {
-    require(m >= 1 && m <= cents.length,
-      s"softCellsOf m=$m out of range 1..${cents.length}")
-    val sorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dist2(v, c).as("d"), lit(i).as("cell"))
-    }: _*))
-    array((1 to m).map(j => element_at(sorted, j).getField("cell")): _*)
-  }
+  def softCellsOf(v: Column, cents: Seq[Seq[Double]], m: Int): Column =
+    graft.functions.VectorExprs.nearestCentroids(v, cents, m)
 
   /** Distributed Lloyd k-means over an (id, vec: array<double>) frame.
     * Returns k centroids. Each iteration: broadcast-assign (narrow) +
@@ -147,7 +165,7 @@ object Ann {
       val kEff = cents.length
       val dim = cents.head.length
       for (_ <- 0 until iters) {
-        val assigned = vecs.withColumn("cell", nearestCell(col("vec"), cents))
+        val assigned = vecs.withColumn("cell", cellOf(col("vec"), cents))
         val byDim = assigned
           .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos"))
@@ -243,7 +261,7 @@ object Ann {
     * cell-partitioned parquet. Columns: vec_id, label, vec, cell.
     */
   def ivfIndex(s: SparkSession, d: String): IvfIndex =
-    indexes.computeIfAbsent(s"$d#k=${cellCount(s)}", _ => {
+    indexes.computeIfAbsent(s"$d#k=${cellCount(s, d)}", _ => {
       val base = embeddings(s, d).select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       // unit-normalize for spherical clustering (see Index geometry note);
@@ -264,7 +282,7 @@ object Ann {
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val cents = kmeansLocal(sample, cellCount(s), Iters)
+      val cents = kmeansLocal(sample, cellCount(s, d), Iters)
       // index location: a SHARED path on a real cluster (set
       // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
       // works on local[*] masters, where executors share the filesystem;
@@ -273,7 +291,7 @@ object Ann {
       val dir = s.conf.getOption("graft.ann.indexDir") match {
         case Some(base) =>
           s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}" +
-            s"-k${cellCount(s)}"
+            s"-k${cellCount(s, d)}"
         case None => java.nio.file.Files
           .createTempDirectory("graft-ivf-index-").toString
       }

@@ -72,13 +72,33 @@ object DedupOps {
     * grow ~log n to hold the candidate budget while b·(threshold)^r
     * keeps recall (measured in the sf1 rehearsal: a same-density 10×
     * corpus at 16×6 multiplied verification work ~100×; 16×8 restores
-    * the budget at recall 0.94 @ J=0.8). The signature kernel width
-    * follows bands·rows, so widening rows needs no code change.
+    * the budget at recall 0.94 @ J=0.8). The rows DEFAULT now derives
+    * that growth from the corpus doc count — r = 6 + 2·⌊log₁₀(n/5000)⌋,
+    * exactly the hand-set rehearsal protocol (5k docs → 6, 50k → 8,
+    * +2 rows per further decade, capped at 20) — so an unconfigured
+    * scale-up degrades log-linearly instead of quadratically. An
+    * explicit `spark.graft.lsh.rows` always wins. The signature kernel
+    * width follows bands·rows, so widening rows needs no code change.
     */
   private def bandsOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.lsh.bands").map(_.toInt).getOrElse(Bands)
-  private def rowsOf(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.lsh.rows").map(_.toInt).getOrElse(Rows)
+  private val RowsBaseDocs = 5000.0
+  private def rowsOf(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.lsh.rows").map(_.toInt).getOrElse {
+      val n = docCount(s, d).toDouble
+      val extra =
+        if (n <= RowsBaseDocs) 0
+        else (2 * math.log10(n / RowsBaseDocs)).floor.toInt
+      math.min(Rows + extra, 20)
+    }
+
+  /** Corpus doc count, once per scale dir (parquet footer metadata — no
+    * data scan). Dir-keyed: a property of the files, not the session.
+    */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(s: SparkSession, d: String): Long =
+    docCounts.computeIfAbsent(d, _ => documents(s, d).count())
 
   /** Per-document SORTED DISTINCT char-5-gram hash sets (doc_id, gs) —
     * the fused [[graft.functions.TextExprs.ShingleHashes]] window hasher
@@ -663,7 +683,7 @@ object DedupOps {
       // and both sides of the verification join; materializing once stops
       // the scan+kernel subtree from re-running per branch.
       val docs = shingleDocSets(s, d).localCheckpoint(false)
-      val (nb, nr) = (bandsOf(s), rowsOf(s))
+      val (nb, nr) = (bandsOf(s), rowsOf(s, d))
       // the ENTIRE signature is a row-local projection (fused K-min
       // kernel + size of the distinct array): the old groupBy over the
       // exploded postings — the pipeline's biggest shuffle plus a

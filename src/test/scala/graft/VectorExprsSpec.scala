@@ -478,7 +478,9 @@ class VectorExprsSpec extends SparkSpec {
           graft.functions.LayoutExprs.zValue($"a"(0), $"a"(1)).as("z"),
           graft.functions.LayoutExprs.bucketIndex($"v"(0),
             Array(0.5, 1.5)).as("bk"),
-          graft.functions.LayoutExprs.mix64($"k_in").as("mx"))
+          graft.functions.LayoutExprs.mix64($"k_in").as("mx"),
+          VectorExprs.nearestCentroids($"v",
+            Seq(Seq(9.0, 9.0), Seq(1.0, 2.0), Seq(1.1, 2.0)), 2).as("nc"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
         direct.getInt(2) == 3 && direct.getInt(3) == 1 &&
@@ -487,12 +489,31 @@ class VectorExprsSpec extends SparkSpec {
         direct.getBoolean(7) && !direct.getBoolean(8) &&
         direct.getLong(9) == 11L && direct.getLong(10) == 1L &&
         direct.getLong(11) == TextExprs.fmix64(7L))
+      // v = (1,2): exact hit on centroid 1, then 2 (0.01), never 0 (far)
+      assert(direct.getSeq[Int](12) == Seq(1, 2))
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
       fb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
         spark.conf.set("spark.sql.codegen.fallback", _))
     }
+  }
+
+  test("nearest_centroids: tie toward lower id, null element, dim mismatch") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(9.0, 9.0))
+    // exact tie between centroids 0 and 1 → ascending ids
+    val tied = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(VectorExprs.nearestCentroids($"v", cents, 3)).collect()(0)
+    assert(tied.getSeq[Int](0) == Seq(0, 1, 2))
+    // a null element nulls the row (dist2 semantics)
+    val withNull = Seq(Tuple1(Seq[java.lang.Double](1.0, null))).toDF("v")
+      .select(VectorExprs.nearestCentroids($"v", cents, 1)).collect()(0)
+    assert(withNull.isNullAt(0))
+    // vector/centroid length mismatch nulls the row
+    val mismatch = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("v")
+      .select(VectorExprs.nearestCentroids($"v", cents, 1)).collect()(0)
+    assert(mismatch.isNullAt(0))
   }
 
   test("cosine_sim stays inside whole-stage codegen") {
