@@ -204,6 +204,49 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mm_dedup_assets: digests below the exchange, bounded shuffles") {
+    val df = SparkEntry.queries("mm_dedup_assets")(spark, sf)
+    df.collect()
+    // distinct-agg two-phase (2 exchanges) + the deterministic-output
+    // range sort (1); the md5 projection runs in the scan stage so only
+    // 16-byte digests (never payload bytes) cross them — a payload
+    // column in an exchange's output would mean the reduction moved
+    // above the shuffle
+    assert(shuffleCount(df) <= 3, df.queryExecution.executedPlan.toString)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def exchangeOutputs(x: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+      val here = x match {
+        case s: ShuffleExchangeLike => s.output
+        case _ => Seq.empty
+      }
+      val kids = x match {
+        case a: AdaptiveSparkPlanExec => exchangeOutputs(a.executedPlan)
+        case q: QueryStageExec => exchangeOutputs(q.plan)
+        case _ => x.children.flatMap(exchangeOutputs)
+      }
+      here ++ kids
+    }
+    val shuffled = exchangeOutputs(df.queryExecution.executedPlan)
+    // the digest attribute's NAME contains "payload" (md5(payload#n)) —
+    // what must not cross is the binary payload itself, so pin the TYPE
+    assert(!shuffled.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType),
+      shuffled.map(a => s"${a.name}:${a.dataType.simpleString}")
+        .mkString(","))
+  }
+
+  test("dedup_source_overlap: pair table broadcasts against documents") {
+    val df = SparkEntry.queries("dedup_source_overlap")(spark, sf)
+    df.collect()
+    // the pair table is pairs-above-threshold — tiny at any corpus scale
+    // — so both doc→source joins must end up broadcast (AQE or static),
+    // never a sort-merge shuffle of the documents projection
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("SortMergeJoin"), executed)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // cross joins in the registry are all tiny broadcast sides (1–3 rows,
     // planned as BroadcastNestedLoop) — an unhinted CartesianProduct
