@@ -68,9 +68,10 @@ object ScaleUp {
 
     val ks = expr(s"explode(sequence(0, ${factor - 1}))")
 
-    // events: ts stays byte-identical (read as nanos long under the
-    // legacy flag, written back as a plain int64 nanos column — the
-    // Tables.events DIV conversion reads both forms identically)
+    // events: ts is copied through unchanged in whatever encoding the
+    // source carries (legacy nanos-long under the flag, or the current
+    // timestamp[us]/NTZ) — Tables.events dispatches on the written
+    // schema, so scaled copies load identically to the source
     val ev = spark.read.parquet(s"$src/events.parquet")
       .withColumn("k", ks)
       .select(
