@@ -77,6 +77,19 @@ object Ann {
       val derived = embeddingCount(s, d) / TargetCellRows
       math.min(math.max(Cells.toLong, derived), 65536L).toInt
     }
+  /** nprobe stays a FIXED default (8) rather than deriving with the cell
+    * count: recall under a given probe fraction is a property of the
+    * corpus DISTRIBUTION, not its size — the FAISS operating reality is
+    * that nprobe is the per-deployment recall/latency knob, tuned
+    * empirically. [[graft.tools.RecallCheck]] is that measurement loop
+    * (same recall@20-vs-brute-force methodology as DedupAnnSpec's gate,
+    * any dir, any nprobe list). Measured on the sf1 rehearsal corpus —
+    * 10 alphabet-rotated near-uniform copies, the documented IVF worst
+    * case — cells=100: recall@20 0.65/0.70/0.70/0.80 at nprobe
+    * 4/8/16/32. Real embedding corpora cluster and sit far above that
+    * curve at the same fraction (the class doc's measured full-train
+    * example reaches 0.95 at nprobe=4 of 10).
+    */
   def nprobeOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(Nprobe)
 
