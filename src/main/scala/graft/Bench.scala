@@ -62,7 +62,20 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"failed":$fails,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"failed":$fails,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's captured tail truncates long stdout lines, so ALSO
+    // persist the full per-query JSON under a stable path — round-over-
+    // round diffs then compare every query, not the ~55 that fit the tail
+    try {
+      val out = java.nio.file.Paths.get("bench/bench_full_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench/bench_full_latest.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

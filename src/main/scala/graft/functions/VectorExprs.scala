@@ -271,6 +271,23 @@ object VectorExprs {
     require(m >= 1 && m <= cents.length,
       s"NearestCentroids m=$m out of range 1..${cents.length}")
 
+    // case-class equality on an Array[Array[Double]] field is reference
+    // identity, so two separately-constructed but identical expressions
+    // would never compare semanticEquals — defeating common-subexpression
+    // elimination and plan-level expression dedup. Compare the centroid
+    // matrix STRUCTURALLY instead.
+    override def equals(other: Any): Boolean = other match {
+      case that: NearestCentroids =>
+        m == that.m && child == that.child &&
+          java.util.Arrays.deepEquals(
+            cents.asInstanceOf[Array[AnyRef]],
+            that.cents.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+        * 31 + child.hashCode()) * 31 + m
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {

@@ -957,6 +957,45 @@ object DedupOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // EXACT-MODE twin of dedup_semantic: the SAME pair kernel
+    // ([[semanticPairs]] — cosine, 4-digit rounding, ≥0.30 threshold,
+    // least/greatest canonicalization, distinct) run at ONE-CELL
+    // degenerate geometry, where the within-cell join IS the full pair
+    // set and SemDeDup is exact by construction. This hash-gates the
+    // kernel against a brute-force SQL oracle, reducing the production
+    // entry's approximation to cell COVERAGE alone — which DedupAnnSpec
+    // recall-gates (≥0.6 on the near-uniform worst case) and the
+    // soft-assignment doc justifies. Deliberately quadratic (n² pairs,
+    // like the oracle) — an ORACLE-SCALE query, block-guarded so it
+    // fails fast rather than melting if pointed at a production corpus.
+    "dedup_semantic_exact" -> ((s, d) => {
+      val v = requireBoundedBlocks(
+        embeddings(s, d).select(col("vec_id"), lit(0).as("cell"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        "cell", MaxCosineBlockRows)
+      semanticPairs(v, v).distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // EXACT-MODE twin of dedup_semantic_incremental, same device: the
+    // two batch-bounded orientations (corpus ⋈ batch, batch ⋈ corpus)
+    // at one-cell geometry — exactly the monolithic exact pair set
+    // restricted to pairs touching the batch, which the SQL oracle
+    // states directly. Gates the orientation-union construction the
+    // production incremental path shares.
+    "dedup_semantic_incremental_exact" -> ((s, d) => {
+      val v = requireBoundedBlocks(
+        embeddings(s, d).select(col("vec_id"), lit(0).as("cell"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        "cell", MaxCosineBlockRows)
+      def inBatch(df: DataFrame): DataFrame =
+        df.filter(pmod(col("vec_id"), lit(10)) === 0)
+      semanticPairs(v, inBatch(v))
+        .unionByName(semanticPairs(inBatch(v), v))
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Duplicate 8-token-span coverage per document (the ExactSubstr
     // measurement pass) — see [[spanCoverage]]. Shares the memoized
     // window stream + dup set with the excise twin.
@@ -1333,6 +1372,33 @@ object DedupOps {
          WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
              / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
                 * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
+         ORDER BY vec_a, vec_b""",
+    // brute-force twin of the one-cell exact SemDeDup: ALL pairs, no
+    // label blocking — the same cosine/rounding/threshold as above
+    "dedup_semantic_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
+         ORDER BY vec_a, vec_b""",
+    "dedup_semantic_incremental_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
+           AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
          ORDER BY vec_a, vec_b""",
   )
 }

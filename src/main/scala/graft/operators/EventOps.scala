@@ -263,6 +263,28 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // ORACLE GATE for the approx-percentile path: per type, the sketch
+    // estimate vs the exact interpolated percentile, as within-bound
+    // flags (|approx − exact| ≤ max(2, 5%·exact) — PlanSpec's bound,
+    // restated as DuckDB-checkable rows; the oracle states both flags
+    // as `true`). The estimate itself stays out of the output — it is
+    // engine-specific; the gate makes the ERROR ENVELOPE the contract.
+    "cdc_value_percentiles_approx_gate" -> ((s, d) => {
+      val a = queries("cdc_value_percentiles_approx")(s, d)
+        .select(col("event_type"), col("p50").as("a50"),
+          col("p95").as("a95"))
+      val e = queries("cdc_value_percentiles")(s, d)
+        .select(col("event_type"), col("p50").as("e50"),
+          col("p95").as("e95"))
+      e.join(a, Seq("event_type"))
+        .select(col("event_type"),
+          (abs(col("a50") - col("e50")) <=
+            greatest(lit(2.0), col("e50") * 0.05)).as("p50_ok"),
+          (abs(col("a95") - col("e95")) <=
+            greatest(lit(2.0), col("e95") * 0.05)).as("p95_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted
     // distinct per (cohort_week, active_week). The per-user cohort table is
     // user-cardinality — no broadcast hint (see cdc_funnel); the join
@@ -453,6 +475,11 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the gate's group set is the exact query's (value IS NOT NULL)
+    "cdc_value_percentiles_approx_gate" ->
+      """SELECT event_type, true AS p50_ok, true AS p95_ok
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "cdc_latest_state" ->
       """SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id

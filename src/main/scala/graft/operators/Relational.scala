@@ -236,6 +236,22 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ORACLE GATE for q20's HLL++ estimate: the exact distinct count
+    // per flag (SQL-expressible, hash-gated) plus a within-tolerance
+    // flag — |approx − exact| ≤ max(1, 15%·exact), 3× the default 5%
+    // relative standard deviation, the same 3σ engineering margin the
+    // sketch gates use. The oracle states the flag as `true`.
+    "q20_approx_distinct_gate" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            greatest(lit(1.0), col("exact_parts") * 0.15)).as("within_tol"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- scalar subquery: filter against a computed global aggregate;
     //      the 1-row aggregate is broadcast, the fact scan never shuffles.
     //      l_quantity is integer-valued so the avg is exact in IEEE double
@@ -305,6 +321,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_approx_distinct_gate" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS within_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -155,6 +155,26 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ORACLE GATE for the quantized path: DedupAnnSpec's bounds —
+    // recall@20 ≥ 0.9 vs the exact brute-force top-20 and |sim_q −
+    // sim_exact| ≤ 0.02 on the overlap — restated as one
+    // DuckDB-checkable row (the oracle states both flags `true`; the
+    // constant-group groupBy keeps the empty-input → zero-rows
+    // contract). The quantized estimates themselves stay approximate
+    // and out of any oracle.
+    "sim_quantized_topk_gate" -> ((s, d) => {
+      val quant = queries("sim_quantized_topk")(s, d)
+        .select(col("vec_id"), col("sim").as("qsim"))
+      val exact = queries("sim_cosine_topk")(s, d)
+        .select(col("vec_id"), col("sim").as("esim"))
+      quant.join(exact, Seq("vec_id"))
+        .groupBy(lit(20).as("k"))
+        .agg(count(lit(1)).as("n_overlap"),
+          max(abs(col("qsim") - col("esim"))).as("max_err"))
+        .select(col("k"), (col("n_overlap") >= 18).as("recall_ok"),
+          (col("max_err") <= 0.02).as("sim_err_ok"))
+    }),
+
     // Per-label centroids: posexplode to (label, pos, x), one shuffle on
     // (label, pos) — see [[labelCentroidComponents]] for the
     // cross-engine determinism device.
@@ -195,6 +215,9 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_quantized_topk_gate" ->
+      """SELECT CAST(20 AS INT) AS k, true AS recall_ok, true AS sim_err_ok
+         WHERE EXISTS (SELECT 1 FROM embeddings)""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0)

@@ -95,8 +95,81 @@ object SketchOps {
       rollupValueQuantiles(dailyValueSketches(events(s, d)))
         .orderBy(col("event_type"))
     }),
+
+    // ORACLE GATE for the HLL sketch table: per type (plus the __all__
+    // rollup), the EXACT distinct-user count — SQL-expressible, so the
+    // oracle hash-gates it — alongside a within-tolerance flag comparing
+    // the sketch estimate to that exact count (|est − exact| ≤
+    // max(1, 5%·exact), the same engineering bound SketchSpec asserts;
+    // lgConfigK=12 HLL has ~1.6% standard error, so 5% ≈ 3σ). The
+    // oracle states the flag as the constant `true` — a red row here
+    // means the sketch pipeline's error left its documented envelope.
+    // The estimate itself stays out of the output on purpose: it is the
+    // one value DuckDB cannot replay.
+    "cdc_distinct_users_sketch_gate" -> ((s, d) => {
+      val ev = events(s, d)
+      val daily = dailyUserSketches(ev)
+      val est = rollupByType(daily)
+        .select(col("event_type"), col("est_users"))
+        .unionByName(daily
+          .groupBy(lit("__all__").as("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_users")))
+      val exact = ev
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .unionByName(ev
+          .groupBy(lit("__all__").as("event_type"))
+          .agg(count_distinct(col("user_id")).as("exact_users")))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            greatest(lit(1.0), col("exact_users") * 0.05)).as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ORACLE GATE for the GK quantile table: per type, the ε-rank
+    // guarantee checked against the raw data — rank(reported p50) must
+    // sit within 3ε·n+1 of 0.5·n (same bound as SketchSpec, merged-
+    // sketch slack included), likewise p95. The per-type quantile rows
+    // broadcast (types × 2 doubles); one conditional-count pass over
+    // events computes both ranks. Oracle: both flags are `true`.
+    "cdc_value_quantile_sketch_gate" -> ((s, d) => {
+      val ev = events(s, d)
+      val eps = graft.functions.QuantileSketch.RelativeError
+      val q = rollupValueQuantiles(dailyValueSketches(ev))
+        .select(col("event_type"), col("p50"), col("p95"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+        .select(col("event_type"),
+          (abs(col("r50") - lit(0.5) * col("n")) <=
+            lit(3 * eps) * col("n") + 1).as("p50_ok"),
+          (abs(col("r95") - lit(0.95) * col("n")) <=
+            lit(3 * eps) * col("n") + 1).as("p95_ok"))
+        .orderBy(col("event_type"))
+    }),
   )
 
-  /** Approximate-by-design: no SQL twins (driver records rows-only). */
-  val oracles: Map[String, String] = Map.empty
+  /** The sketch TABLES stay approximate-by-design (no SQL twins — the
+    * driver records rows-only and SketchSpec bounds error and merge
+    * semantics); their `_gate` companions re-state the spec bounds as
+    * DuckDB-checkable rows, so the driver gate goes green on the same
+    * guarantees.
+    */
+  val oracles: Map[String, String] = Map(
+    "cdc_distinct_users_sketch_gate" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_tol
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), true
+         FROM events
+         ORDER BY event_type""",
+    "cdc_value_quantile_sketch_gate" ->
+      """SELECT event_type, true AS p50_ok, true AS p95_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
 }

@@ -48,11 +48,38 @@ object Tables {
     *  - TimestampType: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+    // a TIMESTAMP(NANOS) file on a session WITHOUT the legacy flag fails
+    // inside schema resolution with Spark's raw [PARQUET_TYPE_ILLEGAL] —
+    // catch it here and rethrow with the remediation the LongType branch
+    // depends on, so an unprepared session gets a self-describing error
+    // instead of a bare parquet type complaint
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+              e.getMessage.contains("Illegal Parquet type") =>
+          throw new IllegalArgumentException(
+            "events.parquet `ts` is parquet TIMESTAMP(NANOS), which Spark 4 " +
+              "refuses as a timestamp; set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+              "(Tables.registerAll and the repo's session builders pin it) " +
+              "so the loader can read it as nanos-since-epoch and convert", e)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
+        // the cast below interprets NTZ wall-clock values in the SESSION
+        // zone; under any zone with DST the oracle-naive values would
+        // shift or go ambiguous in gaps/overlaps, so fail fast with the
+        // fix instead of silently corrupting an hour of events per year
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.parquet `ts` is TIMESTAMP_NTZ and the session zone is " +
+            s"'$tz': the NTZ→TIMESTAMP cast is only wall-clock-preserving " +
+            "under UTC. Set spark.sql.session.timeZone=UTC (Tables." +
+            "registerAll and the repo's session builders pin it)")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other => throw new IllegalArgumentException(
@@ -116,7 +143,12 @@ object Tables {
       val tsSql = rawEvents.schema("ts").dataType match {
         case LongType => "timestamp_micros(ts DIV 1000) AS ts"
         case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"
-        case _ => "`ts`"
+        case TimestampType => "`ts`"
+        // mirror events(): a fourth encoding must fail loudly here too,
+        // not silently pass an unconverted column through the view
+        case other => throw new IllegalArgumentException(
+          s"events.parquet `ts` has unsupported type $other; expected " +
+            "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
       }
       val cols = rawEvents.columns.map {
         case "ts" => tsSql

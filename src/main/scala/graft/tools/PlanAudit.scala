@@ -49,10 +49,18 @@ object PlanAudit {
           val df = fn(spark, sfDir)
           df.collect() // drive AQE to its final plan
           val plan = df.queryExecution.executedPlan
-          var shuffles = Set.empty[Int]
+          // identity-keyed visited set (not identityHashCode ints, which
+          // can collide and undercount; not equals, which would merge
+          // distinct-but-equal operators): a subtree reachable both
+          // through a query-stage wrapper and a reused-exchange/subquery
+          // path is counted exactly once
+          val visited = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+          var shuffles = 0
           var bhj, smj, wsc, sort = 0
           var pushed = false
           def walk(x: SparkPlan): Unit = {
+            if (!visited.add(x)) return
             x.nodeName match {
               case n if n.contains("BroadcastHashJoin") => bhj += 1
               case n if n.contains("SortMergeJoin") => smj += 1
@@ -61,8 +69,7 @@ object PlanAudit {
               case _ =>
             }
             x match {
-              case s: ShuffleExchangeLike =>
-                shuffles += System.identityHashCode(s)
+              case _: ShuffleExchangeLike => shuffles += 1
               case f: org.apache.spark.sql.execution.FileSourceScanExec =>
                 if (f.metadata.get("PushedFilters").exists(v =>
                     v.nonEmpty && v != "[]")) pushed = true
@@ -79,7 +86,7 @@ object PlanAudit {
           }
           walk(plan)
           val p = if (pushed) "yes" else ""
-          println(s"| $name | ${shuffles.size} | $bhj | $smj | $wsc | $sort | $p |")
+          println(s"| $name | $shuffles | $bhj | $smj | $wsc | $sort | $p |")
         } catch {
           case e: Throwable =>
             println(s"| $name | ERROR: ${e.getClass.getSimpleName} | | | | | |")

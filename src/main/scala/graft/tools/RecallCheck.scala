@@ -36,7 +36,7 @@ object RecallCheck {
     probes.foreach { p =>
       p.foreach(v => spark.conf.set("spark.graft.ann.nprobe", v.toString))
       val cells = graft.operators.Ann.cellCount(spark, sfDir)
-      val nprobe = graft.operators.Ann.nprobeOf(spark)
+      val nprobe = graft.operators.Ann.nprobeOf(spark, sfDir)
       val ann = graft.operators.Ann.queries("ann_ivf_topk")(spark, sfDir)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val recall = (ann intersect exact).size.toDouble / exact.size
