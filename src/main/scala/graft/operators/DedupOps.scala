@@ -83,7 +83,7 @@ object DedupOps {
   private def bandsOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.lsh.bands").map(_.toInt).getOrElse(Bands)
   private val RowsBaseDocs = 5000.0
-  private def rowsOf(s: SparkSession, d: String): Int =
+  private[graft] def rowsOf(s: SparkSession, d: String): Int =
     s.conf.getOption("spark.graft.lsh.rows").map(_.toInt).getOrElse {
       val n = docCount(s, d).toDouble
       val extra =

@@ -66,6 +66,15 @@ object Tables {
               "(Tables.registerAll and the repo's session builders pin it) " +
               "so the loader can read it as nanos-since-epoch and convert", e)
       }
+    convertEventTs(raw)
+  }
+
+  /** The `ts`-encoding dispatch of [[events]], applied to any frame
+    * carrying the raw file schema — shared with STREAMING readers of the
+    * same lake (`readStream.parquet` over the events directory), so the
+    * batch and stream paths cannot drift on encoding handling.
+    */
+  def convertEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -74,7 +83,7 @@ object Tables {
         // zone; under any zone with DST the oracle-naive values would
         // shift or go ambiguous in gaps/overlaps, so fail fast with the
         // fix instead of silently corrupting an hour of events per year
-        val tz = s.conf.get("spark.sql.session.timeZone")
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
         require(tz == "UTC",
           s"events.parquet `ts` is TIMESTAMP_NTZ and the session zone is " +
             s"'$tz': the NTZ→TIMESTAMP cast is only wall-clock-preserving " +
@@ -86,7 +95,6 @@ object Tables {
         s"events.parquet `ts` has unsupported type $other; expected " +
           "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

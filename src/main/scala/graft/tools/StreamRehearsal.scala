@@ -1,0 +1,167 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CdcStream
+
+/** Streaming SCALE rehearsal — the stream-side twin of the batch decade
+  * rehearsal: drives the two stateful streaming surfaces over a full
+  * scale-directory events table as a FILE STREAM (`readStream.parquet`,
+  * `maxFilesPerTrigger` modeling the sink's batching) and records
+  * throughput and state size, with count-conservation asserted so a
+  * fast-but-lossy run can never read as a pass.
+  *
+  *  1. `startPartitionedSink`: raw events → time-partition derivation →
+  *     checkpointed `year/month/day/hour`-partitioned parquet sink
+  *     (the reference's HDFS sink shape). Conservation: rows readable
+  *     from the sink == rows in the source table.
+  *  2. `latestState`: events keyed by user, flatMapGroupsWithState
+  *     upsert, Update-mode emissions counted per micro-batch.
+  *     Conservation: the state operator's final row count == distinct
+  *     users in the source, and every user surfaced at least once in
+  *     the emissions. State size is read from the progress telemetry
+  *     (`stateOperators.numRowsTotal` / `memoryUsedBytes`) — the number
+  *     that must stay ∝ key cardinality, not event count, for the
+  *     100 TB story.
+  *
+  * Usage: `runMain graft.tools.StreamRehearsal [sfDir] [outJson]
+  * [maxFilesPerTrigger]` — writes one JSON object and prints it.
+  */
+object StreamRehearsal {
+  final case class EvK(user_id: Long, event_id: Long, tsu: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val outFile =
+      if (args.length > 1) args(1) else "bench/rehearsal_stream.json"
+    val maxFiles = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val evPath = s"$sfDir/events.parquet"
+    // batch ground truth for the conservation asserts
+    val batch = graft.sources.Tables.events(spark, sfDir)
+    val nSource = batch.count()
+    val nKeys = batch.select(col("user_id")).distinct().count()
+    val rawSchema = spark.read.parquet(evPath).schema
+    // the rehearsal's POINT is multi-trigger behavior (state carried
+    // across micro-batches, per-batch sink commits) — a source laid out
+    // as one big file would collapse to a single trigger and measure
+    // nothing. If the table has fewer files than would give ~8 triggers,
+    // stage a TIME-RANGED re-split (repartitionByRange on ts → each file
+    // ≈ one arrival slice, the CDC wire shape) in a temp dir and stream
+    // that. Spark-written lakes with enough part files stream in place.
+    val evFile = new java.io.File(evPath)
+    val minFiles = 8 * maxFiles
+    val inPlaceFiles =
+      if (evFile.isDirectory)
+        evFile.listFiles().count(_.getName.endsWith(".parquet"))
+      else 1
+    val (streamPath, nFiles) =
+      if (inPlaceFiles >= minFiles) (evPath, inPlaceFiles)
+      else {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-rehearsal-src-").toString
+        println(s"[stream] staging $minFiles-file time-ranged split " +
+          s"(source has $inPlaceFiles)")
+        spark.read.parquet(evPath)
+          .repartitionByRange(minFiles, col("ts"))
+          .write.mode("overwrite").parquet(d)
+        (d, minFiles)
+      }
+    println(s"[stream] source rows=$nSource users=$nKeys files=$nFiles " +
+      s"maxFilesPerTrigger=$maxFiles")
+
+    def fileStream(): DataFrame = graft.sources.Tables.convertEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", maxFiles).parquet(streamPath))
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    // ---- surface 1: checkpointed time-partitioned sink -----------------
+    val sinkDir = tmp("graft-rehearsal-sink-")
+    val t0 = System.nanoTime()
+    val q1 = CdcStream.startPartitionedSink(
+      graft.operators.Cdc.withTimePartitions(fileStream(), col("ts")),
+      s"$sinkDir/data", s"$sinkDir/ckpt",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    val wall1 = (System.nanoTime() - t0) / 1e9
+    val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+    val nSink = spark.read.parquet(s"$sinkDir/data").count()
+    require(nSink == nSource,
+      s"partitioned sink lost rows: wrote $nSink of $nSource")
+    println(f"[stream] partitioned_sink: $nSource rows in $wall1%.1f s " +
+      f"(${nSource / wall1}%.0f rows/s, $batches1 batches) — conserved")
+
+    // ---- surface 2: latestState upsert ---------------------------------
+    // emissions are counted (and keys collected) per micro-batch in
+    // foreachBatch — never materialized as a table; ord = event-time
+    // micros (the WAL-LSN stand-in; ties keep the incumbent, which is
+    // latestState's documented idempotence contract)
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val seenKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val ds = fileStream()
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu")).as[EvK]
+    val state = CdcStream.latestState[Long, EvK](ds, _.user_id, _.tsu)
+    val t1 = System.nanoTime()
+    val q2 = state.toDF("user_id", "ev").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val keys = b.select(col("user_id")).as[Long](Encoders).collect()
+        emitted.addAndGet(keys.length.toLong)
+        keys.foreach(k => seenKeys.add(k))
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-rehearsal-upsert-ckpt-"))
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val wall2 = (System.nanoTime() - t1) / 1e9
+    val progress = q2.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    val stateBytes = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.memoryUsedBytes).maxOption.getOrElse(-1L)
+    val batches2 = progress.count(_.numInputRows > 0)
+    require(stateRows == nKeys,
+      s"latestState state rows $stateRows != distinct users $nKeys")
+    require(seenKeys.size().toLong == nKeys,
+      s"latestState emitted ${seenKeys.size()} keys of $nKeys")
+    println(f"[stream] latest_state: $nSource rows in $wall2%.1f s " +
+      f"(${nSource / wall2}%.0f rows/s, $batches2 batches, " +
+      f"state=$stateRows rows/${stateBytes / 1024 / 1024} MiB) — conserved")
+
+    val json =
+      s"""{"sf":"$sfDir","source_rows":$nSource,"distinct_users":$nKeys,
+         |"source_files":$nFiles,"max_files_per_trigger":$maxFiles,
+         |"partitioned_sink":{"wall_sec":$wall1,
+         |"rows_per_sec":${nSource / wall1},"batches":$batches1,
+         |"sink_rows":$nSink,"conserved":true},
+         |"latest_state":{"wall_sec":$wall2,
+         |"rows_per_sec":${nSource / wall2},"batches":$batches2,
+         |"emitted_updates":${emitted.get()},
+         |"state_rows":$stateRows,"state_bytes":$stateBytes,
+         |"conserved":true}}""".stripMargin.replace("\n", "")
+    val out = java.nio.file.Paths.get(outFile)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[stream] wrote $outFile")
+    println(json)
+    spark.stop()
+  }
+
+  // foreachBatch's typed collect needs an explicit Long encoder handle
+  private val Encoders = org.apache.spark.sql.Encoders.scalaLong
+}
