@@ -863,4 +863,337 @@ object TextExprs {
   def sortedIntersectSize(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectSize(
       Bridge.expression(a), Bridge.expression(b)))
+
+  // --------------------------------------------------------------------
+  // Fused PII scan
+  // --------------------------------------------------------------------
+
+  /** Fused PII scanner — replaces the 6 regex-engine passes of the
+    * composed `text_pii_scrub` form (3 `regexp_count` on the raw text +
+    * 3 sequential `regexp_replace`, each materializing an intermediate
+    * string) with hand-rolled byte scans over the UTF8String, emitting
+    * struct(n_emails, n_ips, n_phones, scrubbed) in one expression.
+    *
+    * Semantics are EXACTLY the composed form's (TextOpsSpec pins
+    * equality by property over adversarial corpora):
+    *   - counts = non-overlapping leftmost matches of each pattern
+    *     counted INDEPENDENTLY on the RAW text (`regexp_count`);
+    *   - scrubbed = sequential email → IP → phone replacement.
+    * The sequential chain is NOT "first pattern to match at each
+    * position": in `"111 222 3333@x.cc"` the email pass consumes
+    * `3333@x.cc` FIRST, so the phone match that exists on the raw text
+    * is never replaced (`"111 222 <EMAIL>"`, n_phones = 1). The kernel
+    * reproduces this by finding email spans first, then IP matches
+    * restricted to the gaps between email spans, then phone matches in
+    * the gaps of both — valid because the replacement tokens contain no
+    * digits or dots, so a later-pass match can never overlap or span a
+    * replaced region (each gap is byte-identical between the raw and
+    * the partially-replaced string).
+    *
+    * All three patterns are pure-ASCII, so the scan runs on UTF-8 BYTES
+    * (multibyte sequences are ≥ 0x80 and can never match), skipping the
+    * UTF8String→String conversion entirely. Pattern semantics mirror
+    * Java regex leftmost + greedy-with-backtracking on the exact
+    * patterns [[graft.operators.TextOps.EmailPat]]/Ipv4Pat/PhonePat:
+    *   - email domain backtracking resolves to "rightmost dot in the
+    *     maximal domain-char run that is followed by ≥2 alphas, with ≥1
+    *     domain char before it"; the match ends after the maximal alpha
+    *     run following that dot (`a@b.cc-dd` → `a@b.cc`);
+    *   - IPv4 octet runs are delimiter-forced, so the {1,3} backtrack
+    *     collapses to "digit run of 1–3 then a literal dot" (a 4+ digit
+    *     run fails the start position and the engine re-tries one byte
+    *     later: `1234.5.6.7` matches at offset 1); the final octet
+    *     greedily takes ≤3 digits and may leave trailing digits;
+    *   - phone is fixed-shape 3-sep-3-sep-4 with sep ∈ {'-', ' '}.
+    * A failed attempt advances one byte; a match advances to its end
+    * (non-overlapping scan), exactly like Matcher.find/appendReplacement.
+    */
+  case class PiiScan(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pii_scan expects string, got ${other.simpleString}")
+      }
+    override def dataType: DataType = PiiScan.schema
+    override def prettyName: String = "pii_scan"
+
+    override def nullSafeEval(input: Any): Any =
+      piiScan(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        // kernel lives ONCE in the scala object (the win is dropping the
+        // regex engines + intermediate strings, not inlining the loop)
+        s"""
+        ${ev.value} = graft.functions.TextExprs.piiScan($c);
+        """
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(newChild)
+  }
+
+  object PiiScan {
+    import org.apache.spark.sql.types.{StringType => SType, StructType}
+    val schema: StructType = new StructType()
+      .add("n_emails", LongType).add("n_ips", LongType)
+      .add("n_phones", LongType).add("scrubbed", SType)
+  }
+
+  @inline private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isAlphaB(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  /** Email local-part class `[A-Za-z0-9._%+-]`. */
+  @inline private def isLocalB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  /** Email domain class `[A-Za-z0-9.-]`. */
+  @inline private def isDomainB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '-'
+
+  /** Leftmost non-overlapping email matches; appends (start, end) byte
+    * offsets. Anchored on '@': the leftmost match through a given '@' is
+    * the maximal local-char run before it (clipped at the previous
+    * match's end — Java's scan never re-reads consumed input).
+    */
+  private def findEmailSpans(s: UTF8String, n: Int,
+      spans: java.util.ArrayList[Int]): Unit = {
+    var scan = 0
+    var at = 0
+    while (at < n) {
+      if (s.getByte(at) == '@') {
+        var ls = at
+        while (ls > scan && isLocalB(s.getByte(ls - 1))) ls -= 1
+        if (ls < at) {
+          var de = at + 1
+          while (de < n && isDomainB(s.getByte(de))) de += 1
+          // rightmost '.' with >=1 domain char before it and >=2 alphas
+          // after (longest-A-first backtracking of `[A-Za-z0-9.-]+[.]`)
+          var d = de - 3
+          var found = -1
+          while (d >= at + 2 && found < 0) {
+            if (s.getByte(d) == '.' && isAlphaB(s.getByte(d + 1)) &&
+                isAlphaB(s.getByte(d + 2))) found = d
+            else d -= 1
+          }
+          if (found >= 0) {
+            var e = found + 3
+            while (e < n && isAlphaB(s.getByte(e))) e += 1
+            spans.add(ls); spans.add(e)
+            scan = e
+            at = e - 1 // outer increment lands on e
+          }
+        }
+      }
+      at += 1
+    }
+  }
+
+  /** `([0-9]{1,3}[.]){3}[0-9]{1,3}` at i0 within [i0, hi); end or -1. */
+  private def tryIp(s: UTF8String, i0: Int, hi: Int): Int = {
+    var i = i0
+    var oct = 0
+    while (oct < 3) {
+      var r = 0
+      while (i < hi && r < 4 && isDigitB(s.getByte(i))) { i += 1; r += 1 }
+      if (r < 1 || r > 3) return -1
+      if (i >= hi || s.getByte(i) != '.') return -1
+      i += 1
+      oct += 1
+    }
+    var r = 0
+    while (i < hi && r < 3 && isDigitB(s.getByte(i))) { i += 1; r += 1 }
+    if (r < 1) -1 else i
+  }
+
+  /** `[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}` at i0 within [i0, hi). */
+  private def tryPhone(s: UTF8String, i0: Int, hi: Int): Int = {
+    if (i0 + 12 > hi) return -1
+    var k = 0
+    while (k < 3) {
+      if (!isDigitB(s.getByte(i0 + k))) return -1; k += 1
+    }
+    var b = s.getByte(i0 + 3)
+    if (b != '-' && b != ' ') return -1
+    k = 0
+    while (k < 3) {
+      if (!isDigitB(s.getByte(i0 + 4 + k))) return -1; k += 1
+    }
+    b = s.getByte(i0 + 7)
+    if (b != '-' && b != ' ') return -1
+    k = 0
+    while (k < 4) {
+      if (!isDigitB(s.getByte(i0 + 8 + k))) return -1; k += 1
+    }
+    i0 + 12
+  }
+
+  /** Non-overlapping leftmost scan of [lo, hi); returns the match count
+    * and, when `spans` is non-null, appends (start, end) pairs. Both
+    * patterns start with a digit, so non-digit bytes are skipped with a
+    * single compare.
+    */
+  private def scanDigitPat(s: UTF8String, lo: Int, hi: Int, phone: Boolean,
+      spans: java.util.ArrayList[Int]): Int = {
+    var i = lo
+    var c = 0
+    while (i < hi) {
+      if (isDigitB(s.getByte(i))) {
+        val e = if (phone) tryPhone(s, i, hi) else tryIp(s, i, hi)
+        if (e > 0) {
+          c += 1
+          if (spans != null) { spans.add(i); spans.add(e) }
+          i = e
+        } else i += 1
+      } else i += 1
+    }
+    c
+  }
+
+  /** Scans the gaps of [0, n) not covered by `mask` (sorted disjoint
+    * (start, end) pairs), appending matches to `spans` and returning the
+    * count. A match can never cross a gap boundary (masked regions were
+    * replaced by digit-free, dot-free tokens).
+    */
+  private def scanGaps(s: UTF8String, n: Int,
+      mask: java.util.ArrayList[Int], phone: Boolean,
+      spans: java.util.ArrayList[Int]): Int = {
+    var c = 0
+    var gapStart = 0
+    var k = 0
+    val pairs = mask.size() / 2
+    while (k <= pairs) {
+      val gapEnd = if (k < pairs) mask.get(2 * k) else n
+      c += scanDigitPat(s, gapStart, gapEnd, phone, spans)
+      if (k < pairs) gapStart = mask.get(2 * k + 1)
+      k += 1
+    }
+    c
+  }
+
+  /** Merges two sorted disjoint span lists into one sorted list. */
+  private def mergeSpans(a: java.util.ArrayList[Int],
+      b: java.util.ArrayList[Int]): java.util.ArrayList[Int] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new java.util.ArrayList[Int](a.size() + b.size())
+    var i = 0; var j = 0
+    while (i < a.size() || j < b.size()) {
+      val takeA = j >= b.size() || (i < a.size() && a.get(i) < b.get(j))
+      if (takeA) { out.add(a.get(i)); out.add(a.get(i + 1)); i += 2 }
+      else { out.add(b.get(j)); out.add(b.get(j + 1)); j += 2 }
+    }
+    out
+  }
+
+  private val EmailTok = "<EMAIL>".getBytes("UTF-8")
+  private val IpTok = "<IP>".getBytes("UTF-8")
+  private val PhoneTok = "<PHONE>".getBytes("UTF-8")
+
+  /** The fused kernel — also the call target of the generated code. */
+  def piiScan(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numBytes()
+    // one cheap pre-pass: most corpus text has neither '@' nor digits
+    var hasAt = false; var hasDigit = false
+    var i = 0
+    while (i < n && !(hasAt && hasDigit)) {
+      val b = s.getByte(i)
+      if (b == '@') hasAt = true
+      else if (b >= '0' && b <= '9') hasDigit = true
+      i += 1
+    }
+    if (!hasAt && !hasDigit)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L, s.clone()))
+
+    val emailSpans = new java.util.ArrayList[Int]()
+    if (hasAt) findEmailSpans(s, n, emailSpans)
+    val nEmails = emailSpans.size() / 2
+
+    var nIps = 0
+    var nPhones = 0
+    val ipSpans = new java.util.ArrayList[Int]()
+    val phoneSpans = new java.util.ArrayList[Int]()
+    if (hasDigit) {
+      if (nEmails == 0) {
+        // scrub matches == raw-count matches; one scan serves both
+        nIps = scanDigitPat(s, 0, n, phone = false, ipSpans)
+      } else {
+        nIps = scanDigitPat(s, 0, n, phone = false, null)
+        scanGaps(s, n, emailSpans, phone = false, ipSpans)
+      }
+      val mask = mergeSpans(emailSpans, ipSpans)
+      if (mask.isEmpty) {
+        nPhones = scanDigitPat(s, 0, n, phone = true, phoneSpans)
+      } else {
+        nPhones = scanDigitPat(s, 0, n, phone = true, null)
+        scanGaps(s, n, mask, phone = true, phoneSpans)
+      }
+    }
+
+    val scrubbed =
+      if (nEmails == 0 && ipSpans.isEmpty && phoneSpans.isEmpty) s.clone()
+      else buildScrubbed(s, n, emailSpans, ipSpans, phoneSpans)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmails.toLong, nIps.toLong, nPhones.toLong, scrubbed))
+  }
+
+  /** Three-way merge of the (sorted, mutually disjoint) span lists into
+    * the replaced string — single output allocation, byte copies only.
+    */
+  private def buildScrubbed(s: UTF8String, n: Int,
+      emails: java.util.ArrayList[Int], ips: java.util.ArrayList[Int],
+      phones: java.util.ArrayList[Int]): UTF8String = {
+    var removed = 0
+    var added = 0
+    var k = 0
+    while (k < emails.size()) {
+      removed += emails.get(k + 1) - emails.get(k); added += EmailTok.length
+      k += 2
+    }
+    k = 0
+    while (k < ips.size()) {
+      removed += ips.get(k + 1) - ips.get(k); added += IpTok.length
+      k += 2
+    }
+    k = 0
+    while (k < phones.size()) {
+      removed += phones.get(k + 1) - phones.get(k); added += PhoneTok.length
+      k += 2
+    }
+    val src = s.getBytes
+    val out = new Array[Byte](n - removed + added)
+    var pos = 0 // read cursor in src
+    var w = 0 // write cursor in out
+    var ie = 0; var ii = 0; var ip = 0
+    while (ie < emails.size() || ii < ips.size() || ip < phones.size()) {
+      val se = if (ie < emails.size()) emails.get(ie) else Int.MaxValue
+      val si = if (ii < ips.size()) ips.get(ii) else Int.MaxValue
+      val sp = if (ip < phones.size()) phones.get(ip) else Int.MaxValue
+      var start = 0; var end = 0; var tok: Array[Byte] = null
+      if (se <= si && se <= sp) {
+        start = se; end = emails.get(ie + 1); tok = EmailTok; ie += 2
+      } else if (si <= sp) {
+        start = si; end = ips.get(ii + 1); tok = IpTok; ii += 2
+      } else {
+        start = sp; end = phones.get(ip + 1); tok = PhoneTok; ip += 2
+      }
+      System.arraycopy(src, pos, out, w, start - pos)
+      w += start - pos
+      System.arraycopy(tok, 0, out, w, tok.length)
+      w += tok.length
+      pos = end
+    }
+    System.arraycopy(src, pos, out, w, n - pos)
+    UTF8String.fromBytes(out)
+  }
+
+  /** Column-API face of [[PiiScan]]. */
+  def piiScan(text: Column): Column =
+    Bridge.column(PiiScan(Bridge.expression(text)))
 }

@@ -466,8 +466,10 @@ object TextOps {
     * on the RAW text) plus the md5 of the text after sequential
     * email → IP → phone replacement — emitted as counts + fingerprint,
     * never the text, like [[text_normalize|the normalize query]]. All
-    * row-local regex scans (codegen'd, zero shuffles before the final
-    * sort); the DuckDB oracle replays both the counts
+    * row-local byte scans (the fused
+    * [[graft.functions.TextExprs.PiiScan]] kernel — one expression, no
+    * regex engine, zero shuffles before the final sort); the DuckDB
+    * oracle replays both the counts
     * (regexp_extract_all) and the same replacement chain with the 'g'
     * flag (DuckDB replaces FIRST-match-only by default — a silent
     * half-scrub if forgotten). The synthetic corpus is alphabetic, so
@@ -477,6 +479,26 @@ object TextOps {
     * regex dialects agree over the full corpus.
     */
   private[graft] def piiScrub(docs: DataFrame): DataFrame = {
+    val scan = graft.functions.TextExprs.piiScan(col("text"))
+    docs.select(col("doc_id"),
+      scan.getField("n_emails").as("n_emails"),
+      scan.getField("n_ips").as("n_ips"),
+      scan.getField("n_phones").as("n_phones"),
+      md5(scan.getField("scrubbed")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The original 6-regex-pass formulation of [[piiScrub]] — 3
+    * `regexp_count` over the raw text + the 3-stage sequential
+    * `regexp_replace` chain. Kept as the semantic REFERENCE for the
+    * fused byte-scan kernel ([[graft.functions.TextExprs.PiiScan]]):
+    * TextOpsSpec asserts row-for-row equality of the two forms over
+    * adversarial corpora (ScalaCheck + closed-form traps). Measured at
+    * sf0.1 the composed form is regex-engine bound (6 engine passes + 3
+    * intermediate string materializations per row); the kernel scans
+    * bytes once per pass with a zero-match fast path.
+    */
+  private[graft] def piiScrubComposed(docs: DataFrame): DataFrame = {
     val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
       EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
     docs.select(col("doc_id"),

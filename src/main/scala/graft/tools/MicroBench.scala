@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing harness: runs the NAMED registry queries
+  * (args after the first) against a SF dir (first arg) `reps` times each
+  * (SPARK_GRAFT_REPS, default 3) and prints per-rep seconds plus the
+  * minimum — the minimum is the comparable number on this box (heavy
+  * noisy-neighbor CPU steal; see NOTES on run-to-run variance). Same
+  * session shape as [[graft.Bench]] so numbers line up with the driver
+  * bench.
+  *
+  *   sbt "runMain graft.tools.MicroBench /root/testdata/sf0.1 text_pii_scrub"
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MicroBench <sfDir> <query>...")
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warm-up as Bench: session startup must not land in rep 1
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        dt
+      }
+      println(f"$name%-30s reps=${times.map(t => f"$t%.3f").mkString(", ")}" +
+        f"  min=${times.min}%.3f s")
+    }
+    spark.stop()
+  }
+}

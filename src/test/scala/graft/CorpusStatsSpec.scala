@@ -60,6 +60,83 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 1L, m("<EMAIL> at <IP> dial <PHONE>"))))
   }
 
+  test("pii kernel == java.util.regex on adversarial fragments (property)") {
+    // The fused byte-scan kernel (TextExprs.PiiScan) must agree with the
+    // regex formulation it replaced on BOTH outputs: per-pattern counts
+    // on the raw text, and the sequential email -> IP -> phone scrub.
+    // Reference is java.util.regex directly (what regexp_count /
+    // regexp_replace execute); fragments include every backtracking trap
+    // the patterns admit, glued with separators that form NOVEL
+    // compositions ("" can fuse a digit run onto an IP, "@" can turn an
+    // IP into an email local part, ...).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.util.regex.Pattern
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextExprs
+
+    val eP = Pattern.compile(TextOps.EmailPat)
+    val iP = Pattern.compile(TextOps.Ipv4Pat)
+    val pP = Pattern.compile(TextOps.PhonePat)
+    def count(p: Pattern, s: String) = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    def ref(text: String): (Long, Long, Long, String) = {
+      val scrub = pP.matcher(iP.matcher(eP.matcher(text)
+        .replaceAll("<EMAIL>")).replaceAll("<IP>")).replaceAll("<PHONE>")
+      (count(eP, text), count(iP, text), count(pP, text), scrub)
+    }
+    def fused(text: String): (Long, Long, Long, String) = {
+      val r = TextExprs.piiScan(UTF8String.fromString(text))
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getUTF8String(3).toString)
+    }
+
+    val fragments = Seq(
+      // valid matches
+      "bob.smith+x@site.co.uk", "a@b.io", "x%y_z@a-b.c.dd", "1.2.3.4",
+      "192.168.001.255", "255.255.255.255", "555-123-4567",
+      "555 987 6543", "111-222 3333",
+      // near-misses exercising each backtracking branch
+      "a@b.c", "@x.cc", "a@@b.cc", "a@.cc", "a@b..cc", "x@y",
+      "a@b.cc-dd", "a@b.cc9", "a@b.ccc.dd-", "a@b@c.cc",
+      "1234.5.6.7", "1.2.3.", "1.2.3.4567", "1.2.3.4.5.6.7.8",
+      "12345.6.7.8", "1..2.3.4", "55-123-4567", "555-12-4567",
+      "555-123-456", "1111-222-3333", "111 222 33334",
+      // sequential-priority traps: email must win over the phone/IP
+      // that starts earlier on the raw text
+      "111 222 3333@x.cc", "1.2.3.4@x.cc", "123-456-7890@x.cc",
+      // filler incl. multibyte (never matches; byte-scan must skip it)
+      "plain words", "αβγ δε", "日本語テキスト", "a", "7", ".", "-", "@")
+    val genText: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      parts <- Gen.listOfN(n, Gen.oneOf(fragments))
+      seps <- Gen.listOfN(n, Gen.oneOf(" ", "", ",", ".", "-", "@", "  "))
+    } yield parts.zip(seps).map { case (p, s) => p + s }.mkString
+
+    val prop = Prop.forAll(genText) { text => ref(text) == fused(text) }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pii fused query == composed regex query through codegen") {
+    // Same equality through the full Spark path (whole-stage codegen,
+    // struct field CSE, md5): the registered piiScrub vs the kept
+    // composed form over a deterministic adversarial corpus.
+    val rnd = new scala.util.Random(7)
+    val pool = Seq("a@b.io", "1.2.3.4", "555-123-4567", "x y z",
+      "111 222 3333@x.cc", "1234.5.6.7", "a@b..cc", "αβ", "9.9.9.99",
+      "123 456 7890", "no.match.here", "u%v@w.xy", "1.2.3.4@x.cc")
+    val docs = (0L until 200L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i, Seq.fill(n)(pool(rnd.nextInt(pool.size)))
+        .mkString(Seq(" ", "", ".")(rnd.nextInt(3))))
+    }.toDF("doc_id", "text")
+    val fusedRows = TextOps.piiScrub(docs).collect().toSeq
+    val composedRows = TextOps.piiScrubComposed(docs).collect().toSeq
+    assert(fusedRows == composedRows)
+  }
+
   test("span_coverage: interval union over duplicated 8-gram windows") {
     val t16 = (0 until 8).map(i => s"t$i")
     val doc0 = (t16 ++ t16).mkString(" ")          // 16 toks, halves equal
