@@ -100,6 +100,35 @@ object DedupOps {
   private def docCount(s: SparkSession, d: String): Long =
     docCounts.computeIfAbsent(d, _ => documents(s, d).count())
 
+  /** Deterministic downsample for the one-cell EXACT-MODE twins
+    * (`dedup_semantic_exact` / `_incremental_exact`): the twins exist to
+    * hash-gate the pair KERNEL against a brute-force oracle — a property
+    * of the code, not of corpus size — yet their one-cell join is n²
+    * by construction, so left unbounded they'd be the one registry
+    * entry whose cost grows quadratically with the corpus (measured
+    * 276 s at sf1, 100× per decade). Capping the gated subset at
+    * [[ExactTwinTargetRows]] vectors via an id-modulus keeps the gate
+    * at its historically-measured cost at ANY corpus size. The modulus
+    * derives from the footer row count EXACTLY as the oracle SQL
+    * derives it from COUNT(*) — `m = max(1, ceil(n / target))`,
+    * `vec_id % m = 0` on both sides — so Spark and DuckDB always gate
+    * the same subset; at the driver scales (n ≤ 2000) m = 1 and the
+    * twin is the full corpus, byte-identical to the pre-bound behavior.
+    * Id-modulus, not Bernoulli/TABLESAMPLE: deterministic across
+    * partitionings and engines.
+    */
+  private val ExactTwinTargetRows = 2000.0
+  private val vecCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def exactTwinModulus(s: SparkSession, d: String): Long = {
+    val n = vecCounts.computeIfAbsent(d, _ => embeddings(s, d).count())
+    math.max(1L, math.ceil(n / ExactTwinTargetRows).toLong)
+  }
+  /** The oracle-side mirror of [[exactTwinModulus]] as a DuckDB scalar
+    * subquery — GREATEST/CEIL over the same COUNT(*). */
+  private val ExactTwinModulusSql =
+    "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) FROM embeddings)"
+
   /** Per-document SORTED DISTINCT char-5-gram hash sets (doc_id, gs) —
     * the fused [[graft.functions.TextExprs.ShingleHashes]] window hasher
     * composed with [[graft.functions.TextExprs.SortedDistinctLongs]], so
@@ -965,13 +994,17 @@ object DedupOps {
     // kernel against a brute-force SQL oracle, reducing the production
     // entry's approximation to cell COVERAGE alone — which DedupAnnSpec
     // recall-gates (≥0.6 on the near-uniform worst case) and the
-    // soft-assignment doc justifies. Deliberately quadratic (n² pairs,
-    // like the oracle) — an ORACLE-SCALE query, block-guarded so it
-    // fails fast rather than melting if pointed at a production corpus.
+    // soft-assignment doc justifies. Inherently quadratic (n² pairs,
+    // like the oracle), so the gated subset is COUNT-BOUNDED by
+    // [[exactTwinModulus]] (full corpus at driver scales, ~constant
+    // 2000-vector cost at any scale beyond) and block-guarded besides.
     "dedup_semantic_exact" -> ((s, d) => {
+      val m = exactTwinModulus(s, d)
       val v = requireBoundedBlocks(
-        embeddings(s, d).select(col("vec_id"), lit(0).as("cell"),
-          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id"), lit(0).as("cell"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")),
         "cell", MaxCosineBlockRows)
       semanticPairs(v, v).distinct()
         .orderBy(col("vec_a"), col("vec_b"))
@@ -984,12 +1017,19 @@ object DedupOps {
     // states directly. Gates the orientation-union construction the
     // production incremental path shares.
     "dedup_semantic_incremental_exact" -> ((s, d) => {
+      val m = exactTwinModulus(s, d)
       val v = requireBoundedBlocks(
-        embeddings(s, d).select(col("vec_id"), lit(0).as("cell"),
-          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id"), lit(0).as("cell"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")),
         "cell", MaxCosineBlockRows)
+      // the "batch" is every 10th vector OF THE GATED SUBSET — the rank
+      // within the subset (vec_id/m is exact: v holds multiples of m),
+      // not vec_id%10, which at m a multiple of 10 would select the
+      // whole subset and degenerate this twin into dedup_semantic_exact
       def inBatch(df: DataFrame): DataFrame =
-        df.filter(pmod(col("vec_id"), lit(10)) === 0)
+        df.filter(pmod((col("vec_id") / lit(m)).cast("long"), lit(10)) === 0)
       semanticPairs(v, inBatch(v))
         .unionByName(semanticPairs(inBatch(v), v))
         .distinct()
@@ -1373,11 +1413,14 @@ object DedupOps {
              / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
                 * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
          ORDER BY vec_a, vec_b""",
-    // brute-force twin of the one-cell exact SemDeDup: ALL pairs, no
-    // label blocking — the same cosine/rounding/threshold as above
+    // brute-force twin of the one-cell exact SemDeDup: ALL pairs over
+    // the SAME count-bounded subset (the scalar subquery mirrors
+    // exactTwinModulus — identity at driver scales), no label blocking —
+    // the same cosine/rounding/threshold as above
     "dedup_semantic_exact" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings
+                    WHERE vec_id % $ExactTwinModulusSql = 0)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
              / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
@@ -1388,8 +1431,9 @@ object DedupOps {
                 * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
          ORDER BY vec_a, vec_b""",
     "dedup_semantic_incremental_exact" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings
+                    WHERE vec_id % $ExactTwinModulusSql = 0)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
              / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
@@ -1398,7 +1442,8 @@ object DedupOps {
          WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
              / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
                 * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) >= 0.30
-           AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+           AND ((a.vec_id // $ExactTwinModulusSql) % 10 = 0
+             OR (b.vec_id // $ExactTwinModulusSql) % 10 = 0)
          ORDER BY vec_a, vec_b""",
   )
 }
