@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *    k·10⁹), so per-user row counts and the 5-type skew profile are
   *    PRESERVED while user cardinality grows 10× — the realistic growth
   *    shape for an event stream.
-  *  - documents: copy k rotates the ALPHABET by k (bijective
-  *    `translate`), so each copy is an exactly isomorphic corpus —
+  *  - documents: copy k permutes the ALPHABET by the k-th affine map
+  *    i → a·i+b mod 26 (bijective `translate`; k < 26 is the plain
+  *    rotation by k), so each copy is an exactly isomorphic corpus —
   *    within-copy Jaccard structure is IDENTICAL to the original (the
   *    dedup pipelines see 10× data at the same pair density), while
   *    cross-copy and copy-vs-original shingles share almost nothing
@@ -37,10 +38,11 @@ import org.apache.spark.sql.functions._
   *    a shared per-copy token TAG injects high-df shingles spanning the
   *    tag boundary, inflating same-copy similarity until LSH candidate
   *    verification explodes (measured 118× wall at 10× data).
-  *  - embeddings: copies rotate the vector by k positions —
+  *  - embeddings: copy k applies the k-th dihedral coordinate isometry
+  *    (rotate by k mod dim; reversed first for k ≥ dim) —
   *    norm-preserving, direction-changing — so the corpus stays
-  *    near-uniform on the sphere (the documented IVF worst case) at 10×
-  *    the vectors; labels stride by copy so label-block sizes stay
+  *    near-uniform on the sphere (the documented IVF worst case) at any
+  *    factor ≤ 2·dim; labels stride by copy so label-block sizes stay
   *    constant (more shards, same shard size — the blocked-cosine
   *    scaling model).
   */
@@ -50,12 +52,21 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    // 26 alphabet rotations exist; k=26 would be the identity again and
-    // copy 26 an EXACT clone of the original corpus — the dup-rate
-    // distortion the rotation scheme exists to avoid
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in 1..26, got $factor (per-copy alphabet " +
-        "rotations repeat after 26)")
+    // The per-copy text bijection family is the AFFINE permutation group
+    // of the 26-letter alphabet, i → (a·i + b) mod 26 with gcd(a,26)=1:
+    // 12 valid multipliers × 26 offsets = 312 distinct bijections, so a
+    // factor beyond 312 would repeat a permutation and make some copy an
+    // EXACT clone of another — the dup-rate distortion the bijection
+    // scheme exists to avoid. (For k < 26 the map is a=1,b=k — exactly
+    // the historical rotations, so smaller-factor corpora regenerate
+    // byte-identically.) Composition is NOT closed under re-scaling: a
+    // ScaleUp of a ScaleUp applies σ_k2∘σ_k1, and distinct (k1,k2) pairs
+    // can compose to the SAME permutation of the same source doc —
+    // identical cross-copy texts, a duplicate clique per doc. Always
+    // scale from the ORIGINAL corpus with a larger factor instead.
+    require(factor >= 1 && factor <= 312,
+      s"factor must be in 1..312, got $factor (affine letter " +
+        "permutations repeat after 312)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,11 +94,21 @@ object ScaleUp {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(a: String, k: Int): String = a.drop(k) + a.take(k)
+    // copy k's letter bijection: the k-th affine permutation i → a·i+b
+    // (mod 26), enumerated b-fastest with the multipliers ordered so
+    // a=1 comes first — k ∈ 1..25 is then exactly the historical
+    // rotation by k, and any two distinct affine maps agree on at most
+    // gcd(a1−a2, 26) ≤ 2 letters, so cross-copy shingle overlap stays
+    // as negligible as it was for pure rotations
+    val Mults = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(a: String, k: Int): String = {
+      val (mul, off) = (Mults(k / 26), k % 26)
+      (0 until 26).map(i => a((mul * i + off) % 26)).mkString
+    }
     val rotText = (1 until factor).foldLeft(col("text")) { (acc, k) =>
       when(col("k") === k,
         translate(col("text"), lower + upper,
-          rot(lower, k % 26) + rot(upper, k % 26))).otherwise(acc)
+          affine(lower, k) + affine(upper, k))).otherwise(acc)
     }
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .withColumn("k", ks)
@@ -98,17 +119,32 @@ object ScaleUp {
         col("n_chars"))
     write(docs, s"$dst/documents.parquet")
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // copy k's vector isometry: the k-th element of the DIHEDRAL group
+    // on coordinate positions — rotate by k mod dim, on the REVERSED
+    // vector for k ≥ dim — 2·dim distinct norm-preserving maps (the
+    // pure rotations repeat at k = dim, which would hand copies k and
+    // k+dim IDENTICAL vectors and inflate the semantic/cosine dup rate
+    // the way a text-clone copy would). Reversal is an isometry, so the
+    // corpus stays near-uniform on the sphere at any factor ≤ 2·dim.
+    val embSrc = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = embSrc.select(size(col("embedding"))).first().getInt(0)
+    require(factor <= 2 * dim,
+      s"factor must be ≤ ${2 * dim} (dihedral isometries of a $dim-dim " +
+        s"vector repeat after 2·dim), got $factor")
+    val emb = embSrc
       .withColumn("k", ks)
+      .withColumn("base",
+        when(col("k") >= lit(dim), reverse(col("embedding")))
+          .otherwise(col("embedding")))
       .select(
         (col("vec_id") + col("k") * lit(1000000000000L)).as("vec_id"),
         // rotate by k mod dim: a factor above the vector dimension must
         // wrap, not feed slice() a negative length
-        when(col("k") % size(col("embedding")) === 0, col("embedding"))
+        when(col("k") % size(col("base")) === 0, col("base"))
           .otherwise(concat(
-            expr("slice(embedding, (k % size(embedding)) + 1, " +
-              "size(embedding) - (k % size(embedding)))"),
-            expr("slice(embedding, 1, k % size(embedding))")))
+            expr("slice(base, (k % size(base)) + 1, " +
+              "size(base) - (k % size(base)))"),
+            expr("slice(base, 1, k % size(base))")))
           .as("embedding"),
         (col("label") + col("k") * lit(100000)).cast("int").as("label"))
     write(emb, s"$dst/embeddings.parquet")
