@@ -47,6 +47,33 @@ import org.apache.spark.sql.functions._
   *    scaling model).
   */
 object ScaleUp {
+  /** Copy k's letter bijection: the k-th affine permutation i → a·i+b
+    * (mod 26) of alphabet string `a26`, enumerated b-fastest with the
+    * multipliers ordered so a=1 comes first — k ∈ 0..25 is then exactly
+    * the historical rotation by k (k=0 the identity), and any two
+    * distinct affine maps agree on at most gcd(a1−a2, 26) ≤ 2 letters,
+    * so cross-copy shingle overlap stays as negligible as it was for
+    * pure rotations. 312 distinct permutations (12 valid multipliers ×
+    * 26 offsets); ScaleUpSpec pins distinctness and the agreement bound.
+    */
+  private[graft] val Mults = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private[graft] def affine(a26: String, k: Int): String = {
+    val (mul, off) = (Mults(k / 26), k % 26)
+    (0 until 26).map(i => a26((mul * i + off) % 26)).mkString
+  }
+
+  /** Copy k's vector isometry on a `dim`-dimensional index space: the
+    * k-th element of the dihedral group — rotate by k mod dim, on the
+    * REVERSED coordinate order for k ≥ dim. Returns the source index
+    * each target position reads from (the spec-testable form of the
+    * slice/reverse column expression in main). 2·dim distinct maps.
+    */
+  private[graft] def dihedralIndex(dim: Int, k: Int)(pos: Int): Int = {
+    val r = k % dim
+    val rotated = (pos + r) % dim
+    if (k >= dim) dim - 1 - rotated else rotated
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
     val src = args(0)
@@ -94,17 +121,7 @@ object ScaleUp {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    // copy k's letter bijection: the k-th affine permutation i → a·i+b
-    // (mod 26), enumerated b-fastest with the multipliers ordered so
-    // a=1 comes first — k ∈ 1..25 is then exactly the historical
-    // rotation by k, and any two distinct affine maps agree on at most
-    // gcd(a1−a2, 26) ≤ 2 letters, so cross-copy shingle overlap stays
-    // as negligible as it was for pure rotations
-    val Mults = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    def affine(a: String, k: Int): String = {
-      val (mul, off) = (Mults(k / 26), k % 26)
-      (0 until 26).map(i => a((mul * i + off) % 26)).mkString
-    }
+    // copy k's letter bijection — see [[affine]] above
     val rotText = (1 until factor).foldLeft(col("text")) { (acc, k) =>
       when(col("k") === k,
         translate(col("text"), lower + upper,
