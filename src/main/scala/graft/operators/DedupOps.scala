@@ -117,16 +117,16 @@ object DedupOps {
     * Id-modulus, not Bernoulli/TABLESAMPLE: deterministic across
     * partitionings and engines.
     */
-  private val ExactTwinTargetRows = 2000.0
+  private[graft] val ExactTwinTargetRows = 2000.0
   private val vecCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def exactTwinModulus(s: SparkSession, d: String): Long = {
+  private[graft] def exactTwinModulus(s: SparkSession, d: String): Long = {
     val n = vecCounts.computeIfAbsent(d, _ => embeddings(s, d).count())
     math.max(1L, math.ceil(n / ExactTwinTargetRows).toLong)
   }
   /** The oracle-side mirror of [[exactTwinModulus]] as a DuckDB scalar
     * subquery — GREATEST/CEIL over the same COUNT(*). */
-  private val ExactTwinModulusSql =
+  private[graft] val ExactTwinModulusSql =
     "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) FROM embeddings)"
 
   /** Per-document SORTED DISTINCT char-5-gram hash sets (doc_id, gs) —

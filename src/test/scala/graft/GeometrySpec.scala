@@ -91,4 +91,33 @@ class GeometrySpec extends SparkSpec {
     assert(Ann.nprobeOf(spark, d) === 9)
     assert(DedupOps.rowsOf(spark, d) === 6)
   }
+
+  test("exact-twin modulus: identity at gate scales, ceil(n/2000) beyond") {
+    // the count-bound on the one-cell semantic exact twins: m = 1 at any
+    // corpus the driver gates (n ≤ 2000 — behavior identical to the
+    // pre-bound twins), ceil(n/2000) beyond, so the gated subset stays
+    // ~2000 vectors at ANY scale. The oracle SQL must derive the SAME
+    // modulus from COUNT(*): the target constant is asserted against the
+    // literal embedded in the SQL mirror so they cannot drift apart.
+    assert(DedupOps.ExactTwinTargetRows === 2000.0)
+    assert(DedupOps.ExactTwinModulusSql.contains("COUNT(*) / 2000.0"))
+    assert(DedupOps.ExactTwinModulusSql.contains("GREATEST(1"))
+    assert(DedupOps.exactTwinModulus(spark, mkCorpus(1, 1)) === 1L)
+    assert(DedupOps.exactTwinModulus(spark, mkCorpus(2000, 1)) === 1L)
+    assert(DedupOps.exactTwinModulus(spark, mkCorpus(2001, 1)) === 2L)
+    assert(DedupOps.exactTwinModulus(spark, mkCorpus(20000, 1)) === 10L)
+    // the sf10 rehearsal geometry: 200k vectors → every 100th gated
+    assert(DedupOps.exactTwinModulus(spark, mkCorpus(200000, 1)) === 100L)
+  }
+
+  test("exact-twin modulus memoizes per dir like the geometry counts") {
+    val d = mkCorpus(6000, 1)
+    assert(DedupOps.exactTwinModulus(spark, d) === 3L)
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(d))
+    assert(DedupOps.exactTwinModulus(spark, d) === 3L)
+  }
 }
