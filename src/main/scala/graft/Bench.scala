@@ -29,6 +29,24 @@ object Bench {
         Double.NaN
       }
     val annBuildJson = if (annBuild.isNaN) "null" else annBuild.toString
+    // same treatment for the n-gram dedup PAIR TABLE + cluster labels:
+    // in production they are persisted maintenance artifacts every
+    // downstream consumer reads (DedupOps.ngramJaccardPairs scaladoc);
+    // in-session they are built once and memoized, so whichever query
+    // ran first (alphabetically curate_dedup_apply) silently absorbed
+    // the most expensive dedup stage. Pre-build OUTSIDE the timed
+    // window and report the build as its own metric so per-query times
+    // are serving cost — exactly the ann_index_build precedent.
+    val tPair = System.nanoTime()
+    val pairBuild: Double =
+      try {
+        operators.DedupOps.ngramClusterLabels(spark, sfDir).count()
+        (System.nanoTime() - tPair) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pair table build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val pairBuildJson = if (pairBuild.isNaN) "null" else pairBuild.toString
     // if the pre-build failed, the memoization miss means the first timed
     // ann_ivf_* query rebuilds the index INSIDE its window — flag it so
     // the JSON never silently presents build+probe as probe-only
@@ -62,7 +80,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-
