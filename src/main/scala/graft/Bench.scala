@@ -47,6 +47,12 @@ object Bench {
         Double.NaN
       }
     val pairBuildJson = if (pairBuild.isNaN) "null" else pairBuild.toString
+    // mirror of ann_probe_includes_build: if the pre-build failed, the
+    // memoization miss means the first timed dedup consumer
+    // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
+    // its window — flag it so the JSON never silently presents
+    // build+serve as serving cost
+    val pairServingIncludesBuild = pairBuild.isNaN
     // if the pre-build failed, the memoization miss means the first timed
     // ann_ivf_* query rebuilds the index INSIDE its window — flag it so
     // the JSON never silently presents build+probe as probe-only
@@ -80,7 +86,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

@@ -139,7 +139,17 @@ object SketchOps {
       val eps = graft.functions.QuantileSketch.RelativeError
       val q = rollupValueQuantiles(dailyValueSketches(ev))
         .select(col("event_type"), col("p50"), col("p95"))
-      ev.join(broadcast(q), Seq("event_type"))
+      // rank bound over NON-NULL values only: the sketch (and the exact
+      // percentile machinery) excludes nulls, so the n the ε·n bound is
+      // stated against must too — counting null rows both inflates n and
+      // contributes 0 to the conditional rank sums, which on a corpus
+      // with >~6% nulls in one type would flip the gate red even though
+      // the sketch met its guarantee (this sf's events carry no nulls;
+      // the schema allows them). The isNotNull filter also drops an
+      // all-null type from BOTH engines symmetrically (the oracle's
+      // WHERE mirrors it) — such a type has no sketch row to gate.
+      ev.filter(col("value").isNotNull)
+        .join(broadcast(q), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
@@ -160,6 +170,10 @@ object SketchOps {
     * guarantees.
     */
   val oracles: Map[String, String] = Map(
+    // the '__all__' branch is EXISTS-guarded: Spark's groupBy(lit) emits
+    // zero rows on an empty table, and the empty-input contract requires
+    // both engines to agree (the sim_quantized_topk_gate oracle guards
+    // the same way)
     "cdc_distinct_users_sketch_gate" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            true AS within_tol
@@ -167,9 +181,14 @@ object SketchOps {
          UNION ALL
          SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), true
          FROM events
+         WHERE EXISTS (SELECT 1 FROM events)
          ORDER BY event_type""",
+    // WHERE mirrors the Spark side's isNotNull rank filter (see the gate
+    // query): null values are outside the sketch's population, and an
+    // all-null type must drop from both engines symmetrically
     "cdc_value_quantile_sketch_gate" ->
       """SELECT event_type, true AS p50_ok, true AS p95_ok
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -104,6 +104,16 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // validate the dim-dependent embeddings bound BEFORE any table is
+    // written: a factor in (2·dim, 312] failing only at the embeddings
+    // step would leave a partial (documents-but-no-embeddings)
+    // destination corpus for a later consumer to trip over
+    val embSrc = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = embSrc.select(size(col("embedding"))).first().getInt(0)
+    require(factor <= 2 * dim,
+      s"factor must be ≤ ${2 * dim} (dihedral isometries of a $dim-dim " +
+        s"vector repeat after 2·dim), got $factor")
+
     val ks = expr(s"explode(sequence(0, ${factor - 1}))")
 
     // events: ts is copied through unchanged in whatever encoding the
@@ -143,11 +153,6 @@ object ScaleUp {
     // k+dim IDENTICAL vectors and inflate the semantic/cosine dup rate
     // the way a text-clone copy would). Reversal is an isometry, so the
     // corpus stays near-uniform on the sphere at any factor ≤ 2·dim.
-    val embSrc = spark.read.parquet(s"$src/embeddings.parquet")
-    val dim = embSrc.select(size(col("embedding"))).first().getInt(0)
-    require(factor <= 2 * dim,
-      s"factor must be ≤ ${2 * dim} (dihedral isometries of a $dim-dim " +
-        s"vector repeat after 2·dim), got $factor")
     val emb = embSrc
       .withColumn("k", ks)
       .withColumn("base",

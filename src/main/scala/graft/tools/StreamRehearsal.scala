@@ -85,8 +85,29 @@ object StreamRehearsal {
     def fileStream(): DataFrame = graft.sources.Tables.convertEventTs(
       spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", maxFiles).parquet(streamPath))
-    def tmp(prefix: String): String =
-      java.nio.file.Files.createTempDirectory(prefix).toString
+    // every temp dir (staged re-split, sink, checkpoints) is registered
+    // for end-of-run deletion — at sf10 each run would otherwise leave
+    // TWO full copies of the events table in /tmp, accumulating across
+    // rehearsal runs until the box runs out of disk
+    val tmpDirs = scala.collection.mutable.Buffer.empty[String]
+    if (streamPath != evPath) tmpDirs += streamPath
+    def tmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tmpDirs += d
+      d
+    }
+    /** Data-bearing trigger count. NOT recentProgress.count(...): the
+      * progress ring buffer retains only the last ~100 updates, so a
+      * >100-trigger run would undercount the very multi-trigger evidence
+      * this tool exists to record. batchIds are contiguous from 0 and,
+      * under AvailableNow over a file source, only the FINAL batch can
+      * be empty — so lastProgress (exact, not capped) gives the count.
+      */
+    def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      val lp = q.lastProgress
+      if (lp == null) 0L
+      else lp.batchId + 1 - (if (lp.numInputRows == 0) 1 else 0)
+    }
 
     // ---- surface 1: checkpointed time-partitioned sink -----------------
     val sinkDir = tmp("graft-rehearsal-sink-")
@@ -97,7 +118,7 @@ object StreamRehearsal {
       trigger = Trigger.AvailableNow())
     q1.awaitTermination()
     val wall1 = (System.nanoTime() - t0) / 1e9
-    val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+    val batches1 = dataBatches(q1)
     val nSink = spark.read.parquet(s"$sinkDir/data").count()
     require(nSink == nSource,
       s"partitioned sink lost rows: wrote $nSink of $nSource")
@@ -133,7 +154,7 @@ object StreamRehearsal {
       .lastOption.map(_.numRowsTotal).getOrElse(-1L)
     val stateBytes = progress.flatMap(_.stateOperators.toSeq)
       .map(_.memoryUsedBytes).maxOption.getOrElse(-1L)
-    val batches2 = progress.count(_.numInputRows > 0)
+    val batches2 = dataBatches(q2)
     require(stateRows == nKeys,
       s"latestState state rows $stateRows != distinct users $nKeys")
     require(seenKeys.size().toLong == nKeys,
@@ -159,6 +180,14 @@ object StreamRehearsal {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[stream] wrote $outFile")
     println(json)
+    // all asserts have read what they need from the sink/state — release
+    // the staged copies (best-effort: a failed run above leaves its dirs
+    // for post-mortem, which is the useful behavior there)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    tmpDirs.foreach(d => rm(new java.io.File(d)))
     spark.stop()
   }
 
