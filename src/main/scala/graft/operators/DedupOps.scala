@@ -118,10 +118,12 @@ object DedupOps {
     * partitionings and engines.
     */
   private[graft] val ExactTwinTargetRows = 2000.0
-  private val vecCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // (session, dir)-keyed, unlike the dir-keyed geometry counts above:
+  // the modulus must agree with a DuckDB oracle that re-derives from a
+  // fresh COUNT(*) every run, so a new session after an in-JVM corpus
+  // rewrite must re-count too (GeometrySpec pins both keyings)
   private[graft] def exactTwinModulus(s: SparkSession, d: String): Long = {
-    val n = vecCounts.computeIfAbsent(d, _ => embeddings(s, d).count())
+    val n = SessionCache.memo(s, s"veccount#$d", embeddings(s, d).count())
     math.max(1L, math.ceil(n / ExactTwinTargetRows).toLong)
   }
   /** The oracle-side mirror of [[exactTwinModulus]] as a DuckDB scalar
@@ -211,6 +213,16 @@ object DedupOps {
     * chew, not to row counts.
     */
   val MaxCosineBlockRows = 20000L
+
+  /** The routing threshold as a deployment conf (default above): blocks
+    * over this row count leave the exact all-pairs path for the
+    * cell-routed one. A KNOB, unlike the geometry-insanity guard
+    * [[requireBoundedBlocks]] keeps applying to the cell side — tune it
+    * to the pair budget (cap² / 2) a stage can chew, not to row counts.
+    */
+  private[graft] def maxCosineBlockRowsOf(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.dedup.maxCosineBlockRows")
+      .map(_.toLong).getOrElse(MaxCosineBlockRows)
 
   /** Soft-assignment width for dedup_semantic: each vector joins from
     * its 3 nearest cells (primary first). Measured on the near-uniform
@@ -914,24 +926,20 @@ object DedupOps {
 
     // Embedding-cosine near-dup, blocked by label (dedup within a
     // shard/source): all pairs within a block with cosine >= 0.30. The
-    // within-block join is quadratic in the block size — guarded by
-    // [[requireBoundedBlocks]] so a hot block fails FAST with a routing
-    // hint instead of silently melting a stage at 100 TB.
-    "dedup_embedding_cosine" -> ((s, d) => {
-      val v = requireBoundedBlocks(
-        embeddings(s, d).select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast("double")).as("ev")),
-        "label", MaxCosineBlockRows)
-      val a = v.toDF("vec_a", "label", "ev_a")
-      val b = v.toDF("vec_b", "label", "ev_b")
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos",
-          round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
-        .filter(col("cos") >= 0.30)
-        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
-        .orderBy(col("vec_a"), col("vec_b"))
-    }),
+    // within-block join is quadratic in the block size — so blocks over
+    // [[maxCosineBlockRowsOf]] rows are ROUTED through the shared
+    // spherical k-means cells (the [[semanticPairs]] kernel over the
+    // SAME memoized IVF index every semantic/ANN consumer serves from)
+    // instead of melting a stage or refusing: within-label work becomes
+    // within-(label, cell), whose size the self-derived cell geometry
+    // bounds at ~[[Ann.TargetCellRows]] occupancy regardless of how hot
+    // the label is. Pairs from routed blocks are still EXACT-precision
+    // (cosine is computed, never estimated); only recall inside a
+    // routed block is approximate (soft-assignment coverage, the
+    // dedup_semantic contract — DedupAnnSpec measures it). At driver
+    // scales no block exceeds the default cap, so the gated result is
+    // the pre-routing exact kernel bit-for-bit.
+    "dedup_embedding_cosine" -> ((s, d) => cosinePairsRouted(s, d)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     // embeddings on the unit sphere, then near-dup only WITHIN each
@@ -1080,6 +1088,95 @@ object DedupOps {
         explode(Ann.softCellsOf(col("uvec"), idx.cents, probes)).as("cell"),
         col("vec"))
     (p, requireBoundedBlocks(soft, "cell", probes * MaxCosineBlockRows))
+  }
+
+  /** dedup_embedding_cosine with automatic scale routing. Per-label row
+    * counts (one tiny aggregate) split the corpus: labels at or under
+    * the [[maxCosineBlockRowsOf]] cap take the exact within-label
+    * all-pairs kernel unchanged; OVERSIZED labels are routed through
+    * the shared spherical k-means cells — the index parquet already
+    * holds (vec_id, label, vec, cell) for every vector, so routing is a
+    * broadcast semi-join plus the [[semanticPairs]]-shaped
+    * primary ⋈ soft within-(label, cell) join, no assignment recompute.
+    * Routed output keeps the exact schema/semantics (label column, true
+    * cosine ≥ 0.30, canonical vec_a < vec_b); what it gives up is only
+    * recall WITHIN a routed block — pairs outside any shared probed
+    * cell — exactly dedup_semantic's documented approximation, measured
+    * in DedupAnnSpec. The hot-label list is a BOUNDED driver collect:
+    * every hot label holds > cap rows, so there are < n/cap of them
+    * (50k at a billion vectors under the default cap); it is also the
+    * routed-blocks REPORT, logged with per-block row counts so an
+    * operator can see what was routed and re-shard if exactness there
+    * matters. With no hot labels (every driver gate scale) the plan IS
+    * the historical exact kernel — the union branch never exists.
+    */
+  private[graft] def cosinePairsRouted(s: SparkSession, d: String)
+      : DataFrame = {
+    val cap = maxCosineBlockRowsOf(s)
+    val v = embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def exactPairs(in: DataFrame): DataFrame = {
+      // explicit order before the positional rename: a using-join (the
+      // hot-label anti-join) moves its key column FIRST
+      val cols = in.select(col("vec_id"), col("label"), col("ev"))
+      val a = cols.toDF("vec_a", "label", "ev_a")
+      val b = cols.toDF("vec_b", "label", "ev_b")
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
+        .filter(col("cos") >= 0.30)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+    }
+    val hot = v.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).collect()
+    val pairs =
+      if (hot.isEmpty) exactPairs(v)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"dedup_embedding_cosine: routing ${hot.length} label " +
+          s"block(s) over $cap rows through the k-means cells " +
+          s"(exact-precision, cell-coverage recall): " +
+          hot.sortBy(-_.getLong(1)).take(20)
+            .map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", "))
+        val hotDf = s.createDataFrame(
+          java.util.Arrays.asList(hot.map(r =>
+            org.apache.spark.sql.Row(r.get(0))): _*),
+          org.apache.spark.sql.types.StructType(Seq(v.schema("label"))))
+        val small = v.join(broadcast(hotDf), Seq("label"), "left_anti")
+        val idx = Ann.ivfIndex(s, d)
+        val probes = math.min(SemDedupProbes, idx.cents.length)
+        // geometry guard, not the routing knob: cell occupancy is the
+        // index's self-derived contract (~TargetCellRows); a violation
+        // means the cells conf is mis-sized, which routing cannot fix
+        val hotV = requireBoundedBlocks(
+          s.read.parquet(idx.dir)
+            .join(broadcast(hotDf), Seq("label"))
+            .select(col("vec_id"), col("label"), col("cell"), col("vec")),
+          "cell", MaxCosineBlockRows)
+        val soft = hotV
+          .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+          .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+            .otherwise(transform(col("vec"), x => x / col("nrm"))))
+          .select(col("vec_id"), col("label"),
+            explode(Ann.softCellsOf(col("uvec"), idx.cents, probes))
+              .as("cell"),
+            col("vec"))
+        val a = hotV.toDF("vec_a", "label", "cell", "ev_a")
+        val b = soft.select(col("vec_id"), col("label"), col("cell"),
+          col("vec")).toDF("vec_b", "label", "cell", "ev_b")
+        val routed = a.join(b, Seq("label", "cell"))
+          .filter(col("vec_a") =!= col("vec_b"))
+          .withColumn("cos",
+            round(SimilarityOps.cosine(col("ev_a"), col("ev_b")), 4))
+          .filter(col("cos") >= 0.30)
+          .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+            greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+            col("label"), col("cos"))
+          .distinct()
+        exactPairs(small).unionByName(routed)
+      }
+    pairs.orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Within-cell exact-cosine pairs between a primary-assigned side and

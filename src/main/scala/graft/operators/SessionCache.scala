@@ -19,10 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object SessionCache {
 
   private val caches = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    SparkSession, scala.collection.concurrent.TrieMap[String, Any]]()
 
   private def of(s: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, DataFrame] =
+      : scala.collection.concurrent.TrieMap[String, Any] =
     caches.computeIfAbsent(s, sess => {
       sess.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -32,10 +32,21 @@ private[graft] object SessionCache {
             caches.remove(sess); ()
           }
         })
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      scala.collection.concurrent.TrieMap.empty[String, Any]
     })
 
   def getOrElseUpdate(s: SparkSession, key: String, build: => DataFrame)
       : DataFrame =
-    of(s).getOrElseUpdate(key, build)
+    memo(s, key, build)
+
+  /** Session-scoped memo for non-DataFrame artifacts that must track the
+    * session's view of a path, not the path itself — e.g. the exact-twin
+    * modulus, whose DuckDB oracle re-derives from a fresh COUNT(*) every
+    * run: a process-global dir-keyed memo would keep gating a STALE
+    * subset after an in-JVM corpus rewrite while the oracle gates the
+    * fresh one, failing the twin spuriously. Callers namespace their
+    * keys (`"veccount#" + dir` style) — the map is shared.
+    */
+  def memo[T](s: SparkSession, key: String, build: => T): T =
+    of(s).getOrElseUpdate(key, build).asInstanceOf[T]
 }

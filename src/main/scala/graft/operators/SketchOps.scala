@@ -170,18 +170,21 @@ object SketchOps {
     * guarantees.
     */
   val oracles: Map[String, String] = Map(
-    // the '__all__' branch is EXISTS-guarded: Spark's groupBy(lit) emits
-    // zero rows on an empty table, and the empty-input contract requires
-    // both engines to agree (the sim_quantized_topk_gate oracle guards
-    // the same way)
+    // the '__all__' branch groups by its CONSTANT select item (GROUP BY
+    // 1 = the '__all__' literal): a grouped aggregate over an empty
+    // table emits zero groups, exactly like Spark's groupBy(lit) — the
+    // empty-input contract both engines must agree on. (A WHERE guard
+    // cannot provide this: a GLOBAL aggregate still returns its one row
+    // after WHERE filters all input, so the earlier EXISTS guard was
+    // ineffective. sim_quantized_topk_gate's EXISTS is different — a
+    // FROM-less SELECT has no aggregate, so its WHERE really filters.)
     "cdc_distinct_users_sketch_gate" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            true AS within_tol
          FROM events GROUP BY event_type
          UNION ALL
-         SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), true
-         FROM events
-         WHERE EXISTS (SELECT 1 FROM events)
+         SELECT '__all__' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT), true
+         FROM events GROUP BY 1
          ORDER BY event_type""",
     // WHERE mirrors the Spark side's isNotNull rank filter (see the gate
     // query): null values are outside the sketch's population, and an

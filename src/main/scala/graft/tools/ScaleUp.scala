@@ -109,7 +109,22 @@ object ScaleUp {
     // step would leave a partial (documents-but-no-embeddings)
     // destination corpus for a later consumer to trip over
     val embSrc = spark.read.parquet(s"$src/embeddings.parquet")
-    val dim = embSrc.select(size(col("embedding"))).first().getInt(0)
+    // one bounded aggregate instead of a bare first(): an EMPTY source
+    // must fail with a real message (first() would throw a context-free
+    // NoSuchElementException before the factor bound could explain
+    // anything), and a RAGGED corpus must fail loudly too — the k ≥ dim
+    // reversal gate below uses this one driver-side dim while the
+    // rotation maps per-row size(embedding), so mixed dims would
+    // silently produce inconsistent isometries
+    val dims = embSrc.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).first()
+    require(!dims.isNullAt(0),
+      s"$src/embeddings.parquet is empty — cannot derive the vector dim " +
+        "that bounds the dihedral isometry family")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"ragged embedding dims in $src (${dims.getInt(0)}..${dims.getInt(1)}) " +
+        "— the dihedral maps need one uniform dim")
+    val dim = dims.getInt(0)
     require(factor <= 2 * dim,
       s"factor must be ≤ ${2 * dim} (dihedral isometries of a $dim-dim " +
         s"vector repeat after 2·dim), got $factor")

@@ -103,6 +103,47 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("dedup_embedding_cosine routes oversized label blocks instead of throwing") {
+    def run(): Map[(Long, Long), (Int, Double)] =
+      DedupOps.queries("dedup_embedding_cosine")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(2), r.getDouble(3))).toMap
+    // truth: under the default cap (20k) no sf0.001 block is hot — the
+    // historical exact all-pairs kernel, which the DuckDB oracle gates
+    val truth = run()
+    assert(truth.nonEmpty)
+    // cap below the two largest label blocks (63 and 56 rows here):
+    // labels 9 and 0 must ROUTE through the k-means cells; the other
+    // eight stay on the exact path. Pre-routing this configuration
+    // THREW (requireBoundedBlocks) — completing at all is the fix.
+    spark.conf.set("spark.graft.dedup.maxCosineBlockRows", "55")
+    try {
+      val routed = run()
+      val hotLabels = Set(0, 9)
+      def split(m: Map[(Long, Long), (Int, Double)], hot: Boolean) =
+        m.filter { case (_, (l, _)) => hotLabels.contains(l) == hot }
+      // (a) small blocks bit-identical to the unrouted run
+      assert(split(routed, hot = false) === split(truth, hot = false))
+      // (b) routed blocks: exact precision — every emitted pair is a
+      // true ≥0.30 pair with the exact cosine (cells only gate WHICH
+      // pairs meet, never the arithmetic)
+      val routedHot = split(routed, hot = true)
+      val truthHot = split(truth, hot = true)
+      routedHot.foreach { case (pair, v) =>
+        assert(truthHot.get(pair).contains(v), s"$pair not exact: $v")
+      }
+      // recall within routed blocks: same soft-assignment coverage
+      // contract (and floor) as dedup_semantic on this near-uniform
+      // worst-case corpus
+      assert(truthHot.nonEmpty)
+      val recall = routedHot.size.toDouble / truthHot.size
+      info(s"routed-block recall vs exact: $recall " +
+        s"(${routedHot.size}/${truthHot.size})")
+      assert(recall >= 0.6, s"recall $recall")
+    } finally spark.conf.unset("spark.graft.dedup.maxCosineBlockRows")
+  }
+
   test("dedup_semantic_incremental == monolithic restricted to the batch") {
     val mono = DedupOps.queries("dedup_semantic")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

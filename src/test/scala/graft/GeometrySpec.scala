@@ -110,14 +110,20 @@ class GeometrySpec extends SparkSpec {
     assert(DedupOps.exactTwinModulus(spark, mkCorpus(200000, 1)) === 100L)
   }
 
-  test("exact-twin modulus memoizes per dir like the geometry counts") {
+  test("exact-twin modulus memoizes per session+dir; a new session re-derives") {
+    // unlike the dir-keyed geometry counts, the modulus must track the
+    // DuckDB oracle's fresh COUNT(*): within one session the memo keeps
+    // the gate consistent across the twin queries of a run, but after an
+    // in-JVM corpus rewrite a NEW session (a new verify run) must derive
+    // the fresh modulus — a process-global memo would gate a stale
+    // subset against a fresh oracle and fail the twin spuriously
     val d = mkCorpus(6000, 1)
     assert(DedupOps.exactTwinModulus(spark, d) === 3L)
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete(); ()
-    }
-    rm(new java.io.File(d))
+    spark.range(2000).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // same session: memo still serves the count it gated with
     assert(DedupOps.exactTwinModulus(spark, d) === 3L)
+    // new session over the same context: fresh count, fresh modulus
+    assert(DedupOps.exactTwinModulus(spark.newSession(), d) === 1L)
   }
 }
