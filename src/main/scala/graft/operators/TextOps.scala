@@ -148,10 +148,41 @@ object TextOps {
     * — never a parallel `sum()` whose association order is
     * engine-internal (DuckDB's windowed/grouped sums use segment trees;
     * Spark's partial aggs combine in partition order).
+    *
+    * Scale mode (`spark.graft.text.lmMinCount`, default 1 = exact):
+    * the model tables grow with VOCABULARY, not corpus size — on
+    * adversarially vocab-inflating corpora (ScaleUp mints a distinct
+    * alphabet per copy) that is ~linear in data and the c2 shuffle
+    * dominates. CCNet-style minimum-count pruning bounds it: tokens with
+    * corpus frequency < minCount collapse into one OOV bucket BEFORE
+    * bigram extraction, so the kept vocabulary is the head of the Zipf
+    * curve (sub-linear under Heaps' law, and the inflation-minted
+    * singletons all fold into ⟨unk⟩), V = |kept| + 1 iff anything was
+    * pruned. With minCount ≤ 1 the plan is the historical exact kernel
+    * byte-for-byte (no vocab joins exist) — that is the oracle-gated
+    * default; CorpusStatsSpec pins pruned == exact when nothing prunes.
     */
-  private[graft] def lmPerplexity(df: DataFrame): DataFrame = {
+  /** OOV bucket token. Tokens come from splitting on the space character, so
+    * no real token can CONTAIN a space — a space-bracketed sentinel
+    * cannot collide with any token in any corpus.
+    */
+  private[graft] val LmUnk = " unk "
+
+  private[graft] def lmMinCountOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.text.lmMinCount")
+      .map(_.toInt).getOrElse(1)
+
+  /** The bigram stream + model tables, shared by [[lmPerplexity]] and
+    * the LmScale measurement tool: `bi` is the (doc_id, pos, w1, w2)
+    * scoring stream (OOV-mapped when pruning), `c2`/`c1` the model,
+    * `vocab` the 1-row effective-V aggregate.
+    */
+  private[graft] final case class LmModel(
+      bi: DataFrame, c2: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  private[graft] def lmModel(df: DataFrame, minCount: Int): LmModel = {
     val base = df.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val bi = base.filter(size(col("ts")) >= 2)
+    val biRaw = base.filter(size(col("ts")) >= 2)
       // sequence(0, n) DESCENDS when n < 0 — the size guard above is
       // load-bearing, not cosmetic
       .select(col("doc_id"), posexplode(transform(
@@ -160,15 +191,50 @@ object TextOps {
           element_at(col("ts"), i + 2).as("w2")))).as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // the bigram stream feeds the c2 count AND the scoring probe —
-      // checkpoint the tokenize+posexplode subtree once
-      .localCheckpoint(false)
+    val (bi, vocab) =
+      if (minCount <= 1) {
+        // exact mode: no token-frequency pass, no joins — the gated plan
+        (biRaw.localCheckpoint(false),
+          base.select(explode(col("ts")).as("w"))
+            .agg(countDistinct(col("w")).as("v")))
+      } else {
+        val tokCounts = base.select(explode(col("ts")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val kept = tokCounts.filter(col("cnt") >= minCount).select(col("w"))
+        // V = |kept| + 1 iff any token pruned (the ⟨unk⟩ symbol joins
+        // the vocabulary only when it can occur) — so a minCount that
+        // prunes nothing yields the exact model verbatim
+        val vv = tokCounts.agg(
+          (sum(when(col("cnt") >= minCount, 1L).otherwise(0L)) +
+            max(when(col("cnt") < minCount, 1L).otherwise(0L))).as("v"))
+        // OOV-map both positions via left-semi-shaped left joins on the
+        // kept vocabulary (AQE broadcasts it — pruning is what makes it
+        // a small model artifact); inner-join keys stay w1/w2 so the
+        // scoring probe below is unchanged
+        val k1 = kept.withColumn("k1", lit(1))
+        val k2 = kept.toDF("w2").withColumn("k2", lit(1))
+        val mapped = biRaw
+          .join(k1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+          .join(k2, Seq("w2"), "left")
+          .select(col("doc_id"), col("pos"),
+            when(col("k1").isNotNull, col("w1")).otherwise(lit(LmUnk))
+              .as("w1"),
+            when(col("k2").isNotNull, col("w2")).otherwise(lit(LmUnk))
+              .as("w2"))
+          .localCheckpoint(false)
+        (mapped, vv)
+      }
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // context counts marginalize the (much smaller) bigram-count table:
     // c1(w1) = Σ_w2 c2(w1,w2) — no second corpus-sized shuffle
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = base.select(explode(col("ts")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    LmModel(bi, c2, c1, vocab)
+  }
+
+  private[graft] def lmPerplexity(df: DataFrame): DataFrame = {
+    val m = lmModel(df, lmMinCountOf(df.sparkSession))
+    val (bi, c2, c1, vocab) = (m.bi, m.c2, m.c1, m.vocab)
     val scored = bi
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

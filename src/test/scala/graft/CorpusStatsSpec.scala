@@ -38,6 +38,46 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 2.0)
   }
 
+  test("lm_perplexity pruned mode == exact when nothing prunes") {
+    // every token occurs >= 2 times, so minCount=2 prunes nothing:
+    // kept = full vocab, no OOV symbol, V identical — the pruned plan
+    // must reproduce the exact (oracle-gated) numbers row for row
+    val docs = Seq((0L, "x x x x"), (1L, "x y y x")).toDF("doc_id", "text")
+    val exact = TextOps.lmPerplexity(docs).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.text.lmMinCount", "2")
+    try {
+      val pruned = TextOps.lmPerplexity(docs).collect().map(_.toSeq).toSeq
+      assert(pruned === exact)
+    } finally spark.conf.unset("spark.graft.text.lmMinCount")
+  }
+
+  test("lm_perplexity min-count pruning folds rare tokens into one OOV bucket") {
+    // corpus: d0 = "x x x x", d1 = "x q", d2 = "x r"; minCount=2 prunes
+    // the singletons q and r into ⟨unk⟩.
+    // exact: c2(x,x)=3, c2(x,q)=1, c2(x,r)=1; c1(x)=5; V=3:
+    //   d0: P(x|x)=(3+1)/(5+3)=1/2      -> nll = ln 2,     ppl = 2
+    //   d1,d2: P(q|x)=P(r|x)=2/8=1/4    -> nll = ln 4,     ppl = 4
+    // pruned: c2(x,x)=3, c2(x,unk)=2; c1(x)=5; V = 1 kept + 1 unk = 2:
+    //   d0: P(x|x)=(3+1)/(5+2)=4/7      -> nll = ln(7/4) = 0.559616
+    //   d1,d2: P(unk|x)=(2+1)/(5+2)=3/7 -> nll = ln(7/3) = 0.847298
+    val docs = Seq((0L, "x x x x"), (1L, "x q"), (2L, "x r"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.lmPerplexity(docs).collect()
+    assert(exact.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+      .toSeq === Seq((0L, 0.693147, 2.0), (1L, 1.386294, 4.0),
+        (2L, 1.386294, 4.0)))
+    spark.conf.set("spark.graft.text.lmMinCount", "2")
+    try {
+      val pruned = TextOps.lmPerplexity(docs).collect()
+      assert(pruned.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSeq === Seq((0L, 0.559616, 1.75), (1L, 0.847298, 2.3333),
+          (2L, 0.847298, 2.3333)))
+    } finally spark.conf.unset("spark.graft.text.lmMinCount")
+    // the point of the mode: the model table shrank (3 bigram keys -> 2)
+    assert(TextOps.lmModel(docs, 1).c2.count() === 3L)
+    assert(TextOps.lmModel(docs, 2).c2.count() === 2L)
+  }
+
   test("pii_scrub redacts emails/IPs/phones and counts matches closed-form") {
     val docs = Seq(
       (0L, "mail bob.smith+x@site.co.uk now"),   // one email

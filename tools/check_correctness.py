@@ -6,10 +6,13 @@ Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [query ...]
 Reads <verifyOutDir>/<name>/ parquet (Spark output) and oracle_sql.json,
 runs each oracle against the sf parquet tables in DuckDB, and compares
 schemas + values exactly (columns sorted by name, rows in result order).
-Optional query names restrict the check — useful at sf0.1+, where the
-deliberately-naive quadratic dedup oracles (pairwise list_intersect,
-recursive-CTE connected components) take far longer than every other
-oracle combined.
+Optional query names restrict the check — useful at sf0.1+. Since r8 the
+word-3-shingle family's oracles use a grouped-intersection (non-quadratic)
+formulation, so the only oracle still infeasible one scale up is
+dedup_minhash_lsh: its char-5-gram shingles are near-universal across
+docs, so BOTH the all-pairs list_intersect form (~hours at 5k docs) and a
+grouped-intersection rewrite (sum of df^2 = 1.5e9 join rows, measured)
+melt — gate it at sf0.01 only.
 """
 import sys, json, glob, os
 import duckdb
