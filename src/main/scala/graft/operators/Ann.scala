@@ -87,9 +87,12 @@ object Ann {
     * recall@20 is 0.70/0.80/0.85/0.90/0.95/1.00 at nprobe
     * 8/32/48/52/56/60 (RecallCheck, round 7): 0.6 lands at measured
     * 1.00 with margin over the 52-cell 0.90 knee. Real embedding
-    * corpora cluster and sit far above that curve at the same fraction
-    * (the class doc's measured full-train example reaches 0.95 at
-    * nprobe=4 of 10) — so 0.6 is deliberately conservative, and the
+    * corpora cluster and sit FAR above that curve at the same
+    * fraction — measured on the other shape (round 8,
+    * [[graft.tools.ClusteredCorpus]]: 20 k vectors, 50 clusters,
+    * same derived cells=100): recall@20 = 0.80 at nprobe=1 and 1.00
+    * from nprobe=2 on — a 2% probe fraction, 30× below the uniform
+    * worst case's knee. So 0.6 is deliberately conservative, and the
     * deployment loop is: run [[graft.tools.RecallCheck]] on YOUR
     * corpus, then tune `spark.graft.ann.nprobe` DOWN to the measured
     * knee. The FAISS operating reality (nprobe is the per-deployment

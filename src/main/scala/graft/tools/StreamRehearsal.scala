@@ -77,6 +77,22 @@ object StreamRehearsal {
         spark.read.parquet(evPath)
           .repartitionByRange(minFiles, col("ts"))
           .write.mode("overwrite").parquet(d)
+        // FileStreamSource orders arrivals by MODIFICATION TIME, and a
+        // single write job stamps every part file within the same
+        // instant — leaving arrival order arbitrary, so triggers can
+        // deliver event-time ranges out of order and the watermarked
+        // surfaces (windowed stats, interval join) would drop them as
+        // late. part-file NAMES are range order (partition 0 = lowest
+        // ts range) — re-stamp mtimes increasing in name order so
+        // arrival order IS event-time order, the CDC wire shape the
+        // split models.
+        val staged = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val base = (System.currentTimeMillis() / 1000 - staged.length) * 1000
+        staged.zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(base + i * 1000L),
+            s"cannot re-stamp mtime of $f")
+        }
         (d, minFiles)
       }
     println(s"[stream] source rows=$nSource users=$nKeys files=$nFiles " +
@@ -163,6 +179,119 @@ object StreamRehearsal {
       f"(${nSource / wall2}%.0f rows/s, $batches2 batches, " +
       f"state=$stateRows rows/${stateBytes / 1024 / 1024} MiB) — conserved")
 
+    // ---- surface 3: watermarked tumbling-window stats ------------------
+    // Update mode + last-write-per-window merge in foreachBatch: every
+    // window's FINAL update equals the batch aggregate (complete mode
+    // would also equal it, but rewrites the whole result per trigger —
+    // not the scale shape), while the watermark evicts closed windows so
+    // state tracks the horizon, not the stream. The staged time-ranged
+    // split makes arrival monotone in event time, so nothing is ever
+    // late against the 10-minute watermark and the merge is EXACT on the
+    // counts; the double-typed sums are compared within 1e-9 relative
+    // (stream and batch combine partials in different orders).
+    val winGot = new java.util.concurrent.ConcurrentHashMap[
+      (java.sql.Timestamp, String), (Long, Double)]()
+    val t2 = System.nanoTime()
+    val q3 = CdcStream.windowedStats(fileStream(), "ts", "event_type", "value")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // bounded collect: rows here are only the windows UPDATED this
+        // trigger ≈ (trigger's time slice / 1 h + 1) × |event_type|
+        b.collect().foreach { r =>
+          winGot.put((r.getTimestamp(0), r.getString(1)),
+            (r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-rehearsal-win-ckpt-"))
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val wall3 = (System.nanoTime() - t2) / 1e9
+    val batches3 = dataBatches(q3)
+    val winStateRows = q3.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+      .maxOption.getOrElse(-1L)
+    val wantWin = batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start"), col("event_type"), col("n"),
+        col("sum_value")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    require(winGot.size == wantWin.size,
+      s"windowed_stats: ${winGot.size} windows != batch ${wantWin.size}")
+    var winRowSum = 0L
+    wantWin.foreach { case (k, (n, s)) =>
+      val got = winGot.get(k)
+      require(got != null && got._1 == n &&
+          math.abs(got._2 - s) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"windowed_stats mismatch at $k: stream=$got batch=($n,$s)")
+      winRowSum += n
+    }
+    require(winRowSum == nSource,
+      s"windowed_stats counted $winRowSum of $nSource rows")
+    println(f"[stream] windowed_stats: $nSource rows in $wall3%.1f s " +
+      f"(${nSource / wall3}%.0f rows/s, $batches3 batches, " +
+      f"${wantWin.size} windows, peak state=$winStateRows rows) — " +
+      "equal to batch")
+
+    // ---- surface 4: stream-stream interval join ------------------------
+    // errors ⋈ clicks within [ts, ts+5 min] per user — both sides are
+    // independent file streams over the same staged split. Equality vs
+    // the batch join is by (count, XOR-of-XXH64 checksum): collecting
+    // 2× the events table through a memory sink is exactly what a
+    // rehearsal must not do, and XOR is order-independent AND
+    // overflow-free (a sum of 63-bit hashes trips ANSI overflow).
+    def joinHash(b: DataFrame) = b.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("user_id"), col("error_id"),
+        col("click_id"))), lit(0L)).as("h"))
+    val jn = new java.util.concurrent.atomic.AtomicLong(0)
+    val jh = new java.util.concurrent.atomic.AtomicLong(0)
+    val t3 = System.nanoTime()
+    val errsS = fileStream().filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
+    val clicksS = fileStream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val q4 = CdcStream
+      .intervalJoin(errsS, clicksS, "user_id", "ts", "c_ts", "5 minutes")
+      .select(col("l.user_id"), col("error_id"), col("click_id"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = joinHash(b).collect()(0)
+        jn.addAndGet(r.getLong(0))
+        jh.getAndAccumulate(r.getLong(1), (a, b) => a ^ b)
+        ()
+      }
+      .option("checkpointLocation", tmp("graft-rehearsal-ssjoin-ckpt-"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    val wall4 = (System.nanoTime() - t3) / 1e9
+    val batches4 = dataBatches(q4)
+    val joinProgress = q4.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+    val joinStateRows = joinProgress.map(_.numRowsTotal).maxOption.getOrElse(-1L)
+    val joinStateBytes = joinProgress.map(_.memoryUsedBytes).maxOption.getOrElse(-1L)
+    val be = batch.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
+    val bc = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val wantJoin = joinHash(be.join(bc,
+        col("user_id") === col("c_uid") && col("c_ts") >= col("ts") &&
+          col("c_ts") <= col("ts") + expr("INTERVAL 5 minutes")))
+      .collect()(0)
+    require(jn.get() == wantJoin.getLong(0),
+      s"interval_join: ${jn.get()} rows != batch ${wantJoin.getLong(0)}")
+    require(jh.get() == wantJoin.getLong(1),
+      s"interval_join checksum mismatch (${jn.get()} rows)")
+    println(f"[stream] interval_join: ${jn.get()} matches from $nSource×2 " +
+      f"events in $wall4%.1f s (${2 * nSource / wall4}%.0f rows/s, " +
+      f"$batches4 batches, peak state=$joinStateRows rows/" +
+      f"${joinStateBytes / 1024 / 1024} MiB) — equal to batch")
+
     val json =
       s"""{"sf":"$sfDir","source_rows":$nSource,"distinct_users":$nKeys,
          |"source_files":$nFiles,"max_files_per_trigger":$maxFiles,
@@ -173,7 +302,16 @@ object StreamRehearsal {
          |"rows_per_sec":${nSource / wall2},"batches":$batches2,
          |"emitted_updates":${emitted.get()},
          |"state_rows":$stateRows,"state_bytes":$stateBytes,
-         |"conserved":true}}""".stripMargin.replace("\n", "")
+         |"conserved":true},
+         |"windowed_stats":{"wall_sec":$wall3,
+         |"rows_per_sec":${nSource / wall3},"batches":$batches3,
+         |"windows":${wantWin.size},"peak_state_rows":$winStateRows,
+         |"equal_to_batch":true},
+         |"interval_join":{"wall_sec":$wall4,
+         |"rows_per_sec":${2 * nSource / wall4},"batches":$batches4,
+         |"join_rows":${jn.get()},"peak_state_rows":$joinStateRows,
+         |"peak_state_bytes":$joinStateBytes,
+         |"equal_to_batch":true}}""".stripMargin.replace("\n", "")
     val out = java.nio.file.Paths.get(outFile)
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
