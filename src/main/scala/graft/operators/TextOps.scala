@@ -149,18 +149,27 @@ object TextOps {
     * engine-internal (DuckDB's windowed/grouped sums use segment trees;
     * Spark's partial aggs combine in partition order).
     *
-    * Scale mode (`spark.graft.text.lmMinCount`, default 1 = exact):
-    * the model tables grow with VOCABULARY, not corpus size — on
-    * adversarially vocab-inflating corpora (ScaleUp mints a distinct
-    * alphabet per copy) that is ~linear in data and the c2 shuffle
-    * dominates. CCNet-style minimum-count pruning bounds it: tokens with
-    * corpus frequency < minCount collapse into one OOV bucket BEFORE
-    * bigram extraction, so the kept vocabulary is the head of the Zipf
-    * curve (sub-linear under Heaps' law, and the inflation-minted
-    * singletons all fold into ⟨unk⟩), V = |kept| + 1 iff anything was
-    * pruned. With minCount ≤ 1 the plan is the historical exact kernel
+    * Scale modes (defaults off = exact): the model tables grow with
+    * VOCABULARY, not corpus size, so the bounding knobs are vocabulary
+    * knobs, both collapsing pruned tokens into one OOV bucket BEFORE
+    * bigram extraction with V = |kept| + 1 iff anything was pruned:
+    *  - `spark.graft.text.lmMinCount` — CCNet-style frequency floor;
+    *    right when the corpus has a genuine rare tail (measured on the
+    *    ZipfCorpus fixture: floor 5 keeps 20% of the vocabulary / 50%
+    *    of the bigram keys). A floor alone does NOT guarantee sub-vocab
+    *    growth — a tail whose counts keep crossing the floor as the
+    *    corpus grows (or ScaleUp's adversarial shape, where every
+    *    minted token has head-sized counts and NOTHING prunes) grows
+    *    the kept set with the vocabulary.
+    *  - `spark.graft.text.lmTopK` ([[lmTopKOf]]) — the HARD bound:
+    *    keep the K most frequent tokens, so c1 ≤ K+1 and c2 is capped
+    *    by the observed bigrams over a (K+1)-token alphabet at ANY
+    *    corpus size (measured: model rows flat across a 10× decade
+    *    while the raw vocabulary grew 10×).
+    * With both unset the plan is the historical exact kernel
     * byte-for-byte (no vocab joins exist) — that is the oracle-gated
-    * default; CorpusStatsSpec pins pruned == exact when nothing prunes.
+    * default; CorpusStatsSpec pins pruned == exact when nothing prunes
+    * (both knobs) and closed-form pruned corpora for both.
     */
   /** OOV bucket token. Tokens come from splitting on the space character, so
     * no real token can CONTAIN a space — a space-bracketed sentinel
@@ -172,6 +181,20 @@ object TextOps {
     s.conf.getOption("spark.graft.text.lmMinCount")
       .map(_.toInt).getOrElse(1)
 
+  /** Top-K vocabulary cap (`spark.graft.text.lmTopK`, default 0 = off):
+    * keep only the K most frequent tokens (ties broken by token value,
+    * so the cut is deterministic), everything else → the OOV bucket.
+    * Unlike a count floor — whose kept set still grows with any corpus
+    * whose rare tail keeps crossing the floor — this HARD-bounds the
+    * model: c1 ≤ K+1 rows, c2 ≤ observed bigrams over a (K+1)-token
+    * alphabet, at any corpus size. Composes with the floor (the cap
+    * applies to floor survivors); a K ≥ |vocab| cap keeps everything
+    * and reproduces the exact model bit-for-bit.
+    */
+  private[graft] def lmTopKOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.text.lmTopK")
+      .map(_.toInt).getOrElse(0)
+
   /** The bigram stream + model tables, shared by [[lmPerplexity]] and
     * the LmScale measurement tool: `bi` is the (doc_id, pos, w1, w2)
     * scoring stream (OOV-mapped when pruning), `c2`/`c1` the model,
@@ -180,7 +203,8 @@ object TextOps {
   private[graft] final case class LmModel(
       bi: DataFrame, c2: DataFrame, c1: DataFrame, vocab: DataFrame)
 
-  private[graft] def lmModel(df: DataFrame, minCount: Int): LmModel = {
+  private[graft] def lmModel(df: DataFrame, minCount: Int,
+      topK: Int = 0): LmModel = {
     val base = df.select(col("doc_id"), split(col("text"), " ").as("ts"))
     val biRaw = base.filter(size(col("ts")) >= 2)
       // sequence(0, n) DESCENDS when n < 0 — the size guard above is
@@ -192,7 +216,7 @@ object TextOps {
       .select(col("doc_id"), col("pos"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val (bi, vocab) =
-      if (minCount <= 1) {
+      if (minCount <= 1 && topK <= 0) {
         // exact mode: no token-frequency pass, no joins — the gated plan
         (biRaw.localCheckpoint(false),
           base.select(explode(col("ts")).as("w"))
@@ -201,13 +225,19 @@ object TextOps {
         val tokCounts = base.select(explode(col("ts")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(false)
-        val kept = tokCounts.filter(col("cnt") >= minCount).select(col("w"))
+        val floored = tokCounts.filter(col("cnt") >= minCount)
+        // the top-K cut is a TakeOrdered of K rows (driver-bounded by
+        // construction — K is the model-size knob, not data-sized)
+        val kept = (if (topK > 0)
+            floored.orderBy(col("cnt").desc, col("w")).limit(topK)
+          else floored).select(col("w"))
         // V = |kept| + 1 iff any token pruned (the ⟨unk⟩ symbol joins
-        // the vocabulary only when it can occur) — so a minCount that
+        // the vocabulary only when it can occur) — so a floor/cap that
         // prunes nothing yields the exact model verbatim
-        val vv = tokCounts.agg(
-          (sum(when(col("cnt") >= minCount, 1L).otherwise(0L)) +
-            max(when(col("cnt") < minCount, 1L).otherwise(0L))).as("v"))
+        val vv = kept.agg(count(lit(1)).as("kn"))
+          .crossJoin(tokCounts.agg(count(lit(1)).as("tn")))
+          .select((col("kn") +
+            when(col("tn") > col("kn"), 1L).otherwise(0L)).as("v"))
         // OOV-map both positions via left-semi-shaped left joins on the
         // kept vocabulary (AQE broadcasts it — pruning is what makes it
         // a small model artifact); inner-join keys stay w1/w2 so the
@@ -233,7 +263,8 @@ object TextOps {
   }
 
   private[graft] def lmPerplexity(df: DataFrame): DataFrame = {
-    val m = lmModel(df, lmMinCountOf(df.sparkSession))
+    val m = lmModel(df, lmMinCountOf(df.sparkSession),
+      lmTopKOf(df.sparkSession))
     val (bi, c2, c1, vocab) = (m.bi, m.c2, m.c1, m.vocab)
     val scored = bi
       .join(c2, Seq("w1", "w2"))

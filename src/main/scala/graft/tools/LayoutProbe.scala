@@ -47,19 +47,17 @@ object LayoutProbe {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .withColumn("tsu", unix_micros(col("ts"))).drop("ts")
 
-    // probe ranges: ~1% of each key's span, anchored mid-distribution —
-    // derived from the data so the tool is corpus-independent
-    val b = ev.agg(min(col("user_id")), max(col("user_id")),
-      min(col("tsu")), max(col("tsu"))).collect()(0)
-    val (uLo, uHi, tLo, tHi) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def slice(lo: Long, hi: Long): (Long, Long) = {
-      val span = hi - lo
-      val a = lo + (span * 0.45).toLong
-      (a, a + math.max(1L, (span * 0.01).toLong))
-    }
-    val (u1, u2) = slice(uLo, uHi)
-    val (t1, t2) = slice(tLo, tHi)
+    // probe ranges: ~1% of each key's ROWS (the 45th..46th percentile),
+    // anchored mid-distribution — quantiles, not span fractions, so a
+    // sparse key space (ScaleUp offsets user ids by k·1e9, leaving
+    // empty islands a span-anchored slice can land in) still yields a
+    // probe that matches real rows
+    val qs = ev.stat.approxQuantile(Array("user_id", "tsu"),
+      Array(0.45, 0.46), 0.0005)
+    val (u1, u2) = (qs(0)(0).toLong,
+      math.max(qs(0)(0).toLong + 1, qs(0)(1).toLong))
+    val (t1, t2) = (qs(1)(0).toLong,
+      math.max(qs(1)(0).toLong + 1, qs(1)(1).toLong))
     println(s"[layout] probe: user_id in [$u1,$u2], tsu in [$t1,$t2]")
 
     val work = java.nio.file.Files

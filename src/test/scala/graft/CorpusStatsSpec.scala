@@ -78,6 +78,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(TextOps.lmModel(docs, 2).c2.count() === 2L)
   }
 
+  test("lm_perplexity top-K cap == exact when K covers the vocabulary") {
+    val docs = Seq((0L, "x x x x"), (1L, "x y y x")).toDF("doc_id", "text")
+    val exact = TextOps.lmPerplexity(docs).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.text.lmTopK", "2")
+    try {
+      assert(TextOps.lmPerplexity(docs).collect().map(_.toSeq).toSeq
+        === exact)
+    } finally spark.conf.unset("spark.graft.text.lmTopK")
+  }
+
+  test("lm_perplexity top-K cap folds everything below the cut into OOV") {
+    // same corpus as the min-count closed form: top-1 keeps x (count 6);
+    // the tied singletons q and r both fall to ⟨unk⟩ — identical model
+    // to minCount=2, so the SAME closed-form numbers must come out
+    val docs = Seq((0L, "x x x x"), (1L, "x q"), (2L, "x r"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.text.lmTopK", "1")
+    try {
+      val capped = TextOps.lmPerplexity(docs).collect()
+      assert(capped.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSeq === Seq((0L, 0.559616, 1.75), (1L, 0.847298, 2.3333),
+          (2L, 0.847298, 2.3333)))
+    } finally spark.conf.unset("spark.graft.text.lmTopK")
+    // hard bound: c1 is at most K+1 whatever the corpus
+    assert(TextOps.lmModel(docs, 1, 1).c1.count() <= 2L)
+  }
+
   test("pii_scrub redacts emails/IPs/phones and counts matches closed-form") {
     val docs = Seq(
       (0L, "mail bob.smith+x@site.co.uk now"),   // one email
