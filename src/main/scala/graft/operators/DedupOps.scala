@@ -1070,6 +1070,22 @@ object DedupOps {
     * probes× by construction (element 1 of the soft cells IS the
     * primary).
     */
+  /** Soft cell assignment of an index frame: re-derives the unit vector
+    * row-locally (same zero-norm guard as the index build — the guard's
+    * one OTHER home is `Ann.ivfIndex`; both soft-assign call sites
+    * share THIS kernel) and explodes each row onto its `probes` nearest
+    * cells, carrying `carry` columns through alongside
+    * (vec_id, cell, vec).
+    */
+  private def softAssign(in: DataFrame, cents: Seq[Seq[Double]],
+      probes: Int, carry: Seq[String] = Nil): DataFrame =
+    in.withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+      .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .select(col("vec_id") +: carry.map(col) :+
+        explode(Ann.softCellsOf(col("uvec"), cents, probes)).as("cell") :+
+        col("vec"): _*)
+
   private def semanticSides(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val idx = Ann.ivfIndex(s, d)
@@ -1080,13 +1096,7 @@ object DedupOps {
       s.read.parquet(idx.dir)
         .select(col("vec_id"), col("cell"), col("vec")),
       "cell", MaxCosineBlockRows)
-    val soft = p
-      .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-      .withColumn("uvec", when(col("nrm") === 0, col("vec"))
-        .otherwise(transform(col("vec"), x => x / col("nrm"))))
-      .select(col("vec_id"),
-        explode(Ann.softCellsOf(col("uvec"), idx.cents, probes)).as("cell"),
-        col("vec"))
+    val soft = softAssign(p, idx.cents, probes)
     (p, requireBoundedBlocks(soft, "cell", probes * MaxCosineBlockRows))
   }
 
@@ -1128,7 +1138,16 @@ object DedupOps {
         .filter(col("cos") >= 0.30)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
     }
-    val hot = v.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    // NULL labels form no block AT ALL — the within-label equi-join is
+    // null-rejecting on BOTH engines (Spark's using-join and the
+    // oracle's a.label = b.label agree: null never equals null), so
+    // unlabeled rows contribute zero pairs at any count. They are
+    // therefore excluded from hot detection too: routing a null block
+    // would be routing rows the exact semantics never pairs (and the
+    // index/anti joins below are also null-rejecting, which would
+    // otherwise silently mis-route them).
+    val hot = v.filter(col("label").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
       .filter(col("n") > cap).collect()
     val pairs =
       if (hot.isEmpty) exactPairs(v)
@@ -1154,14 +1173,7 @@ object DedupOps {
             .join(broadcast(hotDf), Seq("label"))
             .select(col("vec_id"), col("label"), col("cell"), col("vec")),
           "cell", MaxCosineBlockRows)
-        val soft = hotV
-          .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-          .withColumn("uvec", when(col("nrm") === 0, col("vec"))
-            .otherwise(transform(col("vec"), x => x / col("nrm"))))
-          .select(col("vec_id"), col("label"),
-            explode(Ann.softCellsOf(col("uvec"), idx.cents, probes))
-              .as("cell"),
-            col("vec"))
+        val soft = softAssign(hotV, idx.cents, probes, carry = Seq("label"))
         val a = hotV.toDF("vec_a", "label", "cell", "ev_a")
         val b = soft.select(col("vec_id"), col("label"), col("cell"),
           col("vec")).toDF("vec_b", "label", "cell", "ev_b")

@@ -21,19 +21,31 @@ private[graft] object SessionCache {
   private val caches = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[String, Any]]()
 
+  // ONE eviction listener per SparkContext, not per session: the
+  // new-session-per-verify-run pattern (GeometrySpec pins it for the
+  // twin modulus) would otherwise register a listener per session on
+  // the SHARED context, all released only at application end — the
+  // listener bus would grow with every session a long-lived JVM creates
+  private val hooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
+
   private def of(s: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, Any] =
-    caches.computeIfAbsent(s, sess => {
-      sess.sparkContext.addSparkListener(
+      : scala.collection.concurrent.TrieMap[String, Any] = {
+    val sc = s.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
               : Unit = {
-            caches.remove(sess); ()
+            val it = caches.keySet().iterator()
+            while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+            hooked.remove(sc); ()
           }
         })
-      scala.collection.concurrent.TrieMap.empty[String, Any]
-    })
+    caches.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty[String, Any])
+  }
 
   def getOrElseUpdate(s: SparkSession, key: String, build: => DataFrame)
       : DataFrame =

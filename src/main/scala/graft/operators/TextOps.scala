@@ -129,48 +129,6 @@ object TextOps {
          FROM t, g ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
 
-  /** Corpus-bigram-LM perplexity per document (the CCNet / Wenzek et al.
-    * LREC'20 quality signal: docs far from the corpus distribution —
-    * high perplexity — are noise; suspiciously low ones are boilerplate).
-    * Add-one-smoothed bigram model trained on the corpus itself:
-    * P(w₂|w₁) = (c₂(w₁,w₂)+1) / (c₁(w₁)+V), c₁ counting CONTEXT
-    * occurrences (non-final positions) and V the corpus vocabulary.
-    *
-    * Scale shape: the LM build is two map-side-combinable counts; scoring
-    * joins the bigram stream to the LM on its key (vocabulary-bounded
-    * tables — AQE broadcasts them when they fit, the CCNet deployment
-    * shape where the LM is a small model artifact). Cross-engine
-    * determinism: per-bigram ln is rounded to 12 decimals (absorbing
-    * last-ulp libm drift, same device as text_bm25_top), then the
-    * per-doc sum is a STRICT LEFT FOLD in position order on both engines
-    * — `aggregate` over the pos-sorted collected list here,
-    * `list_reduce(list_prepend(0.0, list(... ORDER BY pos)))` in DuckDB
-    * — never a parallel `sum()` whose association order is
-    * engine-internal (DuckDB's windowed/grouped sums use segment trees;
-    * Spark's partial aggs combine in partition order).
-    *
-    * Scale modes (defaults off = exact): the model tables grow with
-    * VOCABULARY, not corpus size, so the bounding knobs are vocabulary
-    * knobs, both collapsing pruned tokens into one OOV bucket BEFORE
-    * bigram extraction with V = |kept| + 1 iff anything was pruned:
-    *  - `spark.graft.text.lmMinCount` — CCNet-style frequency floor;
-    *    right when the corpus has a genuine rare tail (measured on the
-    *    ZipfCorpus fixture: floor 5 keeps 20% of the vocabulary / 50%
-    *    of the bigram keys). A floor alone does NOT guarantee sub-vocab
-    *    growth — a tail whose counts keep crossing the floor as the
-    *    corpus grows (or ScaleUp's adversarial shape, where every
-    *    minted token has head-sized counts and NOTHING prunes) grows
-    *    the kept set with the vocabulary.
-    *  - `spark.graft.text.lmTopK` ([[lmTopKOf]]) — the HARD bound:
-    *    keep the K most frequent tokens, so c1 ≤ K+1 and c2 is capped
-    *    by the observed bigrams over a (K+1)-token alphabet at ANY
-    *    corpus size (measured: model rows flat across a 10× decade
-    *    while the raw vocabulary grew 10×).
-    * With both unset the plan is the historical exact kernel
-    * byte-for-byte (no vocab joins exist) — that is the oracle-gated
-    * default; CorpusStatsSpec pins pruned == exact when nothing prunes
-    * (both knobs) and closed-form pruned corpora for both.
-    */
   /** OOV bucket token. Tokens come from splitting on the space character, so
     * no real token can CONTAIN a space — a space-bracketed sentinel
     * cannot collide with any token in any corpus.
@@ -262,6 +220,48 @@ object TextOps {
     LmModel(bi, c2, c1, vocab)
   }
 
+  /** Corpus-bigram-LM perplexity per document (the CCNet / Wenzek et al.
+    * LREC'20 quality signal: docs far from the corpus distribution —
+    * high perplexity — are noise; suspiciously low ones are boilerplate).
+    * Add-one-smoothed bigram model trained on the corpus itself:
+    * P(w₂|w₁) = (c₂(w₁,w₂)+1) / (c₁(w₁)+V), c₁ counting CONTEXT
+    * occurrences (non-final positions) and V the corpus vocabulary.
+    *
+    * Scale shape: the LM build is two map-side-combinable counts; scoring
+    * joins the bigram stream to the LM on its key (vocabulary-bounded
+    * tables — AQE broadcasts them when they fit, the CCNet deployment
+    * shape where the LM is a small model artifact). Cross-engine
+    * determinism: per-bigram ln is rounded to 12 decimals (absorbing
+    * last-ulp libm drift, same device as text_bm25_top), then the
+    * per-doc sum is a STRICT LEFT FOLD in position order on both engines
+    * — `aggregate` over the pos-sorted collected list here,
+    * `list_reduce(list_prepend(0.0, list(... ORDER BY pos)))` in DuckDB
+    * — never a parallel `sum()` whose association order is
+    * engine-internal (DuckDB's windowed/grouped sums use segment trees;
+    * Spark's partial aggs combine in partition order).
+    *
+    * Scale modes (defaults off = exact): the model tables grow with
+    * VOCABULARY, not corpus size, so the bounding knobs are vocabulary
+    * knobs, both collapsing pruned tokens into one OOV bucket BEFORE
+    * bigram extraction with V = |kept| + 1 iff anything was pruned:
+    *  - `spark.graft.text.lmMinCount` — CCNet-style frequency floor;
+    *    right when the corpus has a genuine rare tail (measured on the
+    *    ZipfCorpus fixture: floor 5 keeps 20% of the vocabulary / 50%
+    *    of the bigram keys). A floor alone does NOT guarantee sub-vocab
+    *    growth — a tail whose counts keep crossing the floor as the
+    *    corpus grows (or ScaleUp's adversarial shape, where every
+    *    minted token has head-sized counts and NOTHING prunes) grows
+    *    the kept set with the vocabulary.
+    *  - `spark.graft.text.lmTopK` ([[lmTopKOf]]) — the HARD bound:
+    *    keep the K most frequent tokens, so c1 ≤ K+1 and c2 is capped
+    *    by the observed bigrams over a (K+1)-token alphabet at ANY
+    *    corpus size (measured: model rows flat across a 10× decade
+    *    while the raw vocabulary grew 10×).
+    * With both unset the plan is the historical exact kernel
+    * byte-for-byte (no vocab joins exist) — that is the oracle-gated
+    * default; CorpusStatsSpec pins pruned == exact when nothing prunes
+    * (both knobs) and closed-form pruned corpora for both.
+    */
   private[graft] def lmPerplexity(df: DataFrame): DataFrame = {
     val m = lmModel(df, lmMinCountOf(df.sparkSession),
       lmTopKOf(df.sparkSession))

@@ -38,6 +38,9 @@ object RoutedCosineCheck {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
     val (exactWall, exact) = run()
+    require(exact.nonEmpty,
+      s"$sfDir yields zero exact pairs — recall against an empty truth " +
+        "set is meaningless; pick a corpus with within-label near-dups")
     println(f"[routed] exact (default cap): ${exact.size} pairs " +
       f"in $exactWall%.1f s")
     spark.conf.set("spark.graft.dedup.maxCosineBlockRows", cap.toString)
@@ -52,7 +55,8 @@ object RoutedCosineCheck {
     val recall = routed.size.toDouble / exact.size
     println(f"[routed] cap=$cap: ${routed.size} of ${exact.size} pairs " +
       f"(recall $recall%.3f, precision exact) in $routedWall%.1f s " +
-      f"(${exactWall / routedWall}%.1f x faster)")
+      f"(speedup ${exactWall / routedWall}%.1f x vs all-pairs; the " +
+      "routed run also pays the shared IVF index build once per session)")
     spark.stop()
   }
 }

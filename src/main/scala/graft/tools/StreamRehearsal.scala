@@ -57,44 +57,36 @@ object StreamRehearsal {
     // the rehearsal's POINT is multi-trigger behavior (state carried
     // across micro-batches, per-batch sink commits) — a source laid out
     // as one big file would collapse to a single trigger and measure
-    // nothing. If the table has fewer files than would give ~8 triggers,
-    // stage a TIME-RANGED re-split (repartitionByRange on ts → each file
-    // ≈ one arrival slice, the CDC wire shape) in a temp dir and stream
-    // that. Spark-written lakes with enough part files stream in place.
-    val evFile = new java.io.File(evPath)
+    // nothing. ALWAYS stage a TIME-RANGED re-split (repartitionByRange
+    // on ts → each file ≈ one arrival slice, the CDC wire shape), never
+    // stream a table in place: the watermarked surfaces (windowed
+    // stats, interval join) require arrival order ≈ event-time order,
+    // and an arbitrary Spark-written lake guarantees neither
+    // within-file time locality nor any particular FileStreamSource
+    // arrival order (it sorts by mtime, and one write job stamps every
+    // part file in the same instant) — rows arriving behind the
+    // watermark would be dropped as late and fail the conservation
+    // requires spuriously.
     val minFiles = 8 * maxFiles
-    val inPlaceFiles =
-      if (evFile.isDirectory)
-        evFile.listFiles().count(_.getName.endsWith(".parquet"))
-      else 1
-    val (streamPath, nFiles) =
-      if (inPlaceFiles >= minFiles) (evPath, inPlaceFiles)
-      else {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-rehearsal-src-").toString
-        println(s"[stream] staging $minFiles-file time-ranged split " +
-          s"(source has $inPlaceFiles)")
-        spark.read.parquet(evPath)
-          .repartitionByRange(minFiles, col("ts"))
-          .write.mode("overwrite").parquet(d)
-        // FileStreamSource orders arrivals by MODIFICATION TIME, and a
-        // single write job stamps every part file within the same
-        // instant — leaving arrival order arbitrary, so triggers can
-        // deliver event-time ranges out of order and the watermarked
-        // surfaces (windowed stats, interval join) would drop them as
-        // late. part-file NAMES are range order (partition 0 = lowest
-        // ts range) — re-stamp mtimes increasing in name order so
-        // arrival order IS event-time order, the CDC wire shape the
-        // split models.
-        val staged = new java.io.File(d).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        val base = (System.currentTimeMillis() / 1000 - staged.length) * 1000
-        staged.zipWithIndex.foreach { case (f, i) =>
-          require(f.setLastModified(base + i * 1000L),
-            s"cannot re-stamp mtime of $f")
-        }
-        (d, minFiles)
+    val (streamPath, nFiles) = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-rehearsal-src-").toString
+      println(s"[stream] staging $minFiles-file time-ranged split")
+      spark.read.parquet(evPath)
+        .repartitionByRange(minFiles, col("ts"))
+        .write.mode("overwrite").parquet(d)
+      // part-file NAMES are range order (partition 0 = lowest ts
+      // range) — re-stamp mtimes increasing in name order so arrival
+      // order IS event-time order
+      val staged = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = (System.currentTimeMillis() / 1000 - staged.length) * 1000
+      staged.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 1000L),
+          s"cannot re-stamp mtime of $f")
       }
+      (d, minFiles)
+    }
     println(s"[stream] source rows=$nSource users=$nKeys files=$nFiles " +
       s"maxFilesPerTrigger=$maxFiles")
 

@@ -144,6 +144,32 @@ class DedupAnnSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.maxCosineBlockRows")
   }
 
+  test("dedup_embedding_cosine: NULL labels form no block at any size or cap") {
+    // the within-label equi-join is null-rejecting on BOTH engines, so
+    // unlabeled rows pair with nothing — and must not trip hot-block
+    // detection either (a "hot" null block routed through the cells
+    // would invent pairs the exact semantics never produces)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-nulllbl-").toString
+    val labeled = (0L to 5L).map(i =>
+      (i, Array.fill(4)(1.0f), if (i < 3) Some(1) else Some(2)))
+    val unlabeled = (10L to 19L).map(i =>
+      (i, Array.fill(4)(1.0f), None: Option[Int]))
+    (labeled ++ unlabeled).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    def pairs(): Seq[(Long, Long)] =
+      DedupOps.queries("dedup_embedding_cosine")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // labeled blocks pair within themselves only: 2 × C(3,2) = 6 pairs
+    val want = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L))
+    assert(pairs() === want)
+    // cap below the 10-row null block: identical — nothing routes,
+    // nothing throws, no pair involves an unlabeled vector
+    spark.conf.set("spark.graft.dedup.maxCosineBlockRows", "5")
+    try assert(pairs() === want)
+    finally spark.conf.unset("spark.graft.dedup.maxCosineBlockRows")
+  }
+
   test("dedup_semantic_incremental == monolithic restricted to the batch") {
     val mono = DedupOps.queries("dedup_semantic")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
