@@ -60,6 +60,21 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("LM pruning modes return empty on an empty corpus too") {
+    // the pruned branch has its own plan (token-frequency pass + vocab
+    // joins) — empty-input robustness must hold there as well, for both
+    // the floor and the cap
+    Seq("spark.graft.text.lmMinCount" -> "2",
+        "spark.graft.text.lmTopK" -> "100").foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      try {
+        val rows =
+          SparkEntry.queries("text_lm_perplexity")(spark, emptyDir).collect()
+        assert(rows.isEmpty, s"$k=$v returned ${rows.length} rows")
+      } finally spark.conf.unset(k)
+    }
+  }
+
   test("IVF training on an empty corpus fails with its named error") {
     val e = intercept[Exception] {
       SparkEntry.queries("ann_ivf_topk")(spark, emptyDir).collect()
