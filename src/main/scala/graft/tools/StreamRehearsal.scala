@@ -38,13 +38,26 @@ object StreamRehearsal {
       if (args.length > 1) args(1) else "bench/rehearsal_stream.json"
     val maxFiles = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE=rocksdb swaps the state store provider — the
+    // 100 TB deployment answer for the stateful surfaces: the default
+    // HDFSBackedStateStore keeps every state row on the executor HEAP
+    // (the interval join buffers watermark+horizon × arrival rate), the
+    // RocksDB provider spills state to local disk with a bounded block
+    // cache, so state capacity is disk-, not heap-, limited. Same
+    // queries, same results — the rehearsal asserts the equalities
+    // under whichever provider is selected.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -285,7 +298,8 @@ object StreamRehearsal {
       f"${joinStateBytes / 1024 / 1024} MiB) — equal to batch")
 
     val json =
-      s"""{"sf":"$sfDir","source_rows":$nSource,"distinct_users":$nKeys,
+      s"""{"sf":"$sfDir","state_store":"$stateStore",
+         |"source_rows":$nSource,"distinct_users":$nKeys,
          |"source_files":$nFiles,"max_files_per_trigger":$maxFiles,
          |"partitioned_sink":{"wall_sec":$wall1,
          |"rows_per_sec":${nSource / wall1},"batches":$batches1,

@@ -258,6 +258,38 @@ class StreamingSpec extends SparkSpec {
     assert(last(3L)._2 === "c0")
   }
 
+  test("stateful upsert converges identically under the RocksDB state store") {
+    // the 100 TB state-store answer: RocksDB spills state to local disk
+    // with a bounded block cache, so stateful-operator capacity is
+    // disk-limited instead of heap-limited. Semantics must be provider-
+    // independent — same log, same converged state as the heap test.
+    val evSchema = Encoders.product[Ev].schema
+    val src = tmp("graft-upsert-rocks-src")
+    val log = Seq(
+      Ev("t", 1, "a0", 0, "c"), Ev("t", 2, "b0", 1, "c"),
+      Ev("t", 1, "a1", 2, "u"), Ev("t", 2, "b1", 3, "u"))
+    log.take(2).toDF().coalesce(1).write.mode("overwrite").json(src)
+    log.drop(2).toDF().coalesce(1).write.mode("append").json(src)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val ds = CdcStream.jsonEventStream(spark, evSchema, src,
+        maxFilesPerTrigger = 1).as[Ev]
+      val state = CdcStream.latestState[Long, Ev](ds, _.id, _.seq)
+      val q = state.toDF("id", "ev").writeStream.format("memory")
+        .queryName("upsert_rocks").outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val last = spark.table("upsert_rocks")
+        .select($"id", $"ev.name", $"ev.seq")
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).map { case (k, es) => k -> es.maxBy(_._3)._2 }
+      assert(last === Map(1L -> "a1", 2L -> "b1"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrich == batch join, unmatched stream rows kept") {
     val src = tmp("graft-enrich-src")
     val events = Tables.events(spark, sf).limit(200)
