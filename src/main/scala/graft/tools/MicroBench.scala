@@ -31,12 +31,20 @@ object MicroBench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_SINK=noop executes the full plan without driver
+    // materialization (the `noop` write sink) — for decade-3 probes
+    // whose RESULT is itself large (sessionize at 100 M events emits
+    // ~10 M sessions; collecting that measures maxResultSize, not the
+    // operator). Default stays collect(), the driver-contract shape.
+    val sink = sys.env.getOrElse("SPARK_GRAFT_SINK", "collect")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).collect()
+        if (sink == "noop")
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        else fn(spark, sfDir).collect()
         val dt = (System.nanoTime() - t0) / 1e9
         System.gc()
         dt

@@ -75,10 +75,19 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <dstDir> [factor] [events-only]")
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // events-only mode: the text/embedding tables are mathematically
+    // capped (312 affine bijections, 2·dim dihedral isometries — beyond
+    // them copies clone and the dup rate distorts), but the events
+    // table scales by pure KEY OFFSETS with no such bound — so the CDC/
+    // events surface can rehearse a THIRD decade (factor 1000) that the
+    // document families cannot. Collision-freedom is checked against
+    // the actual key ranges below.
+    val eventsOnly = args.length > 3 && args(3) == "events-only"
     // The per-copy text bijection family is the AFFINE permutation group
     // of the 26-letter alphabet, i → (a·i + b) mod 26 with gcd(a,26)=1:
     // 12 valid multipliers × 26 offsets = 312 distinct bijections, so a
@@ -91,9 +100,13 @@ object ScaleUp {
     // can compose to the SAME permutation of the same source doc —
     // identical cross-copy texts, a duplicate clique per doc. Always
     // scale from the ORIGINAL corpus with a larger factor instead.
-    require(factor >= 1 && factor <= 312,
-      s"factor must be in 1..312, got $factor (affine letter " +
-        "permutations repeat after 312)")
+    if (eventsOnly)
+      require(factor >= 1 && factor <= 1000000,
+        s"events-only factor must be in 1..1000000, got $factor")
+    else
+      require(factor >= 1 && factor <= 312,
+        s"factor must be in 1..312, got $factor (affine letter " +
+          "permutations repeat after 312)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,6 +116,30 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (eventsOnly) {
+      // key offsets are collision-free iff base keys fit under the
+      // per-copy strides — check the REAL ranges, not an assumption
+      val mx = spark.read.parquet(s"$src/events.parquet")
+        .agg(max(col("event_id")), max(col("user_id"))).first()
+      require(!mx.isNullAt(0) && mx.getLong(0) < 1000000000000L &&
+          mx.getLong(1) < 1000000000L,
+        s"events-only scaling needs event_id < 1e12 and user_id < 1e9 " +
+          s"in $src (got ${mx.get(0)}, ${mx.get(1)})")
+      val ksE = expr(s"explode(sequence(0, ${factor - 1}))")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+        .withColumn("k", ksE)
+        .select(
+          (col("event_id") + col("k") * lit(1000000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("k") * lit(1000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      write(ev, s"$dst/events.parquet")
+      println(s"[scaleup] events-only: wrote $dst/events.parquet at " +
+        s"factor $factor")
+      spark.stop()
+      return
+    }
 
     // validate the dim-dependent embeddings bound BEFORE any table is
     // written: a factor in (2·dim, 312] failing only at the embeddings
