@@ -125,14 +125,16 @@ object Ann {
     */
   val TargetCellRows = 200L
 
-  /** Corpus vector count, once per scale dir (parquet footer metadata —
-    * no data scan). Dir-keyed, not session-keyed: the count is a property
-    * of the files.
+  /** Corpus vector count, once per (session, scale dir) — parquet footer
+    * metadata, no data scan. Session-keyed (not dir-keyed) for the same
+    * reason as [[DedupOps.exactTwinModulus]]'s memo: after an in-JVM
+    * corpus rewrite a process-global dir key would keep deriving the
+    * index geometry from the OLD row count while every scan reads the
+    * new files. The cost of the tighter key is one metadata-only count
+    * per session.
     */
-  private val corpusCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embeddingCount(s: SparkSession, d: String): Long =
-    corpusCounts.computeIfAbsent(d, _ => embeddings(s, d).count())
+    SessionCache.memo(s, "annCorpusCount#" + d, embeddings(s, d).count())
   /** Training-sample size target. Centroid quality needs vector COUNT,
     * not corpus fraction — so the sample is COUNT-bounded: the id-hash
     * modulus is derived from the table's row count to land ~this many
@@ -291,15 +293,23 @@ object Ann {
     }
   }
 
-  private val indexes =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-
-  /** Build (once per scale dir AND geometry, memoized) the IVF index for
-    * `embeddings`: train on the hash sample, assign every vector, persist
-    * cell-partitioned parquet. Columns: vec_id, label, vec, cell.
+  /** Build (once per SESSION, scale dir AND geometry, memoized) the IVF
+    * index for `embeddings`: train on the hash sample, assign every
+    * vector, persist cell-partitioned parquet. Columns: vec_id, label,
+    * vec, cell.
+    *
+    * Session-keyed via [[SessionCache]], NOT process-global: every
+    * serving consumer (`ann_ivf_*`, `dedup_semantic`, the routed branch
+    * of `dedup_embedding_cosine`) reads its corpus fresh but its index
+    * from this memo, so a process-global dir key would serve stale
+    * vectors / vanished vec_ids after an in-JVM corpus rewrite — the
+    * exact staleness class [[DedupOps.exactTwinModulus]]'s session memo
+    * exists to prevent. A new session re-pays one index build; a
+    * production deployment pins `graft.ann.indexDir` and runs
+    * [[buildIndex]] as the maintenance job anyway.
     */
   def ivfIndex(s: SparkSession, d: String): IvfIndex =
-    indexes.computeIfAbsent(s"$d#k=${cellCount(s, d)}", _ => {
+    SessionCache.memo(s, s"ivfIndex#$d#k=${cellCount(s, d)}", {
       val base = embeddings(s, d).select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       // unit-normalize for spherical clustering (see Index geometry note);
@@ -330,8 +340,20 @@ object Ann {
         case Some(base) =>
           s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}" +
             s"-k${cellCount(s, d)}"
-        case None => java.nio.file.Files
-          .createTempDirectory("graft-ivf-index-").toString
+        case None =>
+          val t = java.nio.file.Files
+            .createTempDirectory("graft-ivf-index-").toString
+          // temp-dir indexes (tests/tools) are reclaimed at JVM exit —
+          // a long-lived dev box otherwise accumulates one ~100 MB cell
+          // layout per (session, dir, geometry) build forever
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(new java.io.File(t))
+          }))
+          t
       }
       normed.withColumn("cell", cellOf(col("uvec"), cents))
         .select(col("vec_id"), col("label"), col("vec"), col("cell"))

@@ -142,6 +142,32 @@ object DedupOps {
   private def shingleDocSets(s: SparkSession, d: String): DataFrame =
     docSets(s, d, graft.functions.TextExprs.shingleHashes(_, 5))
 
+  /** EXACT char-5-gram Jaccard ≥ 0.8 pair table via the lossless prefix
+    * filter — the engine-side ground truth for the minhash-LSH family
+    * (`dedup_minhash_lsh_gate`, [[graft.tools.LshGateReport]]) at scales
+    * where the all-pairs DuckDB formulation is infeasible. Same doc
+    * sets, same `round(J,4) ≥ 0.8` criterion as the LSH query's
+    * verification stage, so set-inclusion against it is meaningful.
+    * Eagerly checkpointed (pairs-above-threshold — tiny) so the persist
+    * on the doc-set scan can be released immediately.
+    */
+  private[graft] def shingleTruthPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = shingleDocSets(s, d).persist()
+    try verifyJaccard(
+      prefixCandidates(
+        docs.select(col("doc_id"), explode(col("gs")).as("g")), 0.8),
+      docs, 0.8)
+      .localCheckpoint(true)
+    finally docs.unpersist(false)
+  }
+
+  /** The session's LSH band geometry (bands, rows-per-band) for a scale
+    * dir — exposed for the gate's floor computation and its report tool.
+    */
+  private[graft] def bandGeometry(s: SparkSession, d: String): (Int, Int) =
+    (bandsOf(s), rowsOf(s, d))
+
   /** Per-document sorted distinct token-n-gram hash sets — the token twin
     * of [[shingleDocSets]].
     */
@@ -761,6 +787,52 @@ object DedupOps {
       // char-shingle document frequency is heavy-tailed, so Σ df²
       // combination counting would blow up.
       verifyJaccard(cand, docs, 0.8)
+    }),
+
+    // ORACLE GATE for the banded-minhash path at scales where the
+    // all-pairs DuckDB formulation is infeasible (measured r8: the
+    // char-5-gram grouped-intersection rewrite needs Σdf² ≈ 1.5e9 join
+    // rows at sf0.1, and the prefix-filtered DuckDB variant ran >10 min
+    // there too). Ground truth comes from the ENGINE's exact
+    // prefix-filter kernel instead — [[prefixCandidates]] is provably
+    // lossless for J ≥ t (Bayardo WWW'07) and [[verifyJaccard]] is
+    // exact, both DuckDB-gated on the token-trigram family — applied to
+    // the SAME char-5-gram doc sets the LSH query hashes. Two flags,
+    // one hash-checkable row:
+    //  - precision_ok: every LSH pair IS a truth pair (an invariant, not
+    //    a tolerance — both sides exact-verify round(J,4) ≥ 0.8 on
+    //    identical doc sets, so any extra pair is a bug);
+    //  - recall_ok: hit-rate over the truth pairs ≥ the banding S-curve
+    //    floor 1−(1−t^r)^b at t=0.8 for the session's (b, r) geometry,
+    //    minus 3σ binomial slack at the observed truth-pair count (the
+    //    floor is each pair's detection probability AT the threshold;
+    //    pairs above it detect more often, but a finite sample of
+    //    near-threshold pairs can dip below the mean).
+    // The constant-group anchor keeps the empty-corpus → zero-rows
+    // contract; a non-empty corpus with zero truth pairs passes recall
+    // vacuously and still gates precision.
+    "dedup_minhash_lsh_gate" -> ((s, d) => {
+      val truth = shingleTruthPairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = queries("dedup_minhash_lsh")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val (nb, nr) = bandGeometry(s, d)
+      val floor = 1.0 - math.pow(1.0 - math.pow(0.8, nr), nb)
+      val stats = truth
+        .join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      documents(s, d).groupBy(lit(0.8).as("t"))
+        .agg(count(lit(1)).as("nd"))
+        .crossJoin(stats)
+        .select(col("t"),
+          ((col("n_truth") === 0) ||
+            (col("n_hit").cast("double") /
+              greatest(col("n_truth"), lit(1L)).cast("double") >=
+              lit(floor) - lit(3.0) * sqrt(lit(floor * (1.0 - floor)) /
+                greatest(col("n_truth"), lit(1L)).cast("double"))))
+            .as("recall_ok"),
+          (col("n_lsh") === col("n_hit")).as("precision_ok"))
     }),
 
     // Exact token-trigram Jaccard, J >= 0.5, via prefix filtering: rank
@@ -1457,6 +1529,13 @@ object DedupOps {
        ORDER BY st.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // the gate's truth side is engine-computed (see the query's scaladoc
+    // — DuckDB can't do the all-pairs J at sf0.1), so the oracle states
+    // the two invariant flags, constant-group-anchored on the corpus
+    "dedup_minhash_lsh_gate" ->
+      """SELECT CAST(0.8 AS DOUBLE) AS t, true AS recall_ok,
+           true AS precision_ok
+         WHERE EXISTS (SELECT 1 FROM documents)""",
     "dedup_simhash" -> simhashOracle,
     "dedup_span_coverage" -> spanCoverageOracle,
     "dedup_span_excise" -> spanExciseOracle,

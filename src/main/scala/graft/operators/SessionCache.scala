@@ -57,8 +57,15 @@ private[graft] object SessionCache {
     * run: a process-global dir-keyed memo would keep gating a STALE
     * subset after an in-JVM corpus rewrite while the oracle gates the
     * fresh one, failing the twin spuriously. Callers namespace their
-    * keys (`"veccount#" + dir` style) — the map is shared.
+    * keys (`"veccount#" + dir` style) — the map is shared — and the
+    * expected value type is folded into the stored key, so a key
+    * collision between two callers expecting DIFFERENT types degrades
+    * to two independent entries (each built once, each well-typed)
+    * instead of surfacing as a ClassCastException far from the
+    * offending call site.
     */
-  def memo[T](s: SparkSession, key: String, build: => T): T =
-    of(s).getOrElseUpdate(key, build).asInstanceOf[T]
+  def memo[T](s: SparkSession, key: String, build: => T)(
+      implicit ct: scala.reflect.ClassTag[T]): T =
+    of(s).getOrElseUpdate(key + "⊢" + ct.runtimeClass.getName, build)
+      .asInstanceOf[T]
 }

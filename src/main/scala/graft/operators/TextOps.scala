@@ -185,9 +185,17 @@ object TextOps {
           .localCheckpoint(false)
         val floored = tokCounts.filter(col("cnt") >= minCount)
         // the top-K cut is a TakeOrdered of K rows (driver-bounded by
-        // construction — K is the model-size knob, not data-sized)
+        // construction — K is the model-size knob, not data-sized),
+        // materialized ONCE: vv, k1 and k2 all read this frame, and
+        // without the checkpoint each would re-execute the cut
+        // independently — correctness would then hang on the
+        // (cnt desc, w) tie-break staying a total order forever, where
+        // one shared K-row materialization makes the kept set a single
+        // fact by construction (the floored-only branch needs neither:
+        // a deterministic filter over the already-checkpointed counts)
         val kept = (if (topK > 0)
             floored.orderBy(col("cnt").desc, col("w")).limit(topK)
+              .localCheckpoint(false)
           else floored).select(col("w"))
         // V = |kept| + 1 iff any token pruned (the ⟨unk⟩ symbol joins
         // the vocabulary only when it can occur) — so a floor/cap that

@@ -19,8 +19,20 @@ object Tables {
     * `SparkEntry` registry — NOT here: a bare table read must not mutate
     * session-global state under an embedding user who chose another zone.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // a partial rehearsal corpus (ScaleUp events-only mode) carries a
+    // marker file; fail with the corpus's name for its own shape instead
+    // of a context-free path-not-found from the parquet reader
+    if (name != "events" &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "_GRAFT_EVENTS_ONLY")))
+      throw new IllegalArgumentException(
+        s"$dir is an events-only rehearsal corpus (ScaleUp events-only " +
+          s"mode — see its _GRAFT_EVENTS_ONLY marker); table '$name' was " +
+          "never scaled into it. Point document/embedding consumers at a " +
+          "full ScaleUp output instead.")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

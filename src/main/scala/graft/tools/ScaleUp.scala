@@ -135,8 +135,18 @@ object ScaleUp {
           (col("user_id") + col("k") * lit(1000000000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       write(ev, s"$dst/events.parquet")
+      // mark the partial corpus: Tables.table refuses non-events reads
+      // against a marked dir with a NAMED error, instead of letting a
+      // documents/embeddings consumer fail later on a context-free
+      // missing-parquet path
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dst, "_GRAFT_EVENTS_ONLY"),
+        (s"events-only ScaleUp output (factor $factor from $src); " +
+          "document/embedding tables were deliberately not scaled — " +
+          "their bijection families cap at factor 312 / 2*dim\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[scaleup] events-only: wrote $dst/events.parquet at " +
-        s"factor $factor")
+        s"factor $factor (marker _GRAFT_EVENTS_ONLY written)")
       spark.stop()
       return
     }
@@ -167,6 +177,12 @@ object ScaleUp {
         s"vector repeat after 2·dim), got $factor")
 
     val ks = expr(s"explode(sequence(0, ${factor - 1}))")
+
+    // a full-mode run over a dst that previously held an events-only
+    // corpus must clear the partial-corpus marker — all tables are
+    // about to be written
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dst, "_GRAFT_EVENTS_ONLY"))
 
     // events: ts is copied through unchanged in whatever encoding the
     // source carries (legacy nanos-long under the flag, or the current
