@@ -28,6 +28,14 @@ import graft.streaming.CdcStream
   *
   * Usage: `runMain graft.tools.StreamRehearsal [sfDir] [outJson]
   * [maxFilesPerTrigger]` — writes one JSON object and prints it.
+  *
+  * `SPARK_GRAFT_KILL=mid` (or an explicit batch count) turns the run
+  * into a CRASH-RECOVERY rehearsal: every leg is stopped mid-decade
+  * after that many completed triggers, restarted from its checkpoint,
+  * and held to the SAME conservation/equality requires — exactly-once
+  * under failure, not just under a clean run. The final interval-join
+  * state is also read back per partition through the state data source
+  * to bound key skew.
   */
 object StreamRehearsal {
   final case class EvK(user_id: Long, event_id: Long, tsu: Long)
@@ -130,46 +138,121 @@ object StreamRehearsal {
       else lp.batchId + 1 - (if (lp.numInputRows == 0) 1 else 0)
     }
 
+    // SPARK_GRAFT_KILL: crash-recovery mode — stop each leg after this
+    // many completed data batches ("mid" = half the planned triggers),
+    // then restart the SAME query from the SAME checkpoint and let it
+    // run to completion. Every conservation/equality require below then
+    // asserts EXACTLY-ONCE UNDER FAILURE: the file sink must not
+    // double-commit the interrupted batch (the _spark_metadata log is
+    // what a reader trusts), the stateful legs must restore state to
+    // the last committed version and replay the in-flight batch without
+    // double-applying side effects. stop() interrupts the stream
+    // execution thread mid-batch — the batch's offsets are already in
+    // the WAL but its commit is not, which is precisely the recovery
+    // path a process kill exercises (the JVM itself survives; what is
+    // being tested is the checkpoint contract, which is all a new JVM
+    // would have too).
+    val killAt: Option[Long] = sys.env.get("SPARK_GRAFT_KILL").map {
+      case "mid" => math.max(1L, minFiles.toLong / maxFiles / 2)
+      case n     => n.toLong
+    }
+
+    /** Run a leg to completion, optionally killing + resuming it. Returns
+      * (all queries started in order, killed-at batch or -1, wall secs).
+      * In kill mode a leg that completes before the kill threshold fails
+      * loudly — silent no-kill would fake the recovery evidence.
+      */
+    def runLeg(name: String)(
+        start: () => org.apache.spark.sql.streaming.StreamingQuery)
+        : (Seq[org.apache.spark.sql.streaming.StreamingQuery], Long, Double) = {
+      val t0 = System.nanoTime()
+      killAt match {
+        case None =>
+          val q = start(); q.awaitTermination()
+          (Seq(q), -1L, (System.nanoTime() - t0) / 1e9)
+        case Some(k) =>
+          val q = start()
+          var killed = -1L
+          while (q.isActive && killed < 0) {
+            Thread.sleep(50)
+            if (q.isActive && dataBatches(q) >= k) {
+              killed = dataBatches(q)
+              println(s"[stream] $name: KILLING after batch $killed")
+              q.stop()
+            }
+          }
+          require(killed >= 0,
+            s"$name completed before the kill threshold $k — recovery " +
+              "was never exercised; lower SPARK_GRAFT_KILL")
+          while (q.isActive) Thread.sleep(10)
+          val q2 = start()
+          q2.awaitTermination()
+          (Seq(q, q2), killed, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+
     // ---- surface 1: checkpointed time-partitioned sink -----------------
     val sinkDir = tmp("graft-rehearsal-sink-")
-    val t0 = System.nanoTime()
-    val q1 = CdcStream.startPartitionedSink(
-      graft.operators.Cdc.withTimePartitions(fileStream(), col("ts")),
-      s"$sinkDir/data", s"$sinkDir/ckpt",
-      trigger = Trigger.AvailableNow())
-    q1.awaitTermination()
-    val wall1 = (System.nanoTime() - t0) / 1e9
-    val batches1 = dataBatches(q1)
-    val nSink = spark.read.parquet(s"$sinkDir/data").count()
+    val (qs1, kill1, wall1) = runLeg("partitioned_sink")(() =>
+      CdcStream.startPartitionedSink(
+        graft.operators.Cdc.withTimePartitions(fileStream(), col("ts")),
+        s"$sinkDir/data", s"$sinkDir/ckpt",
+        trigger = Trigger.AvailableNow()))
+    val batches1 = dataBatches(qs1.last)
+    // the reader trusts the sink's _spark_metadata commit log, so files
+    // from the killed batch (written but never committed) are invisible
+    // — count AND distinct-count prove no loss and no double-commit
+    val sinkRead = spark.read.parquet(s"$sinkDir/data")
+    val nSink = sinkRead.count()
     require(nSink == nSource,
       s"partitioned sink lost rows: wrote $nSink of $nSource")
+    if (kill1 >= 0) {
+      val nDistinct = sinkRead.select(col("event_id")).distinct().count()
+      require(nDistinct == nSource,
+        s"partitioned sink duplicated rows after recovery: " +
+          s"$nDistinct distinct of $nSink")
+    }
     println(f"[stream] partitioned_sink: $nSource rows in $wall1%.1f s " +
-      f"(${nSource / wall1}%.0f rows/s, $batches1 batches) — conserved")
+      f"(${nSource / wall1}%.0f rows/s, $batches1 batches" +
+      (if (kill1 >= 0) s", killed after $kill1 + resumed" else "") +
+      ") — conserved")
 
     // ---- surface 2: latestState upsert ---------------------------------
     // emissions are counted (and keys collected) per micro-batch in
     // foreachBatch — never materialized as a table; ord = event-time
     // micros (the WAL-LSN stand-in; ties keep the incumbent, which is
-    // latestState's documented idempotence contract)
-    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    // latestState's documented idempotence contract). Emission counts
+    // are keyed by batchId, NOT a running sum: foreachBatch is
+    // at-least-once under recovery (the killed batch's side effects may
+    // have partially run before the stop, then the whole batch replays)
+    // — a put keyed on the replayed batchId overwrites instead of
+    // double-counting, and the key SET is idempotent by construction.
+    val emittedPerBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val seenKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    val ds = fileStream()
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsu")).as[EvK]
-    val state = CdcStream.latestState[Long, EvK](ds, _.user_id, _.tsu)
-    val t1 = System.nanoTime()
-    val q2 = state.toDF("user_id", "ev").writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val keys = b.select(col("user_id")).as[Long](Encoders).collect()
-        emitted.addAndGet(keys.length.toLong)
-        keys.foreach(k => seenKeys.add(k))
-        ()
-      }
-      .option("checkpointLocation", tmp("graft-rehearsal-upsert-ckpt-"))
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    val wall2 = (System.nanoTime() - t1) / 1e9
+    val upsertCkpt = tmp("graft-rehearsal-upsert-ckpt-")
+    val (qs2, kill2, wall2) = runLeg("latest_state")(() => {
+      val ds = fileStream()
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu")).as[EvK]
+      CdcStream.latestState[Long, EvK](ds, _.user_id, _.tsu)
+        .toDF("user_id", "ev").writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val keys = b.select(col("user_id")).as[Long](Encoders).collect()
+          emittedPerBatch.put(bid, keys.length.toLong)
+          keys.foreach(k => seenKeys.add(k))
+          ()
+        }
+        .option("checkpointLocation", upsertCkpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+    })
+    val emitted = new java.util.concurrent.atomic.AtomicLong({
+      var s2 = 0L
+      emittedPerBatch.values().forEach(v => s2 += v)
+      s2
+    })
+    val q2 = qs2.last
     val progress = q2.recentProgress.toSeq
     val stateRows = progress.flatMap(_.stateOperators.toSeq)
       .lastOption.map(_.numRowsTotal).getOrElse(-1L)
@@ -182,7 +265,9 @@ object StreamRehearsal {
       s"latestState emitted ${seenKeys.size()} keys of $nKeys")
     println(f"[stream] latest_state: $nSource rows in $wall2%.1f s " +
       f"(${nSource / wall2}%.0f rows/s, $batches2 batches, " +
-      f"state=$stateRows rows/${stateBytes / 1024 / 1024} MiB) — conserved")
+      f"state=$stateRows rows/${stateBytes / 1024 / 1024} MiB" +
+      (if (kill2 >= 0) s", killed after $kill2 + resumed" else "") +
+      ") — conserved")
 
     // ---- surface 3: watermarked tumbling-window stats ------------------
     // Update mode + last-write-per-window merge in foreachBatch: every
@@ -194,27 +279,33 @@ object StreamRehearsal {
     // late against the 10-minute watermark and the merge is EXACT on the
     // counts; the double-typed sums are compared within 1e-9 relative
     // (stream and batch combine partials in different orders).
+    // last-write merge keyed on the window — idempotent under batch
+    // replay too: the restored state + replayed slice recompute the
+    // same per-window cumulative values, so a recovery put overwrites
+    // with identical data
     val winGot = new java.util.concurrent.ConcurrentHashMap[
       (java.sql.Timestamp, String), (Long, Double)]()
-    val t2 = System.nanoTime()
-    val q3 = CdcStream.windowedStats(fileStream(), "ts", "event_type", "value")
-      .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // bounded collect: rows here are only the windows UPDATED this
-        // trigger ≈ (trigger's time slice / 1 h + 1) × |event_type|
-        b.collect().foreach { r =>
-          winGot.put((r.getTimestamp(0), r.getString(1)),
-            (r.getLong(2), r.getDouble(3)))
+    val winCkpt = tmp("graft-rehearsal-win-ckpt-")
+    val (qs3, kill3, wall3) = runLeg("windowed_stats")(() =>
+      CdcStream.windowedStats(fileStream(), "ts", "event_type", "value")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // bounded collect: rows here are only the windows UPDATED this
+          // trigger ≈ (trigger's time slice / 1 h + 1) × |event_type|
+          b.collect().foreach { r =>
+            winGot.put((r.getTimestamp(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+          ()
         }
-        ()
-      }
-      .option("checkpointLocation", tmp("graft-rehearsal-win-ckpt-"))
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow()).start()
-    q3.awaitTermination()
-    val wall3 = (System.nanoTime() - t2) / 1e9
+        .option("checkpointLocation", winCkpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start())
+    val q3 = qs3.last
     val batches3 = dataBatches(q3)
-    val winStateRows = q3.recentProgress.toSeq
+    // peak state across BOTH query incarnations — the pre-kill peak is
+    // part of the evidence that watermark eviction bounds state
+    val winStateRows = qs3.flatMap(_.recentProgress.toSeq)
       .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
       .maxOption.getOrElse(-1L)
     val wantWin = batch
@@ -238,8 +329,9 @@ object StreamRehearsal {
       s"windowed_stats counted $winRowSum of $nSource rows")
     println(f"[stream] windowed_stats: $nSource rows in $wall3%.1f s " +
       f"(${nSource / wall3}%.0f rows/s, $batches3 batches, " +
-      f"${wantWin.size} windows, peak state=$winStateRows rows) — " +
-      "equal to batch")
+      f"${wantWin.size} windows, peak state=$winStateRows rows" +
+      (if (kill3 >= 0) s", killed after $kill3 + resumed" else "") +
+      ") — equal to batch")
 
     // ---- surface 4: stream-stream interval join ------------------------
     // errors ⋈ clicks within [ts, ts+5 min] per user — both sides are
@@ -252,31 +344,41 @@ object StreamRehearsal {
       count(lit(1)).as("n"),
       coalesce(bit_xor(xxhash64(col("user_id"), col("error_id"),
         col("click_id"))), lit(0L)).as("h"))
+    // per-batchId results, NOT running accumulators: an XOR checksum
+    // double-applied by a replayed batch would CANCEL itself and fake a
+    // mismatch (or worse, mask one) — keying on batchId makes replay an
+    // overwrite
+    val joinPerBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val ssjoinCkpt = tmp("graft-rehearsal-ssjoin-ckpt-")
+    val (qs4, kill4, wall4) = runLeg("interval_join")(() => {
+      val errsS = fileStream().filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
+      val clicksS = fileStream().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      CdcStream
+        .intervalJoin(errsS, clicksS, "user_id", "ts", "c_ts", "5 minutes")
+        .select(col("l.user_id"), col("error_id"), col("click_id"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val r = joinHash(b).collect()(0)
+          joinPerBatch.put(bid, (r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", ssjoinCkpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+    })
+    val q4 = qs4.last
     val jn = new java.util.concurrent.atomic.AtomicLong(0)
     val jh = new java.util.concurrent.atomic.AtomicLong(0)
-    val t3 = System.nanoTime()
-    val errsS = fileStream().filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
-    val clicksS = fileStream().filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-    val q4 = CdcStream
-      .intervalJoin(errsS, clicksS, "user_id", "ts", "c_ts", "5 minutes")
-      .select(col("l.user_id"), col("error_id"), col("click_id"))
-      .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val r = joinHash(b).collect()(0)
-        jn.addAndGet(r.getLong(0))
-        jh.getAndAccumulate(r.getLong(1), (a, b) => a ^ b)
-        ()
-      }
-      .option("checkpointLocation", tmp("graft-rehearsal-ssjoin-ckpt-"))
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q4.awaitTermination()
-    val wall4 = (System.nanoTime() - t3) / 1e9
+    joinPerBatch.values().forEach { case (n, h) =>
+      jn.addAndGet(n); jh.getAndAccumulate(h, (a, b) => a ^ b); ()
+    }
     val batches4 = dataBatches(q4)
-    val joinProgress = q4.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+    val joinProgress = qs4.flatMap(_.recentProgress.toSeq)
+      .flatMap(_.stateOperators.toSeq)
     val joinStateRows = joinProgress.map(_.numRowsTotal).maxOption.getOrElse(-1L)
     val joinStateBytes = joinProgress.map(_.memoryUsedBytes).maxOption.getOrElse(-1L)
     val be = batch.filter(col("event_type") === "error")
@@ -295,8 +397,49 @@ object StreamRehearsal {
     println(f"[stream] interval_join: ${jn.get()} matches from $nSource×2 " +
       f"events in $wall4%.1f s (${2 * nSource / wall4}%.0f rows/s, " +
       f"$batches4 batches, peak state=$joinStateRows rows/" +
-      f"${joinStateBytes / 1024 / 1024} MiB) — equal to batch")
+      f"${joinStateBytes / 1024 / 1024} MiB" +
+      (if (kill4 >= 0) s", killed after $kill4 + resumed" else "") +
+      ") — equal to batch")
 
+    // Join-state SKEW: the progress telemetry reports only totals, but
+    // the 100 TB question is whether one hot user's buffered rows pin a
+    // single state partition. Read the checkpointed state back through
+    // the state data source (SPARK-45511 — the same files a restarted
+    // query would load) and aggregate rows per shuffle partition for
+    // each buffer (left=errors, right=clicks) — at the PEAK-state
+    // batch, not the final one: by end of an AvailableNow run the
+    // watermark has evicted nearly everything, and an empty buffer
+    // cannot show a hotspot. (Versions are retained well past the peak:
+    // minBatchesToRetain defaults to 100, and these runs are ≤ ~100
+    // triggers.)
+    val peakBatch = qs4.flatMap(_.recentProgress.toSeq)
+      .filter(_.stateOperators.nonEmpty)
+      .maxByOption(_.stateOperators.map(_.numRowsTotal).sum)
+      .map(_.batchId)
+    val joinSkew = (for (side <- Seq("left", "right")) yield {
+      val rd = spark.read.format("statestore").option("joinSide", side)
+      val per = peakBatch.fold(rd)(b => rd.option("batchId", b))
+        .load(ssjoinCkpt)
+        .groupBy(col("partition_id")).agg(count(lit(1)).as("n"))
+        .select(col("n")).collect().map(_.getLong(0))
+      val (mx, sm) = (per.maxOption.getOrElse(0L), per.sum)
+      val mean = if (per.isEmpty) 0.0 else sm.toDouble / per.length
+      println(f"[stream] interval_join $side%s buffer @peak batch " +
+        f"${peakBatch.getOrElse(-1L)}: $sm rows over " +
+        f"${per.length} partitions, max=$mx mean=$mean%.0f " +
+        f"(max/mean ${if (mean == 0) 0.0 else mx / mean}%.2f)")
+      s""""$side":{"peak_batch":${peakBatch.getOrElse(-1L)},
+         |"rows":$sm,"partitions":${per.length},
+         |"max_partition_rows":$mx,"mean_partition_rows":$mean}"""
+        .stripMargin.replace("\n", "")
+    }).mkString(",")
+
+    val killJson = killAt
+      .map(k => s""","kill_mode":{"threshold_batches":$k,
+           |"killed_at":{"partitioned_sink":$kill1,"latest_state":$kill2,
+           |"windowed_stats":$kill3,"interval_join":$kill4},
+           |"recovered":true}""".stripMargin.replace("\n", ""))
+      .getOrElse("")
     val json =
       s"""{"sf":"$sfDir","state_store":"$stateStore",
          |"source_rows":$nSource,"distinct_users":$nKeys,
@@ -317,7 +460,9 @@ object StreamRehearsal {
          |"rows_per_sec":${2 * nSource / wall4},"batches":$batches4,
          |"join_rows":${jn.get()},"peak_state_rows":$joinStateRows,
          |"peak_state_bytes":$joinStateBytes,
-         |"equal_to_batch":true}}""".stripMargin.replace("\n", "")
+         |"state_skew":{$joinSkew},
+         |"equal_to_batch":true}$killJson}"""
+        .stripMargin.replace("\n", "")
     val out = java.nio.file.Paths.get(outFile)
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
