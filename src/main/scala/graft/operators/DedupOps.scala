@@ -257,6 +257,20 @@ object DedupOps {
     */
   val SemDedupProbes = 3
 
+  /** Deployed soft-probe width — `spark.graft.dedup.semanticProbes`
+    * (default [[SemDedupProbes]]), the dedup twin of
+    * `spark.graft.ann.nprobe`: join rows scale LINEARLY with it while
+    * cross-cell recall climbs, so it is the recall/cost knob for
+    * `dedup_semantic` and routed `dedup_embedding_cosine` blocks.
+    * Measure before retuning: [[graft.tools.RoutedCosineCheck]] sweeps
+    * it and reports recall on the near-threshold (hardest) pairs —
+    * boundary-straddling pairs are exactly the ones extra probes
+    * recover.
+    */
+  private[graft] def semDedupProbesOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.semanticProbes")
+      .map(_.toInt).getOrElse(SemDedupProbes)
+
   /** Fail-fast guard for blocked all-pairs operators: a block whose row
     * count exceeds `maxBlockRows` would generate n²/2 pairs inside one
     * join — at scale that is a silent stage meltdown, so surface it as an
@@ -1163,7 +1177,7 @@ object DedupOps {
     val idx = Ann.ivfIndex(s, d)
     // a deployment may size cells below the probe width on a small
     // corpus — probe what exists, never throw
-    val probes = math.min(SemDedupProbes, idx.cents.length)
+    val probes = math.min(semDedupProbesOf(s), idx.cents.length)
     val p = requireBoundedBlocks(
       s.read.parquet(idx.dir)
         .select(col("vec_id"), col("cell"), col("vec")),
@@ -1184,7 +1198,18 @@ object DedupOps {
     * cosine ≥ 0.30, canonical vec_a < vec_b); what it gives up is only
     * recall WITHIN a routed block — pairs outside any shared probed
     * cell — exactly dedup_semantic's documented approximation, measured
-    * in DedupAnnSpec. The hot-label list is a BOUNDED driver collect:
+    * in DedupAnnSpec. Routed recall is CORPUS-SHAPE-dependent, measured
+    * on both shapes (r9, bench/routed_boundary_r9.json): clustered
+    * corpora whose near-dups share probed cells give 1.000; the
+    * adversarial boundary fixture (pairs at cosine ≈ 0.34 straddling
+    * two cells with three decoy cells outranking the partner cell in
+    * the probe order) gives 0.934 overall but 0.338 on the
+    * near-threshold slice at the default 3 probes — 0.64/0.89 at
+    * probes 5/7. `spark.graft.dedup.semanticProbes`
+    * ([[semDedupProbesOf]]) is the recovery knob; join rows grow
+    * linearly with it, so widen to the measured knee of YOUR corpus's
+    * RoutedCosineCheck curve, not defensively. The hot-label list is a
+    * BOUNDED driver collect:
     * every hot label holds > cap rows, so there are < n/cap of them
     * (50k at a billion vectors under the default cap); it is also the
     * routed-blocks REPORT, logged with per-block row counts so an
@@ -1236,7 +1261,7 @@ object DedupOps {
           org.apache.spark.sql.types.StructType(Seq(v.schema("label"))))
         val small = v.join(broadcast(hotDf), Seq("label"), "left_anti")
         val idx = Ann.ivfIndex(s, d)
-        val probes = math.min(SemDedupProbes, idx.cents.length)
+        val probes = math.min(semDedupProbesOf(s), idx.cents.length)
         // geometry guard, not the routing knob: cell occupancy is the
         // index's self-derived contract (~TargetCellRows); a violation
         // means the cells conf is mis-sized, which routing cannot fix
