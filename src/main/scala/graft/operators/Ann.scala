@@ -146,6 +146,20 @@ object Ann {
     */
   val SampleTarget = 4096L
 
+  /** Training points per derived centroid once the geometry outgrows
+    * [[SampleTarget]] — the FAISS-documented working range is ~39–256
+    * per centroid; 32 keeps the budget modest while never again
+    * training more cells than points.
+    */
+  val TrainPerCell = 32L
+
+  /** Largest training sample the driver will collect for the local
+    * k-means path (≈ 32 MB of doubles at dim 64). Beyond it, training
+    * runs as the distributed Lloyd [[kmeans]] over the sampled FRAME —
+    * the driver materializes only the k·dim centroid state.
+    */
+  val DriverTrainCap = 65536L
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Squared L2 distance between an array column and a literal centroid —
@@ -322,15 +336,32 @@ object Ann {
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
         .withColumn("uvec", when(col("nrm") === 0, col("vec"))
           .otherwise(transform(col("vec"), x => x / col("nrm"))))
-      // the hash sample is COUNT-bounded: modulus from the row count →
-      // ~SampleTarget vectors reach the driver no matter the corpus size
-      val sampleMod = math.max(1L, base.count() / SampleTarget)
-      val sample = normed
+      // the hash sample is COUNT-bounded — but the count must scale
+      // with the GEOMETRY, not stay fixed: cells derive as n/200, so a
+      // fixed SampleTarget eventually trains more centroids than it has
+      // points (measured at the 2M-vector rehearsal decade: 10 000
+      // derived cells vs a 4 096-point sample — k-means degenerates to
+      // one-point cells). Budget ≈ TrainPerCell points per centroid
+      // (the FAISS working range), floored at SampleTarget; up to
+      // DriverTrainCap the sample is collected and trained locally
+      // (tight JVM loops, zero scheduling overhead), beyond it training
+      // moves to the DISTRIBUTED Lloyd twin over the sampled frame —
+      // the driver then never materializes more than the k·dim centroid
+      // state, which is the bounded-collect contract this file keeps.
+      val k = cellCount(s, d)
+      val trainTarget =
+        math.max(SampleTarget, TrainPerCell * k.toLong)
+      val sampleMod = math.max(1L, base.count() / trainTarget)
+      val sampleFrame = normed
         .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
         .select(col("vec_id").as("id"), col("uvec").as("vec"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val cents = kmeansLocal(sample, cellCount(s, d), Iters)
+      val cents =
+        if (trainTarget <= DriverTrainCap)
+          kmeansLocal(
+            sampleFrame.collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+            k, Iters)
+        else kmeans(sampleFrame, k, Iters)
       // index location: a SHARED path on a real cluster (set
       // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
       // works on local[*] masters, where executors share the filesystem;
