@@ -43,6 +43,21 @@ object LayoutProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ACTUAL bytes read per query (task input metrics — reflects parquet
+    // row-group skipping, which the static candidate-file arithmetic
+    // above the fold cannot see). The listener bus is async; reads are
+    // taken after a settle sleep.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+          ()
+        }
+      })
+
     // events with ts as comparable micros (layout keys must be numeric)
     val ev = graft.sources.Tables.events(spark, sfDir)
       .withColumn("tsu", unix_micros(col("ts"))).drop("ts")
@@ -123,7 +138,44 @@ object LayoutProbe {
           f"wall=$wall%.3f s")
         (pName, nCand, bCand, rows, wall)
       }
-      (name, wWall, spans.length, totalBytes, probeStats)
+      // SERVING probe — the registry's cdc_user_trailing_1h shape
+      // (trailing event-time RANGE frame per user) over the
+      // two-predicate slice: the dashboard query a layout exists to
+      // serve, measured as wall + ACTUAL bytes read, side by side per
+      // layout. The window runs over the scanned slice (self-consistent
+      // across layouts — the checksum assert below holds them to
+      // identical answers).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(-3600000000L, 0L)
+      val servStats = Seq(
+        ("serving_both", col("user_id").between(u1, u2) &&
+          col("tsu").between(t1, t2)),
+        ("serving_ts_only", col("tsu").between(t1, t2))).map {
+        case (sName, slice) =>
+          var servChk: (Long, Long) = (0L, 0L)
+          var servBytes = 0L
+          val servWall = (1 to reps).map { _ =>
+            bytesRead.set(0)
+            val t0 = System.nanoTime()
+            val r = df.filter(slice)
+              .withColumn("n_1h", count(lit(1)).over(w))
+              .agg(count(lit(1)).as("n"),
+                coalesce(bit_xor(xxhash64(col("user_id"), col("event_id"),
+                  col("n_1h"))), lit(0L)).as("h"))
+              .collect()(0)
+            val dt = (System.nanoTime() - t0) / 1e9
+            servChk = (r.getLong(0), r.getLong(1))
+            Thread.sleep(600) // listener-bus settle before the bytes read
+            servBytes = bytesRead.get()
+            dt
+          }.min
+          println(f"[layout] $name%-14s $sName%-15s bytes=" +
+            f"${servBytes * 100.0 / totalBytes}%.1f%% rows=${servChk._1} " +
+            f"wall=$servWall%.3f s")
+          (sName, servWall, servBytes, servChk)
+      }
+      (name, wWall, spans.length, totalBytes, probeStats, servStats)
     }
 
     // layout must never change answers
@@ -132,15 +184,25 @@ object LayoutProbe {
       require(counts.size == 1,
         s"probe ${probes(i)._1} row counts differ across layouts: $counts")
     }
+    Seq(0, 1).foreach { i =>
+      val chks = results.map(_._6(i)._4).distinct
+      require(chks.size == 1,
+        s"serving checksums differ across layouts (variant $i): $chks")
+    }
 
     val json = {
-      val ls = results.map { case (name, wWall, nFiles, totalBytes, ps) =>
+      val ls = results.map {
+        case (name, wWall, nFiles, totalBytes, ps, servs) =>
         val pj = ps.map { case (p, nc, bc, rows, wall) =>
           s""""$p":{"cand_files":$nc,"cand_bytes":$bc,"rows":$rows,""" +
             f""""wall_sec":$wall%.3f}"""
         }.mkString(",")
+        val sj = servs.map { case (sName, sw, sb, sc) =>
+          f""""$sName":{"wall_sec":$sw%.3f,""" +
+            s""""bytes_read":$sb,"rows":${sc._1}}"""
+        }.mkString(",")
         s""""$name":{"write_wall_sec":${f"$wWall%.1f"},"files":$nFiles,""" +
-          s""""total_bytes":$totalBytes,$pj}"""
+          s""""total_bytes":$totalBytes,$pj,$sj}"""
       }.mkString(",")
       s"""{"metric":"layout_probe","sf_dir":"$sfDir","num_files":$numFiles,""" +
         s""""probe":{"user_id":[$u1,$u2],"tsu":[$t1,$t2]},$ls}"""
