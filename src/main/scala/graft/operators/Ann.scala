@@ -386,8 +386,18 @@ object Ann {
           }))
           t
       }
+      // cluster by cell BEFORE the partitioned write: without it every
+      // writer task emits a file into every cell dir — writers × cells
+      // files (measured at the 2M-vector decade: 32 × 10 000 ≈ 290 000
+      // ~4 KB files, 3.9 GB at rest where the data is ~500 MB, and every
+      // probe pays an open() per file). One shuffle at build time buys
+      // one ~occupancy-sized file per cell — the at-rest shape every
+      // probe scan wants. (hash-)repartition on the cell key: with
+      // cells ≫ shuffle partitions each task still writes only its own
+      // cells' rows.
       normed.withColumn("cell", cellOf(col("uvec"), cents))
         .select(col("vec_id"), col("label"), col("vec"), col("cell"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       IvfIndex(dir, cents)
     })

@@ -33,6 +33,7 @@ class EmptyInputSpec extends SparkSpec {
       "text_pii_scrub",
       "text_repetition", "text_entropy", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+      "dedup_minhash_lsh", "dedup_minhash_lsh_gate",
       "dedup_clusters_star",
       "dedup_contamination", "dedup_contamination_bloom",
       "dedup_incremental",
