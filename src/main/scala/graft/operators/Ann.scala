@@ -160,6 +160,24 @@ object Ann {
     */
   val DriverTrainCap = 65536L
 
+  /** Soft-assignment width stored IN the index (`soft_cells`: the
+    * [[SoftIndexWidth]] nearest cell ids, ascending (distance, cell) —
+    * element 1 IS the primary `cell`). The build is already paying one
+    * full k·dim nearest-centroid pass per vector to assign the primary
+    * cell; widening that same kernel to top-m costs only the per-row
+    * heap, while QUERY-time soft assignment costs the whole pass again —
+    * at the 2M-vector/10 000-cell rehearsal decade that is ~1.3 Tflop
+    * per semantic-dedup execution, re-paid per query. Consumers slice
+    * the first `probes` entries ([[graft.operators.DedupOps]]
+    * semanticSides/cosinePairsRouted) and fall back to a live
+    * [[softCellsOf]] recompute only when a session asks for more probes
+    * than the index stores (`spark.graft.dedup.semanticProbes` > 8).
+    * 8 covers the default 3 with the measured adversarial-boundary
+    * recovery range (probes 5–7, bench/routed_boundary_r9.json) above
+    * it; the storage cost is ≤ 8 ints/row.
+    */
+  val SoftIndexWidth = 8
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Squared L2 distance between an array column and a literal centroid —
@@ -395,8 +413,16 @@ object Ann {
       // probe scan wants. (hash-)repartition on the cell key: with
       // cells ≫ shuffle partitions each task still writes only its own
       // cells' rows.
-      normed.withColumn("cell", cellOf(col("uvec"), cents))
-        .select(col("vec_id"), col("label"), col("vec"), col("cell"))
+      // one top-[[SoftIndexWidth]] pass assigns BOTH the primary cell
+      // (element 1 — same argmin, same (distance, cell) tie-break as
+      // cellOf) and the stored soft assignment every semantic consumer
+      // would otherwise recompute per query
+      normed.withColumn("soft_cells",
+          softCellsOf(col("uvec"), cents,
+            math.min(SoftIndexWidth, cents.length)))
+        .withColumn("cell", col("soft_cells").getItem(0))
+        .select(col("vec_id"), col("label"), col("vec"),
+          col("soft_cells"), col("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       IvfIndex(dir, cents)

@@ -1156,21 +1156,31 @@ object DedupOps {
     * probes× by construction (element 1 of the soft cells IS the
     * primary).
     */
-  /** Soft cell assignment of an index frame: re-derives the unit vector
-    * row-locally (same zero-norm guard as the index build — the guard's
-    * one OTHER home is `Ann.ivfIndex`; both soft-assign call sites
-    * share THIS kernel) and explodes each row onto its `probes` nearest
-    * cells, carrying `carry` columns through alongside
-    * (vec_id, cell, vec).
+  /** Soft cell assignment of an index frame, SERVED FROM THE INDEX: the
+    * build already ran the full k·dim nearest-centroid pass per vector
+    * and stored its top-[[Ann.SoftIndexWidth]] cells (`soft_cells`), so
+    * the query side is a row-local slice+explode — no per-query
+    * assignment recompute (at the 2M-vector/10 000-cell decade the live
+    * kernel is ~1.3 Tflop per execution). The live recompute path —
+    * re-derive the unit vector with the build's zero-norm guard, run
+    * [[Ann.softCellsOf]] — remains the fallback for a session probing
+    * WIDER than the stored width, and is what the equivalence spec pins
+    * the stored path against.
     */
-  private def softAssign(in: DataFrame, cents: Seq[Seq[Double]],
+  private[graft] def softAssign(in: DataFrame, cents: Seq[Seq[Double]],
       probes: Int, carry: Seq[String] = Nil): DataFrame =
-    in.withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-      .withColumn("uvec", when(col("nrm") === 0, col("vec"))
-        .otherwise(transform(col("vec"), x => x / col("nrm"))))
-      .select(col("vec_id") +: carry.map(col) :+
-        explode(Ann.softCellsOf(col("uvec"), cents, probes)).as("cell") :+
+    if (probes <= math.min(Ann.SoftIndexWidth, cents.length) &&
+        in.columns.contains("soft_cells"))
+      in.select(col("vec_id") +: carry.map(col) :+
+        explode(slice(col("soft_cells"), 1, probes)).as("cell") :+
         col("vec"): _*)
+    else
+      in.withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+        .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+          .otherwise(transform(col("vec"), x => x / col("nrm"))))
+        .select(col("vec_id") +: carry.map(col) :+
+          explode(Ann.softCellsOf(col("uvec"), cents, probes)).as("cell") :+
+          col("vec"): _*)
 
   private def semanticSides(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
@@ -1178,11 +1188,12 @@ object DedupOps {
     // a deployment may size cells below the probe width on a small
     // corpus — probe what exists, never throw
     val probes = math.min(semDedupProbesOf(s), idx.cents.length)
-    val p = requireBoundedBlocks(
+    val withSoft = requireBoundedBlocks(
       s.read.parquet(idx.dir)
-        .select(col("vec_id"), col("cell"), col("vec")),
+        .select(col("vec_id"), col("cell"), col("vec"), col("soft_cells")),
       "cell", MaxCosineBlockRows)
-    val soft = softAssign(p, idx.cents, probes)
+    val p = withSoft.select(col("vec_id"), col("cell"), col("vec"))
+    val soft = softAssign(withSoft, idx.cents, probes)
     (p, requireBoundedBlocks(soft, "cell", probes * MaxCosineBlockRows))
   }
 
@@ -1265,12 +1276,16 @@ object DedupOps {
         // geometry guard, not the routing knob: cell occupancy is the
         // index's self-derived contract (~TargetCellRows); a violation
         // means the cells conf is mis-sized, which routing cannot fix
-        val hotV = requireBoundedBlocks(
+        val hotVSoft = requireBoundedBlocks(
           s.read.parquet(idx.dir)
             .join(broadcast(hotDf), Seq("label"))
-            .select(col("vec_id"), col("label"), col("cell"), col("vec")),
+            .select(col("vec_id"), col("label"), col("cell"), col("vec"),
+              col("soft_cells")),
           "cell", MaxCosineBlockRows)
-        val soft = softAssign(hotV, idx.cents, probes, carry = Seq("label"))
+        val hotV = hotVSoft
+          .select(col("vec_id"), col("label"), col("cell"), col("vec"))
+        val soft = softAssign(hotVSoft, idx.cents, probes,
+          carry = Seq("label"))
         val a = hotV.toDF("vec_a", "label", "cell", "ev_a")
         val b = soft.select(col("vec_id"), col("label"), col("cell"),
           col("vec")).toDF("vec_b", "label", "cell", "ev_b")

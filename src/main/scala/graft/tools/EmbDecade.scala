@@ -63,6 +63,25 @@ object EmbDecade {
       val sem = best("dedup_semantic", graft.operators.DedupOps
         .queries("dedup_semantic")(spark, d)
         .write.format("noop").mode("overwrite").save())
+      // serving at the CLUSTERED-corpus knee (r8 calibration: recall
+      // 1.000 from a ~2% probe fraction on this shape, vs the 0.6
+      // default that covers the rotated worst case) — the deployment
+      // story RecallCheck licenses, here with wall AND an inline
+      // recall@20 against the exact brute-force twin so the down-tuned
+      // number carries its own evidence at every decade
+      val knee = math.max(1, math.ceil(cells * 0.02).toInt)
+      spark.conf.set("spark.graft.ann.nprobe", knee.toString)
+      val kneeWall = best(s"ann_ivf_topk@$knee",
+        graft.operators.Ann.queries("ann_ivf_topk")(spark, d).collect())
+      val kneeIds = graft.operators.Ann.queries("ann_ivf_topk")(spark, d)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      spark.conf.unset("spark.graft.ann.nprobe")
+      val exactIds = graft.operators.SimilarityOps
+        .queries("sim_cosine_topk")(spark, d)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val kneeRecall = (kneeIds intersect exactIds).size.toDouble /
+        math.max(1, exactIds.size)
+      println(f"[embdecade] $d knee nprobe=$knee recall@20=$kneeRecall%.3f")
       // routed path: same cap at every scale so every label block
       // routes and the ratio tracks the kernel
       spark.conf.set("spark.graft.dedup.maxCosineBlockRows", "1000")
@@ -73,6 +92,8 @@ object EmbDecade {
       s"""{"dir":"$d","n_vectors":$n,"cells":$cells,
          |"train_path":"$trainPath","ann_index_build_sec":$build,
          |"ann_ivf_topk_sec":$topk,"ann_ivf_batch_sec":$batch,
+         |"knee_nprobe":$knee,"ann_ivf_topk_knee_sec":$kneeWall,
+         |"knee_recall20":$kneeRecall,
          |"dedup_semantic_sec":$sem,
          |"routed_cosine_cap1000_sec":$routed}"""
         .stripMargin.replace("\n", "")

@@ -103,6 +103,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("index-stored soft cells == live nearest-centroid recompute") {
+    // the semantic family serves its soft assignment FROM the index
+    // (soft_cells, computed once at build); the live kernel — unit
+    // normalization + Ann.softCellsOf over the same centroids — is the
+    // fallback for probe widths beyond the stored 8. Pin the two paths
+    // bit-equal per (vec_id, cell) at every width up to the stored one:
+    // a drift here (a changed tie-break, a normalization change on one
+    // side only) would silently skew every semantic consumer's coverage.
+    val idx = Ann.buildIndex(spark, sf)
+    val frame = spark.read.parquet(idx.dir)
+      .select(col("vec_id"), col("cell"), col("vec"), col("soft_cells"))
+    assert(frame.columns.contains("soft_cells"))
+    val width = math.min(Ann.SoftIndexWidth, idx.cents.length)
+    for (probes <- Seq(1, 3, width)) {
+      val stored = DedupOps.softAssign(frame, idx.cents, probes)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val live = DedupOps.softAssign(frame.drop("soft_cells"), idx.cents,
+          probes)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(stored === live, s"probes=$probes")
+      // element 1 of the stored soft cells IS the primary assignment
+      if (probes == 1)
+        assert(stored ===
+          frame.select("vec_id", "cell").collect()
+            .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    }
+  }
+
   test("dedup_embedding_cosine routes oversized label blocks instead of throwing") {
     def run(): Map[(Long, Long), (Int, Double)] =
       DedupOps.queries("dedup_embedding_cosine")(spark, sf)
