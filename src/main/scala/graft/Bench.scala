@@ -1,9 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Other live JVMs on the box at bench start (excluding this process
+    * and its ancestors — the sbt launcher chain). Non-zero means the
+    * numbers are suspect: a stale backgrounded JVM once inflated a full
+    * run 84→141 s (round 9). Enforced here, not just memory-noted: the
+    * warning lands in the ledger logs AND the JSON.
+    */
+  private def strayJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    var anc = List(ProcessHandle.current())
+    while (anc.head.parent().isPresent) anc = anc.head.parent().get() :: anc
+    val own = anc.map(_.pid()).toSet
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter { p =>
+        !own.contains(p.pid()) &&
+          p.info().command().toScala.exists(_.endsWith("java"))
+      }
+      .map { p =>
+        val cmd = p.info().commandLine().toScala
+          .orElse(p.info().command().toScala).getOrElse("?")
+        s"pid=${p.pid()} ${cmd.take(160)}"
+      }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val strays = try strayJvms() catch { case _: Throwable => Seq.empty }
+    strays.foreach(s => System.err.println(
+      s"[bench] PREFLIGHT WARNING: stray JVM alive at bench start — " +
+        s"$s — wall times may be inflated; kill it and rerun"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,8 +113,19 @@ object Bench {
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"failed":$fails,"sf":"$sfDir"}"""
+    // the SERVING total is the headline: gate-class entries (exact-mode
+    // twins / truth tables — SparkEntry.gateQueries) are correctness
+    // maintenance, and folding a 13 s truth table into the serving sum
+    // is the same smell the pair_table_build split fixed. Per-query
+    // times for BOTH classes stay in `queries` so round-over-round
+    // diffs compare everything.
+    val gateNames = SparkEntry.gateQueries
+    val (gates, serving) = timed.partition { case (k, _) => gateNames(k) }
+    val servingTotal = if (serving.nonEmpty) serving.values.sum else 0.0
+    val gateTotal = if (gates.nonEmpty) gates.values.sum else 0.0
+    val gateList = gateNames.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

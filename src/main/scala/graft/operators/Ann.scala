@@ -325,10 +325,69 @@ object Ann {
     }
   }
 
+  /** One process-wide build lock per pinned index dir: sessions sharing
+    * a context (the newSession-per-run pattern) race a pinned-dir build
+    * otherwise — one session lazily reads the dir per query execution
+    * while another `mode("overwrite")`s the same path. The lock plus the
+    * ready-marker check below serializes the ONE build; every later
+    * session loads instead of rewriting, so no overwrite ever races a
+    * reader. (Cross-JVM coordination is the maintenance job's concern —
+    * run [[buildIndex]] once, then start the serving processes.)
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Marker written LAST into a completed index dir (data parquet, then
+    * `_centroids`, then this) — its presence means every file a probe or
+    * [[loadIndex]] needs is fully committed.
+    */
+  private val ReadyMarker = "_GRAFT_INDEX_READY"
+
+  /** Temp-dir indexes pending deletion at JVM exit. ONE static shutdown
+    * hook over this set, registered lazily on first use: a hook PER
+    * build would accumulate without bound in a long-lived multi-session
+    * JVM, and `addShutdownHook` during shutdown throws — a build racing
+    * JVM exit now just leaves its dir for the OS tmp reaper instead of
+    * crashing.
+    */
+  private val tempIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tempDirHookOnce: Unit =
+    try Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      tempIndexDirs.forEach(t => rm(new java.io.File(t)))
+    }))
+    catch { case _: IllegalStateException => () }
+  private def registerTempIndexDir(t: String): Unit = {
+    tempDirHookOnce
+    tempIndexDirs.add(t); ()
+  }
+
+  /** Load a completed index from `dir` if its ready marker is present:
+    * centroids from `$dir/_centroids` (cell-ordered), data left at rest
+    * for the probes. Returns None when the dir is absent or was never
+    * finished (a crashed build leaves no marker → the caller rebuilds
+    * and overwrites).
+    */
+  private def loadIndex(s: SparkSession, dir: String): Option[IvfIndex] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val cents = s.read.parquet(s"$dir/_centroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      Some(IvfIndex(dir, cents))
+    }
+  }
+
   /** Build (once per SESSION, scale dir AND geometry, memoized) the IVF
     * index for `embeddings`: train on the hash sample, assign every
     * vector, persist cell-partitioned parquet. Columns: vec_id, label,
-    * vec, cell.
+    * vec, soft_cells, cell.
     *
     * Session-keyed via [[SessionCache]], NOT process-global: every
     * serving consumer (`ann_ivf_*`, `dedup_semantic`, the routed branch
@@ -336,12 +395,43 @@ object Ann {
     * from this memo, so a process-global dir key would serve stale
     * vectors / vanished vec_ids after an in-JVM corpus rewrite — the
     * exact staleness class [[DedupOps.exactTwinModulus]]'s session memo
-    * exists to prevent. A new session re-pays one index build; a
-    * production deployment pins `graft.ann.indexDir` and runs
-    * [[buildIndex]] as the maintenance job anyway.
+    * exists to prevent. A new session re-pays one index build ONLY for
+    * temp-dir (test/tool) indexes; with a pinned `graft.ann.indexDir`
+    * the dir carries a ready marker + persisted centroids, so later
+    * sessions LOAD the completed index instead of overwriting it under
+    * a concurrent reader (the geometry is encoded in the path — a
+    * changed cell count builds a sibling dir). Pinning the dir means
+    * the deployment owns invalidation: rewrite the corpus → delete (or
+    * re-point) the index dir, exactly the external-index contract every
+    * vector store has.
     */
   def ivfIndex(s: SparkSession, d: String): IvfIndex =
     SessionCache.memo(s, s"ivfIndex#$d#k=${cellCount(s, d)}", {
+      s.conf.getOption("spark.graft.ann.indexDir")
+        .orElse(s.conf.getOption("graft.ann.indexDir")) match {
+        case Some(base) =>
+          val dir = s"$base/ivf-" +
+            s"${java.lang.Integer.toHexString(d.hashCode)}" +
+            s"-k${cellCount(s, d)}"
+          val lock = buildLocks.computeIfAbsent(dir, _ => new Object)
+          lock.synchronized {
+            loadIndex(s, dir).getOrElse(buildInto(s, d, dir))
+          }
+        case None =>
+          val t = java.nio.file.Files
+            .createTempDirectory("graft-ivf-index-").toString
+          registerTempIndexDir(t)
+          buildInto(s, d, t)
+      }
+    })
+
+  /** Train + assign + persist into `dir` (see [[ivfIndex]] for the
+    * policy of WHEN this runs). Write order: cell-partitioned data,
+    * `_centroids`, ready marker — a crash leaves no marker, so the next
+    * builder overwrites the partial dir.
+    */
+  private def buildInto(s: SparkSession, d: String, dir: String)
+      : IvfIndex = {
       val base = embeddings(s, d).select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       // unit-normalize for spherical clustering (see Index geometry note);
@@ -380,30 +470,11 @@ object Ann {
               .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
             k, Iters)
         else kmeans(sampleFrame, k, Iters)
-      // index location: a SHARED path on a real cluster (set
+      // the index dir is a SHARED path on a real cluster (pin
       // graft.ann.indexDir to a DFS path) — a driver-local temp dir only
       // works on local[*] masters, where executors share the filesystem;
       // on a cluster, executor task outputs to a file:// temp path would
       // scatter across machines and the probe would read partial cells
-      val dir = s.conf.getOption("graft.ann.indexDir") match {
-        case Some(base) =>
-          s"$base/ivf-${java.lang.Integer.toHexString(d.hashCode)}" +
-            s"-k${cellCount(s, d)}"
-        case None =>
-          val t = java.nio.file.Files
-            .createTempDirectory("graft-ivf-index-").toString
-          // temp-dir indexes (tests/tools) are reclaimed at JVM exit —
-          // a long-lived dev box otherwise accumulates one ~100 MB cell
-          // layout per (session, dir, geometry) build forever
-          Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(); ()
-            }
-            rm(new java.io.File(t))
-          }))
-          t
-      }
       // cluster by cell BEFORE the partitioned write: without it every
       // writer task emits a file into every cell dir — writers × cells
       // files (measured at the 2M-vector decade: 32 × 10 000 ≈ 290 000
@@ -425,8 +496,21 @@ object Ann {
           col("soft_cells"), col("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // persist the centroids beside the data (an `_`-prefixed subdir is
+      // invisible to the partition-discovering data read) so a LATER
+      // session/process can load the completed index without retraining,
+      // then commit the whole dir with the ready marker
+      import s.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+      val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(marker, true)
+      out.write(s"k=${cents.length}\n".getBytes("UTF-8"))
+      out.close()
       IvfIndex(dir, cents)
-    })
+  }
 
   /** Explicit maintenance entry: build (or fetch the memoized) IVF index
     * for a scale directory ahead of serving — the production shape the

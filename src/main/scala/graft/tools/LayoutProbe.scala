@@ -153,9 +153,16 @@ object LayoutProbe {
           col("tsu").between(t1, t2)),
         ("serving_ts_only", col("tsu").between(t1, t2))).map {
         case (sName, slice) =>
-          var servChk: (Long, Long) = (0L, 0L)
-          var servBytes = 0L
-          val servWall = (1 to reps).map { _ =>
+          // per-rep (wall, bytes, checksum) triples: the reported bytes
+          // must come from the SAME rep as the reported (min) wall, and
+          // the listener bus is DRAINED deterministically before the
+          // counter read — a fixed settle sleep undercounts late
+          // task-end events on a loaded box
+          val repStats = (1 to reps).map { _ =>
+            // drain BEFORE the reset too: an earlier (un-drained) query's
+            // task-end events landing after the reset would overcount
+            org.apache.spark.graft.ListenerBusDrain
+              .drain(spark.sparkContext)
             bytesRead.set(0)
             val t0 = System.nanoTime()
             val r = df.filter(slice)
@@ -165,11 +172,14 @@ object LayoutProbe {
                   col("n_1h"))), lit(0L)).as("h"))
               .collect()(0)
             val dt = (System.nanoTime() - t0) / 1e9
-            servChk = (r.getLong(0), r.getLong(1))
-            Thread.sleep(600) // listener-bus settle before the bytes read
-            servBytes = bytesRead.get()
-            dt
-          }.min
+            org.apache.spark.graft.ListenerBusDrain
+              .drain(spark.sparkContext)
+            (dt, bytesRead.get(), (r.getLong(0), r.getLong(1)))
+          }
+          val (servWall, servBytes, servChk) = repStats.minBy(_._1)
+          require(repStats.map(_._3).distinct.size == 1,
+            s"$name $sName answers differ across reps: " +
+              repStats.map(_._3).distinct.toString)
           println(f"[layout] $name%-14s $sName%-15s bytes=" +
             f"${servBytes * 100.0 / totalBytes}%.1f%% rows=${servChk._1} " +
             f"wall=$servWall%.3f s")
