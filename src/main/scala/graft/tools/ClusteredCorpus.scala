@@ -63,8 +63,17 @@ object ClusteredCorpus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rnd = new scala.util.Random(42)
-    if (!boundary) {
+    if (!boundary) writeClustered(spark, dst, n, dim, k, spread)
+    else writeBoundary(spark, dst, n, dim, k, spread)
+    spark.stop()
+  }
+
+  /** The clustered (easy) shape — see class doc. Deterministic for a
+    * given geometry; callable from specs/tools as well as [[main]].
+    */
+  def writeClustered(spark: SparkSession, dst: String, n: Long,
+      dim: Int = 64, k: Int = 50, spread: Double = 0.3): Unit = {
+    val rnd: scala.util.Random = new scala.util.Random(42)
       val centers = Array.fill(k) {
         val c = Array.fill(dim)(rnd.nextGaussian())
         val nrm = math.sqrt(c.map(x => x * x).sum)
@@ -74,7 +83,7 @@ object ClusteredCorpus {
         array(c.map(x => lit(x)): _*)): _*)
 
       spark.range(n).toDF("vec_id")
-        .repartition(cpus.toInt)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("c", (col("vec_id") % k).cast("int"))
         .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
           j => (element_at(element_at(centersLit, col("c") + 1), j + 1) +
@@ -87,7 +96,15 @@ object ClusteredCorpus {
         .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       println(s"[clustered] wrote $n vectors (dim=$dim, clusters=$k, " +
         s"spread=$spread) to $dst/embeddings.parquet")
-    } else {
+  }
+
+  /** The boundary (adversarial) shape — see the construction note in
+    * the body. Deterministic; callable from specs (DedupAnnSpec gates
+    * the default probe width's floor on it) as well as [[main]].
+    */
+  def writeBoundary(spark: SparkSession, dst: String, n: Long,
+      dim: Int = 64, k: Int = 50, spread: Double = 0.3): Unit = {
+    val rnd: scala.util.Random = new scala.util.Random(42)
       // BOUNDARY mode — the routed-cosine ADVERSARY. The clustered
       // default is the easy shape (near-dup pairs share probed cells);
       // this one is built so a measurable slice of true pairs
@@ -138,7 +155,7 @@ object ClusteredCorpus {
       val pairOrd = col("vec_id") - nReg
       val pairId = (pairOrd / 2).cast("long")
       val base = spark.range(n).toDF("vec_id")
-        .repartition(cpus.toInt)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("reg", col("vec_id") < nReg)
         .withColumn("a", when(col("reg"),
             (col("vec_id") % k).cast("int"))
@@ -161,7 +178,5 @@ object ClusteredCorpus {
         s"$pods pods = $k centers, ${nBoundary / 2} straddling pairs) to " +
         s"$dst/embeddings.parquet — run RoutedCosineCheck with " +
         s"cells=$k to measure the probe-width recall curve")
-    }
-    spark.stop()
   }
 }

@@ -103,6 +103,57 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("routed cosine floors on the adversarial boundary fixture") {
+    // the measured worst case behind bench/routed_boundary_r9.json,
+    // pinned as a GATE at the spec scale: a corpus whose near-threshold
+    // pairs (cos ≈ 0.34) straddle two cells behind decoy cells that
+    // outrank the partner in the probe order. The clustered shape's
+    // 1.000 recall can hide a routed-path regression completely — this
+    // fixture cannot: the default width must hold its documented
+    // partial floor and the measured recovery width must restore the
+    // near-threshold slice. Fresh session per run so the cap/probe
+    // confs and the session-keyed index memo never leak.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boundary-").toString
+    graft.tools.ClusteredCorpus.writeBoundary(spark, dir, 1000, 64, 50)
+    def run(cap: Option[String], probes: Option[String])
+        : Map[(Long, Long), Double] = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.ann.cells", "50")
+      cap.foreach(s.conf.set("spark.graft.dedup.maxCosineBlockRows", _))
+      probes.foreach(s.conf.set("spark.graft.dedup.semanticProbes", _))
+      DedupOps.queries("dedup_embedding_cosine")(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    }
+    // default cap: every 100-row label block fits → exact truth
+    val exact = run(None, None)
+    val nearTruth = exact.filter { case (_, c) => c < 0.5 }
+    assert(nearTruth.nonEmpty, "fixture yields no near-threshold pairs")
+    def recalls(routed: Map[(Long, Long), Double]): (Double, Double) = {
+      // precision is an invariant: routing gates WHICH pairs surface,
+      // never the arithmetic — any invented pair or drifted cosine is
+      // a bug, not a recall tradeoff
+      routed.foreach { case (p, c) =>
+        assert(exact.get(p).contains(c), s"routed pair $p not exact: $c")
+      }
+      val near = routed.count { case (_, c) => c < 0.5 }
+      (routed.size.toDouble / exact.size,
+        near.toDouble / nearTruth.size)
+    }
+    // cap 50 forces every label block through the cells
+    val (all3, near3) = recalls(run(Some("50"), None))
+    val (all7, near7) = recalls(run(Some("50"), Some("7")))
+    info(f"boundary recall: default width $all3%.3f overall / " +
+      f"$near3%.3f near-threshold; width 7 $all7%.3f / $near7%.3f " +
+      f"(${nearTruth.size} near-threshold truth pairs)")
+    // floors track the r9 20k-fixture curve (0.934/0.338 at width 3,
+    // 0.989/0.885 at width 7) with slack for the smaller spec corpus
+    assert(all3 >= 0.8, s"default-width overall recall $all3")
+    assert(near3 >= 0.15, s"default-width near-threshold recall $near3")
+    assert(all7 >= 0.9, s"width-7 overall recall $all7")
+    assert(near7 >= 0.7, s"width-7 near-threshold recall $near7")
+  }
+
   test("index-stored soft cells == live nearest-centroid recompute") {
     // the semantic family serves its soft assignment FROM the index
     // (soft_cells, computed once at build); the live kernel — unit

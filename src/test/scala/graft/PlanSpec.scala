@@ -257,6 +257,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic family query plans carry no nearest-centroids kernel") {
+    // the IVF build pays the one k·dim assignment pass per vector and
+    // stores `soft_cells` in the index; every semantic consumer's
+    // QUERY-time plan must be a row-local slice of that column — a
+    // nearest_centroids expression reappearing here means the ~1.3
+    // Tflop/query assignment recompute (the measured 18.4×/decade term
+    // the stored path removed) silently came back. Structural pin, like
+    // the bloom probe-below-join pin above.
+    import graft.operators.DedupOps
+    val semantic = Seq("dedup_semantic", "dedup_semantic_exact",
+      "dedup_semantic_incremental", "dedup_semantic_incremental_exact")
+    for (name <- semantic) {
+      val p = DedupOps.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!p.contains("nearest_centroids") && !p.contains("nearestcentroids"),
+        s"$name query plan contains the live assignment kernel")
+    }
+    // the routed branch of dedup_embedding_cosine under a forced cap —
+    // fresh session so the cap conf (and its session-keyed index memo)
+    // never leaks into other tests
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.dedup.maxCosineBlockRows", "10")
+    val routed = DedupOps.queries("dedup_embedding_cosine")(s2, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!routed.contains("nearest_centroids") &&
+        !routed.contains("nearestcentroids"),
+      "routed dedup_embedding_cosine plans the live assignment kernel")
+  }
+
   test("quartile/percentile registered plans carry no low-cardinality funnel") {
     // the judge-named 100× killers: Window.partitionBy(event_type) funnels
     // each of ~5 types through one reducer; exact percentile() buffers a
