@@ -168,6 +168,57 @@ object DedupOps {
   private[graft] def bandGeometry(s: SparkSession, d: String): (Int, Int) =
     (bandsOf(s), rowsOf(s, d))
 
+  /** Truth-table budget for `dedup_minhash_lsh_gate` — the
+    * [[exactTwinModulus]] convention applied to the one remaining
+    * unbounded gate: the exact prefix-filter truth is measured-feasible
+    * to 50 k documents (14 s at 5 k, 49 s at 50 k on this box) but its
+    * candidate shuffle filled the disk at 500 k, so past the budget the
+    * gate measures precision/recall on a hash-derived document SUBSET
+    * of ~this size. Modulus 1 — the gate byte-identical to its
+    * oracle-checked form — at every driver gate scale (sf0.01/0.1/1).
+    */
+  val LshGateTargetDocs = 50000.0
+  private[graft] def lshGateModulus(s: SparkSession, d: String): Long = {
+    val n = SessionCache.memo(s, s"lshdoccount#$d",
+      documents(s, d).count())
+    math.max(1L, math.ceil(n / LshGateTargetDocs).toLong)
+  }
+
+  /** The two sides `dedup_minhash_lsh_gate` compares — (exact truth
+    * pairs, LSH pairs), both restricted to the gate's document subset
+    * when [[lshGateModulus]] > 1 — shared with
+    * [[graft.tools.LshGateReport]] so the report prints the numbers
+    * behind exactly the booleans the gate emits.
+    */
+  private[graft] def lshGateSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val m = lshGateModulus(s, d)
+    if (m == 1)
+      (shingleTruthPairs(s, d).select(col("doc_a"), col("doc_b")),
+        queries("dedup_minhash_lsh")(s, d)
+          .select(col("doc_a"), col("doc_b")))
+    else {
+      val sub = shingleDocSets(s, d)
+        .filter(pmod(xxhash64(element_at(col("gs"), 1)), lit(m)) === 0)
+        .persist()
+      val t = verifyJaccard(
+          prefixCandidates(
+            sub.select(col("doc_id"), explode(col("gs")).as("g")), 0.8),
+          sub, 0.8)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      // subset ids: tiny (≈ the budget) — broadcast semi-joins
+      val ids = sub.select(col("doc_id")).localCheckpoint(true)
+      sub.unpersist(false)
+      val l = queries("dedup_minhash_lsh")(s, d)
+        .join(ids.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b"))
+      (t, l)
+    }
+  }
+
   /** Per-document sorted distinct token-n-gram hash sets — the token twin
     * of [[shingleDocSets]].
     */
@@ -825,11 +876,18 @@ object DedupOps {
     // The constant-group anchor keeps the empty-corpus → zero-rows
     // contract; a non-empty corpus with zero truth pairs passes recall
     // vacuously and still gates precision.
+    // Past [[LshGateTargetDocs]] the truth table is COUNT-BOUNDED (the
+    // exactTwinModulus convention): both the truth computation and the
+    // LSH side restrict to the documents whose FIRST sorted gram hashes
+    // into the modulus class. Keying the subset on the minimum gram —
+    // not the doc id — keeps near-dup cliques TOGETHER (a J ≥ 0.8 pair
+    // shares its min gram with probability ≈ J), so the sampled truth
+    // retains ~J/m of the pairs instead of the 1/m² an id-keyed sample
+    // would leave; the mild high-J selection bias this introduces only
+    // RAISES the expected recall of the sample, and precision stays an
+    // invariant (same docs, same exact verify on both sides).
     "dedup_minhash_lsh_gate" -> ((s, d) => {
-      val truth = shingleTruthPairs(s, d)
-        .select(col("doc_a"), col("doc_b"))
-      val lsh = queries("dedup_minhash_lsh")(s, d)
-        .select(col("doc_a"), col("doc_b"))
+      val (truth, lsh) = lshGateSides(s, d)
       val (nb, nr) = bandGeometry(s, d)
       val floor = 1.0 - math.pow(1.0 - math.pow(0.8, nr), nb)
       val stats = truth

@@ -25,11 +25,11 @@ object LshGateReport {
 
     args.foreach { d =>
       val t0 = System.nanoTime()
-      val truth = graft.operators.DedupOps.shingleTruthPairs(spark, d)
-        .select(col("doc_a"), col("doc_b"))
-      val lsh = graft.operators.DedupOps
-        .queries("dedup_minhash_lsh")(spark, d)
-        .select(col("doc_a"), col("doc_b"))
+      // the gate's own sides — subset-bounded past LshGateTargetDocs,
+      // so the report stays feasible at any scale and prints exactly
+      // what the gate's booleans summarize
+      val (truth, lsh) = graft.operators.DedupOps.lshGateSides(spark, d)
+      val m = graft.operators.DedupOps.lshGateModulus(spark, d)
       val r = truth
         .join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
@@ -44,7 +44,7 @@ object LshGateReport {
       println(f"[lshgate] $d: truth=$nTruth lsh=$nLsh hits=$nHit " +
         f"recall=${if (nTruth == 0) 1.0 else nHit.toDouble / nTruth}%.4f " +
         f"floor(b=$nb,r=$nr)=$floor%.4f extra=${nLsh - nHit} " +
-        f"wall=$wall%.1f s")
+        f"subset_modulus=$m wall=$wall%.1f s")
     }
     spark.stop()
   }
