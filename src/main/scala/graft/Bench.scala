@@ -75,6 +75,18 @@ object Bench {
         Double.NaN
       }
     val pairBuildJson = if (pairBuild.isNaN) "null" else pairBuild.toString
+    // and the PQ codebooks + encoded-corpus artifact (Pq.buildCodes
+    // scaladoc): maintenance work, priced under its own metric so the
+    // sim_pq_* query times are ADC-scan + re-rank only
+    val tPq = System.nanoTime()
+    val pqBuild: Double =
+      try { operators.Pq.buildCodes(spark, sfDir).count(); (System.nanoTime() - tPq) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pq code build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val pqBuildJson = if (pqBuild.isNaN) "null" else pqBuild.toString
+    val pqServingIncludesBuild = pqBuild.isNaN
     // mirror of ann_probe_includes_build: if the pre-build failed, the
     // memoization miss means the first timed dedup consumer
     // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
@@ -125,7 +137,7 @@ object Bench {
     val gateTotal = if (gates.nonEmpty) gates.values.sum else 0.0
     val gateList = gateNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

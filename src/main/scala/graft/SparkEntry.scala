@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Prune, Relational, SimilarityOps, SketchOps, TemporalOps, TextOps}
+import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Pq, Prune, Relational, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +41,8 @@ object SparkEntry {
     (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
       TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
-      CurationOps.queries ++ SketchOps.queries ++ Prune.queries)
+      CurationOps.queries ++ SketchOps.queries ++ Prune.queries ++
+      Pq.queries)
       .map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) =>
         { pinSessionDefaults(s); fn(s, d) })
@@ -70,5 +71,6 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles ++
       TemporalOps.oracles ++ MultimodalOps.oracles ++ CdcEnvelope.oracles ++
-      CurationOps.oracles ++ SketchOps.oracles ++ Prune.oracles
+      CurationOps.oracles ++ SketchOps.oracles ++ Prune.oracles ++
+      Pq.oracles
 }

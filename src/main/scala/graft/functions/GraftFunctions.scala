@@ -105,6 +105,11 @@ object GraftFunctions {
         "bounds", a(1)))),
     triple("mix64", classOf[LayoutExprs.Mix64], 1)(a =>
       LayoutExprs.Mix64(a(0))),
+    // pq_encode has no SQL face: its codebook tensor is a driver-built
+    // object, not a SQL-expressible literal (the BloomExprs precedent) —
+    // the serving-side ADC kernel is column-to-column and registers fine
+    triple("pq_adc_dot", classOf[PqExprs.PqAdcDot], 2)(a =>
+      PqExprs.PqAdcDot(a(0), a(1))),
     // BloomExprs.BloomMightContainLong has no SQL face: its filter
     // argument is a driver-built sketch object, not a SQL-expressible
     // literal (Spark's own might_contain is internal-only for the same

@@ -73,6 +73,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("INT literal"), e.getMessage)
   }
 
+  test("pq_adc_dot is callable from SQL (codes column × LUT literal)") {
+    Tables.registerAll(spark, sf)
+    // codes (1, 0) over a 2-subspace, 2-entry LUT: lut[0·2+1] + lut[1·2+0]
+    val r = spark.sql(
+      """SELECT pq_adc_dot(CAST(array(1, 0) AS ARRAY<TINYINT>),
+                           array(10.0D, 20.0D, 30.0D, 40.0D)) AS d""")
+      .collect()
+    assert(r.length === 1 && r(0).getDouble(0) === 50.0)
+  }
+
   test("filters push down through a registered view to the parquet scan") {
     Tables.registerAll(spark, sf)
     val df = spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 7")

@@ -480,7 +480,15 @@ class VectorExprsSpec extends SparkSpec {
             Array(0.5, 1.5)).as("bk"),
           graft.functions.LayoutExprs.mix64($"k_in").as("mx"),
           VectorExprs.nearestCentroids($"v",
-            Seq(Seq(9.0, 9.0), Seq(1.0, 2.0), Seq(1.1, 2.0)), 2).as("nc"))
+            Seq(Seq(9.0, 9.0), Seq(1.0, 2.0), Seq(1.1, 2.0)), 2).as("nc"),
+          graft.functions.PqExprs.pqEncode($"v",
+            Array(Array(Array(9.0, 9.0), Array(1.0, 2.0)))).as("pqc"),
+          // feed adc from the (non-foldable) encoder so neither kernel
+          // can be constant-folded away before codegen
+          graft.functions.PqExprs.pqAdcDot(
+            graft.functions.PqExprs.pqEncode($"v",
+              Array(Array(Array(9.0, 9.0), Array(1.0, 2.0)))),
+            typedlit(Seq(10.0, 20.0))).as("pqd"))
         .collect()(0)
       assert(direct.getInt(0) == 2 && direct.getDouble(1) == 2.0 &&
         direct.getInt(2) == 3 && direct.getInt(3) == 1 &&
@@ -491,6 +499,10 @@ class VectorExprsSpec extends SparkSpec {
         direct.getLong(11) == TextExprs.fmix64(7L))
       // v = (1,2): exact hit on centroid 1, then 2 (0.01), never 0 (far)
       assert(direct.getSeq[Int](12) == Seq(1, 2))
+      // pq: v=(1,2) snaps to entry 1 of the single subspace; adc then
+      // reads lut[0·2+1] = 20
+      assert(direct.getSeq[Byte](13) == Seq(1.toByte))
+      assert(direct.getDouble(14) == 20.0)
     } finally {
       fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
