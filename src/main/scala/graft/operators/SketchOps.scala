@@ -161,7 +161,105 @@ object SketchOps {
             lit(3 * eps) * col("n") + 1).as("p95_ok"))
         .orderBy(col("event_type"))
     }),
+
+    // Sketch-based inter-source EXACT-CONTENT overlap matrix — the
+    // 100 TB twin of `dedup_source_overlap` (which measures NEAR-dup
+    // mass through the materialized pair table). The provenance
+    // question here is mirror/re-crawl detection on exact content: for
+    // every unordered source pair, how many distinct documents (by
+    // sha256(text), the dedup_exact key) appear in BOTH. Exactly, that
+    // is a distinct-hash self-join — at 100 TB a corpus-sized shuffle
+    // re-paid for every pair. The sketch shape is one scan EVER: per
+    // source, a Theta sketch over the content hashes (Spark 4 ships
+    // DataSketches Theta natively — unlike HLL, Theta supports set
+    // INTERSECTION, which this query is for); the matrix is then a
+    // driver-small triangle join over #sources KB-sized sketch rows —
+    // estimates for |A∩B|, |A∪B| and the content Jaccard per pair,
+    // with no second corpus scan at any scale. Sketches are exact
+    // below 2^lgK (=4096) distinct hashes per source and estimation-
+    // mode above; estimates are deterministic (fixed hash seed, min-θ
+    // set union is order-independent — partitioning invariance is
+    // spec-pinned). Approximate → rows-only; the _gate twin bounds the
+    // error against the exact self-join, and SketchSpec drives the
+    // estimation regime the testdata never reaches.
+    "dedup_source_overlap_sketch" -> ((s, d) => {
+      val sk = sourceContentSketches(documents(s, d))
+      val a = sk.select(col("source").as("source_lo"), col("sk").as("ska"),
+        col("n_distinct").as("na"))
+      val b = sk.select(col("source").as("source_hi"), col("sk").as("skb"),
+        col("n_distinct").as("nb"))
+      // triangle join over #sources rows — broadcast nested loop on a
+      // tiny side, the same class as the one-row aggregate crossJoins
+      a.join(b, col("source_lo") < col("source_hi"))
+        .select(col("source_lo"), col("source_hi"),
+          // theta_sketch_estimate returns a rounded LONG
+          theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+            .as("est_common"),
+          theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_jaccard",
+          round(col("est_common") /
+            greatest(col("est_union"), lit(1.0)), 4))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
+
+    // ORACLE GATE for the Theta overlap matrix: the exact per-pair
+    // common/union counts (SQL-expressible — the distinct-hash
+    // self-join the sketch exists to avoid, affordable at gate scale)
+    // alongside within-tolerance flags for the sketch estimates. The
+    // bound is stated against the UNION size — Theta intersection
+    // error scales with √(|A∩B|·|A∪B|)/√k ≤ |A∪B|/√k, so a
+    // common-relative bound would be meaningless for near-disjoint
+    // pairs: |est − exact| ≤ max(3, 7.5%·|A∪B|) ≈ 4.7σ at lgK=12 —
+    // wide enough that 190 pairs × 2 flags stay green at sf10's
+    // estimation regime (verified there), tight enough that a broken
+    // sketch pipeline (wrong key, dropped partial, mis-merged θ)
+    // cannot hide. Below 4096 distinct hashes per source the sketches
+    // are exact and the flags degenerate to equality.
+    "dedup_source_overlap_sketch_gate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val h = docs.select(col("source"), sha2(col("text"), 256).as("th"))
+        .distinct()
+      val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = sizes.select(col("source").as("source_lo"), col("n").as("na"))
+        .join(sizes.select(col("source").as("source_hi"), col("n").as("nb")),
+          col("source_lo") < col("source_hi"))
+      val common = h.select(col("source").as("source_lo"), col("th"))
+        .join(h.select(col("source").as("source_hi"), col("th")),
+          Seq("th"))
+        .filter(col("source_lo") < col("source_hi"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("c"))
+      val exact = pairs.join(common, Seq("source_lo", "source_hi"), "left")
+        .select(col("source_lo"), col("source_hi"),
+          coalesce(col("c"), lit(0L)).as("exact_common"),
+          (col("na") + col("nb") - coalesce(col("c"), lit(0L)))
+            .as("exact_union"))
+      val est = queries("dedup_source_overlap_sketch")(s, d)
+        .select(col("source_lo"), col("source_hi"),
+          col("est_common"), col("est_union"))
+      val tol = greatest(lit(3.0), col("exact_union") * 0.075)
+      exact.join(est, Seq("source_lo", "source_hi"))
+        .select(col("source_lo"), col("source_hi"),
+          col("exact_common"), col("exact_union"),
+          (abs(col("est_common") - col("exact_common")) <= tol)
+            .as("common_ok"),
+          (abs(col("est_union") - col("exact_union")) <= tol)
+            .as("union_ok"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
   )
+
+  /** Per-source Theta sketch over distinct content hashes — the one-pass
+    * pre-aggregate behind [[queries dedup_source_overlap_sketch]]. One
+    * ~KB sketch row per source; `n_distinct` is the sketch's own
+    * estimate (exact below 2^12 per source), carried for occupancy
+    * visibility, not used by the gate (which recomputes exactly).
+    */
+  def sourceContentSketches(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(theta_sketch_agg(sha2(col("text"), 256)).as("sk"))
+      .withColumn("n_distinct", theta_sketch_estimate(col("sk")))
 
   /** The sketch TABLES stay approximate-by-design (no SQL twins — the
     * driver records rows-only and SketchSpec bounds error and merge
@@ -193,5 +291,27 @@ object SketchOps {
       """SELECT event_type, true AS p50_ok, true AS p95_ok
          FROM events WHERE value IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+    // exact common/union replayed over the same sha256 content key; the
+    // flags are the constant true — a red row means a sketch estimate
+    // left its documented error envelope
+    "dedup_source_overlap_sketch_gate" ->
+      """WITH h AS (SELECT DISTINCT source, sha256(text) AS th FROM documents),
+           sizes AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+           pairs AS (SELECT a.source AS source_lo, b.source AS source_hi,
+                       a.n AS na, b.n AS nb
+                     FROM sizes a JOIN sizes b ON a.source < b.source),
+           com AS (SELECT a.source AS source_lo, b.source AS source_hi,
+                     count(*) AS c
+                   FROM h a JOIN h b
+                     ON a.th = b.th AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT p.source_lo, p.source_hi,
+           CAST(COALESCE(com.c, 0) AS BIGINT) AS exact_common,
+           CAST(p.na + p.nb - COALESCE(com.c, 0) AS BIGINT) AS exact_union,
+           true AS common_ok, true AS union_ok
+         FROM pairs p
+         LEFT JOIN com ON p.source_lo = com.source_lo
+                      AND p.source_hi = com.source_hi
+         ORDER BY p.source_lo, p.source_hi""",
   )
 }

@@ -47,6 +47,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_span_coverage", "dedup_span_excise",
       "sim_vector_norms", "sim_outlier_docs", "dedup_embedding_cosine",
       "sim_pq_topk", "sim_pq_topk_gate",
+      "dedup_source_overlap_sketch", "dedup_source_overlap_sketch_gate",
       // events-family: per-row/per-group outputs must vanish with the
       // input (global aggregates like cdc_funnel legitimately keep their
       // one zero-row and are excluded)

@@ -218,6 +218,73 @@ class SketchSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // --- Theta source-overlap matrix -------------------------------------
+
+  test("theta overlap: exact regime equals the distinct-hash self-join") {
+    // every testdata source holds far fewer than 2^12 distinct hashes, so
+    // the sketches are in exact mode and the matrix must EQUAL the exact
+    // counts — the regime the sf0.01/sf0.1 oracle gate runs in
+    val est = SketchOps.queries("dedup_source_overlap_sketch")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val gate = SketchOps.queries("dedup_source_overlap_sketch_gate")(spark, sf)
+      .collect()
+    assert(gate.nonEmpty)
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count().toInt
+    assert(est.size === nSources * (nSources - 1) / 2)
+    gate.foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      val (c, u) = (r.getLong(2), r.getLong(3))
+      assert(est((lo, hi)) === ((c, u)),
+        s"($lo,$hi): est=${est((lo, hi))} exact=($c,$u)")
+      assert(r.getBoolean(4) && r.getBoolean(5))
+    }
+  }
+
+  test("theta overlap: estimation regime honors the gate's error bound") {
+    // the regime testdata never reaches (≤250 distinct/source): two
+    // synthetic sources of 30k hashes overlapping in 10k — both sketches
+    // well past 2^12 nominal entries, so θ < 1 and the estimates sample.
+    // The gate bound (|est − exact| ≤ 7.5%·union) must hold, and the
+    // derived Jaccard must land near 10k/50k = 0.2.
+    import spark.implicits._
+    val docs = ((0 until 30000).map(i => ("A", s"doc-$i")) ++
+      (20000 until 50000).map(i => ("B", s"doc-$i")))
+      .toDF("source", "text").repartition(8)
+    val sk = SketchOps.sourceContentSketches(docs)
+    val row = sk.filter(col("source") === "A")
+      .select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("source") === "B").select(col("sk").as("skb")))
+      .select(
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .as("common"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+          .as("union"))
+      .first()
+    val (common, union) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(common - 10000.0) <= 0.075 * 50000,
+      s"common=$common")
+    assert(math.abs(union - 50000.0) <= 0.075 * 50000, s"union=$union")
+    assert(math.abs(common / union - 0.2) <= 0.03,
+      s"jaccard=${common / union}")
+  }
+
+  test("theta overlap: estimates are partitioning-invariant") {
+    // min-θ union is a set union of retained hashes — merge order and
+    // partial count must not change the estimate (the property that
+    // makes the per-source sketch a sound mergeable pre-aggregate)
+    import spark.implicits._
+    val docs = (0 until 20000).map(i => (s"s${i % 3}", s"t-$i"))
+      .toDF("source", "text")
+    def ests(parts: Int): Map[String, Long] =
+      SketchOps.sourceContentSketches(docs.repartition(parts))
+        .select(col("source"), col("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ests(1) === ests(13))
+  }
+
   test("MG composes per group: one sketch per lang == per-lang exact counts") {
     val got = docs.groupBy(col("lang"))
       .agg(graft.functions.HeavyHitters.heavyHitters(256)(
