@@ -431,19 +431,42 @@ object Ann {
     * builder overwrites the partial dir.
     */
   private def buildInto(s: SparkSession, d: String, dir: String)
-      : IvfIndex = {
-      val base = embeddings(s, d).select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("vec"))
-      // unit-normalize for spherical clustering (see Index geometry note);
-      // the ORIGINAL vector is what gets stored and cosine-re-ranked
-      // zero-norm guard mirrors probeCells: x/0.0 would make every element
-      // NaN, all NaN<bestD comparisons false, and silently index the
-      // vector into cell 0 where no meaningful probe finds it — keep the
-      // raw (all-zero) vector instead, same as the query side
-      val normed = base
-        .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-        .withColumn("uvec", when(col("nrm") === 0, col("vec"))
-          .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      : IvfIndex =
+    buildFrom(s, embeddings(s, d).select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("vec")), cellCount(s, d), dir)
+
+  /** Unit-normalize for spherical clustering (see Index geometry note);
+    * the ORIGINAL vector is what gets stored and cosine-re-ranked.
+    * Zero-norm guard mirrors probeCells: x/0.0 would make every element
+    * NaN, all NaN<bestD comparisons false, and silently index the
+    * vector into cell 0 where no meaningful probe finds it — keep the
+    * raw (all-zero) vector instead, same as the query side.
+    */
+  private def unitNormed(base: DataFrame): DataFrame =
+    base
+      .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+      .withColumn("uvec", when(col("nrm") === 0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+
+  /** The index row shape: one top-[[SoftIndexWidth]] pass assigns BOTH
+    * the primary cell (element 1 — same argmin, same (distance, cell)
+    * tie-break as [[cellOf]]) and the stored soft assignment every
+    * semantic consumer would otherwise recompute per query. Shared by
+    * the full build and [[appendToIndex]] so appended rows are
+    * bit-identical to what the build would have assigned them.
+    */
+  private def assignedRows(normed: DataFrame, cents: Seq[Seq[Double]])
+      : DataFrame =
+    normed.withColumn("soft_cells",
+        softCellsOf(col("uvec"), cents,
+          math.min(SoftIndexWidth, cents.length)))
+      .withColumn("cell", col("soft_cells").getItem(0))
+      .select(col("vec_id"), col("label"), col("vec"),
+        col("soft_cells"), col("cell"))
+
+  private[graft] def buildFrom(s: SparkSession, base: DataFrame, k: Int,
+      dir: String): IvfIndex = {
+      val normed = unitNormed(base)
       // the hash sample is COUNT-bounded — but the count must scale
       // with the GEOMETRY, not stay fixed: cells derive as n/200, so a
       // fixed SampleTarget eventually trains more centroids than it has
@@ -456,7 +479,6 @@ object Ann {
       // moves to the DISTRIBUTED Lloyd twin over the sampled frame —
       // the driver then never materializes more than the k·dim centroid
       // state, which is the bounded-collect contract this file keeps.
-      val k = cellCount(s, d)
       val trainTarget =
         math.max(SampleTarget, TrainPerCell * k.toLong)
       val sampleMod = math.max(1L, base.count() / trainTarget)
@@ -484,16 +506,7 @@ object Ann {
       // probe scan wants. (hash-)repartition on the cell key: with
       // cells ≫ shuffle partitions each task still writes only its own
       // cells' rows.
-      // one top-[[SoftIndexWidth]] pass assigns BOTH the primary cell
-      // (element 1 — same argmin, same (distance, cell) tie-break as
-      // cellOf) and the stored soft assignment every semantic consumer
-      // would otherwise recompute per query
-      normed.withColumn("soft_cells",
-          softCellsOf(col("uvec"), cents,
-            math.min(SoftIndexWidth, cents.length)))
-        .withColumn("cell", col("soft_cells").getItem(0))
-        .select(col("vec_id"), col("label"), col("vec"),
-          col("soft_cells"), col("cell"))
+      assignedRows(normed, cents)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       // persist the centroids beside the data (an `_`-prefixed subdir is
@@ -520,6 +533,59 @@ object Ann {
     * own metric, so the per-query numbers measure serving, not indexing.
     */
   def buildIndex(s: SparkSession, d: String): IvfIndex = ivfIndex(s, d)
+
+  /** Incremental ingest — the FAISS `add()` contract for a built index:
+    * assign a batch of NEW vectors to the EXISTING centroids (frozen —
+    * no retrain) and append them cell-partitioned into the index dir.
+    * The appended rows go through the SAME normalize + top-m assignment
+    * kernel as the build, so their `cell`/`soft_cells` are bit-identical
+    * to what a build that had seen them would have assigned against
+    * these centroids; every probe and semantic consumer serves them with
+    * no code change. Cost is one batch-sized narrow pass + one shuffle
+    * on `cell` — the corpus is never rescanned, which is the whole point
+    * at 100 TB: a daily 0.1% ingest costs 0.1%, not a rebuild.
+    *
+    * `batch` has the embeddings-table shape (vec_id, label, embedding).
+    * The write is job-atomic (file-source commit protocol: files land
+    * under _temporary until job commit), but a reader planning its scan
+    * DURING the commit may see a partial batch — the same
+    * eventual-visibility every non-transactional file-source append has.
+    * Production contract: run appends from the maintenance job between
+    * serving generations (or point serving at a versioned snapshot dir).
+    * Centroids frozen means cell occupancy drifts as the corpus
+    * distribution does — the maintenance answer is a periodic rebuild
+    * ([[buildIndex]] after invalidating the dir), not per-batch retrain;
+    * [[graft.tools.RecallCheck]] is the drift monitor.
+    */
+  def appendToIndex(s: SparkSession, idx: IvfIndex, batch: DataFrame)
+      : Unit = {
+    val base = batch.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("vec"))
+    assignedRows(unitNormed(base), idx.cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(idx.dir)
+  }
+
+  /** The append gate's fixture index, once per (session, scale dir):
+    * build on the even-vec_id half, append the odd half — the
+    * continuous-ingest shape, on a temp dir so pinned production indexes
+    * are never touched. Training sees only the base half (exactly the
+    * deployed timeline: the batch arrives AFTER the index exists).
+    */
+  private[graft] def appendedIndex(s: SparkSession, d: String): IvfIndex =
+    SessionCache.memo(s, "ivfAppendIdx#" + d, {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append-").toString
+      registerTempIndexDir(t)
+      val ev = embeddings(s, d)
+      val idx = buildFrom(s,
+        ev.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("label"),
+            asDouble(col("embedding")).as("vec")),
+        cellCount(s, d), t)
+      appendToIndex(s, idx, ev.filter(col("vec_id") % 2 === 1))
+      idx
+    })
 
   val queries: Map[String, Q] = Map(
     // IVF top-20 for the vec_id=0 query against the prebuilt index: rank
@@ -633,6 +699,29 @@ object Ann {
           col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
         .orderBy(col("qid"), col("rk"))
     }),
+
+    // GATE for the incremental-ingest path ([[appendToIndex]]): build
+    // the index on the even-vec_id half only, append the odd half with
+    // centroids frozen, then serve through the identical full-probe
+    // path — where IVF is exact, so the result must BE the brute-force
+    // top-20 over the WHOLE corpus. Hash-gated against sim_cosine_topk's
+    // oracle verbatim: a dropped batch row, a mis-assigned cell, or an
+    // append that clobbered base files all surface as a hash mismatch.
+    // The default-probe recall floor on the appended index is
+    // AnnAppendSpec's half.
+    "ann_ivf_append_gate" -> ((s, d) => {
+      val idx = appendedIndex(s, d)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val probed = idx.probeCells(qv, idx.cents.length)
+      s.read.parquet(idx.dir)
+        .filter(col("cell").isin(probed: _*))
+        .withColumn("sim", round(
+          SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
   )
 
   /** The production `ann_ivf_*` entries stay approximate — no exact SQL
@@ -645,5 +734,8 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "ann_ivf_exact_topk" -> SimilarityOps.oracles("sim_cosine_topk"),
     "ann_ivf_exact_batch" -> SimilarityOps.oracles("sim_batch_topk"),
+    // append + full probe is exact over base ∪ batch = the whole corpus,
+    // so the brute-force oracle gates the ingest path bit-for-bit
+    "ann_ivf_append_gate" -> SimilarityOps.oracles("sim_cosine_topk"),
   )
 }
