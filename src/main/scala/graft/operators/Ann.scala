@@ -509,10 +509,19 @@ object Ann {
       assignedRows(normed, cents)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      // persist the centroids beside the data (an `_`-prefixed subdir is
-      // invisible to the partition-discovering data read) so a LATER
-      // session/process can load the completed index without retraining,
-      // then commit the whole dir with the ready marker
+      commitIndexMeta(s, dir, cents)
+  }
+
+  /** Persist the centroids beside the data (an `_`-prefixed subdir is
+    * invisible to the partition-discovering data read) so a LATER
+    * session/process can load the completed index without retraining,
+    * then commit the whole dir with the ready marker — data first,
+    * `_centroids`, marker LAST, so a crash anywhere leaves no marker
+    * and the next builder overwrites the partial dir. Shared by
+    * [[buildFrom]] and [[compactIndex]].
+    */
+  private def commitIndexMeta(s: SparkSession, dir: String,
+      cents: Seq[Seq[Double]]): IvfIndex = {
       import s.implicits._
       cents.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "vec")
@@ -524,6 +533,18 @@ object Ann {
       out.close()
       IvfIndex(dir, cents)
   }
+
+  /** Open a COMMITTED index dir (built by [[buildIndex]]/[[buildFrom]],
+    * compacted by [[compactIndex]]) without rebuilding: centroids load
+    * from `_centroids` iff the ready marker is present, else this
+    * throws — an uncommitted dir means the build crashed and must be
+    * re-run, not served. The serving-process entry of the maintenance
+    * contract: one job builds, every serving session/process opens.
+    */
+  def openIndex(s: SparkSession, dir: String): IvfIndex =
+    loadIndex(s, dir).getOrElse(sys.error(
+      s"no committed index at $dir — ready marker missing; " +
+        "run buildIndex/compactIndex to completion first"))
 
   /** Explicit maintenance entry: build (or fetch the memoized) IVF index
     * for a scale directory ahead of serving — the production shape the
@@ -566,6 +587,155 @@ object Ann {
       .write.mode("append").partitionBy("cell").parquet(idx.dir)
   }
 
+  /** Exactly-once wrapper around [[appendToIndex]] for STREAMING ingest
+    * (`foreachBatch`): Structured Streaming replays any micro-batch
+    * whose epoch didn't commit, and a bare append is not idempotent —
+    * one replay doubles the batch's rows in the index. This wrapper
+    * makes the append replay-safe with the file sink's own trick, a
+    * per-batch commit marker under `_ingest_commits/` (the `_` prefix
+    * keeps it invisible to the partition-discovering data read), plus
+    * an EXACT probe for the one window the marker alone can't close:
+    * a crash AFTER the append job committed but BEFORE the marker
+    * write. On replay with no marker, the batch is re-assigned to the
+    * frozen centroids and ONLY its own cells are scanned (partition
+    * pruning — recovery cost is bounded by the batch's cell occupancy,
+    * never a corpus pass) for the batch's vec_ids. The append job is
+    * atomic (file-source commit protocol), so the probe sees either
+    * none of the batch (crash before commit → append now) or all of it
+    * (the marker window → just write the marker); a partial count is
+    * corruption and throws rather than guessing.
+    *
+    * Contract: ingested vec_ids are NEW to the index (the embeddings
+    * ingest shape — an upsert needs the latest-state compaction path,
+    * not an index append) and unique within the batch. Returns true
+    * when rows were appended, false when the batch was recognized as
+    * already present (either marker or probe) and skipped.
+    */
+  def appendToIndexIdempotent(s: SparkSession, idx: IvfIndex,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val commits = new org.apache.hadoop.fs.Path(idx.dir, "_ingest_commits")
+    val marker = new org.apache.hadoop.fs.Path(commits, s"batch-$batchId")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    val rows = batch.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("vec"))
+    // ONE batch-sized assignment pass serves the probe's collect AND
+    // the append's write: the n·k·dim nearest-centroid kernel is the
+    // dominant per-batch cost, so recomputing it for the write would
+    // double every micro-batch. Persisted, not localCheckpoint'd — the
+    // frame is ingest-batch-sized and the collect below is bounded by
+    // it, same class as the query-vector collects.
+    val assignedDf = assignedRows(unitNormed(rows), idx.cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned =
+      try {
+        val a = assignedDf.select(col("vec_id"), col("cell")).collect()
+        val didAppend = a.nonEmpty && {
+          val cells = a.map(_.getInt(1)).distinct.toSeq
+          val ids = a.map(_.getLong(0)).toSet
+          val present = s.read.parquet(idx.dir)
+            .filter(col("cell").isin(cells: _*))
+            .select(col("vec_id")).collect()
+            .map(_.getLong(0)).count(ids)
+          if (present == 0) {
+            assignedDf
+              .repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(idx.dir)
+            true
+          } else {
+            require(present == ids.size,
+              s"index has $present of ${ids.size} batch rows — a " +
+                "partial append cannot come from the atomic commit " +
+                "protocol; the index dir was modified outside the " +
+                "ingest path")
+            false
+          }
+        }
+        (a.length, didAppend)
+      } finally assignedDf.unpersist()
+    val out = fs.create(marker, true)
+    out.write(s"rows=${assigned._1}\n".getBytes("UTF-8"))
+    out.close()
+    assigned._2
+  }
+
+  /** Tombstone subdir (`_`-prefixed → invisible to the
+    * partition-discovering data read, same trick as `_centroids` and
+    * `_ingest_commits`).
+    */
+  private val DeletesDir = "_deletes"
+
+  /** Logical DELETE from the index — the CDC-shaped other half of
+    * [[appendToIndex]]: deleted vec_ids land as an appended tombstone
+    * file under `_deletes/`, never touching a data file (an in-place
+    * data rewrite would race concurrent readers AND cost a corpus pass
+    * for a batch-sized delete). Serving subtracts tombstones through
+    * [[indexData]]; [[compactIndex]] applies them PHYSICALLY into the
+    * next generation, after which the tombstone set is empty again.
+    * Deletes are idempotent (anti-join semantics — tombstoning an id
+    * twice, or an id that was never indexed, is a no-op) and win over
+    * the row until compaction; re-ingesting a tombstoned id is
+    * undefined BETWEEN compactions (the ingest contract is NEW ids) and
+    * fine after one. The tombstone set between compactions is assumed
+    * ingest-batch-class (it broadcasts at serve time) — a delete volume
+    * that outgrows broadcast IS the signal to compact.
+    */
+  def deleteFromIndex(s: SparkSession, idx: IvfIndex, ids: DataFrame)
+      : Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"${idx.dir}/$DeletesDir")
+
+  /** The index's LIVE rows: the at-rest cell-partitioned data minus any
+    * tombstoned vec_ids. This is THE read path every serving consumer
+    * uses (probe queries, the semantic-dedup family): with no deletes
+    * it is exactly the bare scan (no join in the plan at all), and with
+    * deletes it adds one broadcast anti-join — cell partition-pruning
+    * still reaches the scan because the probe filter pushes below the
+    * join.
+    */
+  def indexData(s: SparkSession, idx: IvfIndex): DataFrame = {
+    val data = s.read.parquet(idx.dir)
+    val delPath = new org.apache.hadoop.fs.Path(idx.dir, DeletesDir)
+    val fs = delPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delPath)) data
+    else data.join(
+      broadcast(s.read.parquet(delPath.toString)
+        .select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Maintenance compaction for an appended index — the layout half of
+    * the ingest contract: every [[appendToIndex]] lands ~one extra file
+    * per touched cell (its own job commit cannot merge into the build's
+    * files), so after F appends a probe pays F opens per probed cell
+    * and the at-rest shape drifts from the one-file-per-cell layout the
+    * build buys. Compaction rewrites the DATA — rows, `soft_cells`,
+    * assignments carried verbatim; no retrain, no re-assignment, a pure
+    * layout move — into `dstDir` with the build's repartition(cell)
+    * shape, copies the centroids, and commits with the ready marker.
+    *
+    * It writes a NEW generation instead of rewriting `idx.dir` in place:
+    * an in-place overwrite would delete files under a concurrent
+    * reader's planned scan, exactly the race the pinned-dir build lock
+    * exists to prevent. The caller swaps serving to the returned index
+    * (re-point `graft.ann.indexDir` / restart the serving session) and
+    * then retires the old dir — the generation contract every external
+    * vector index has. Cost is one index-sized shuffle, so schedule it
+    * when appended-file count (not time) says so; [[graft.tools
+    * .AppendProbe]] measures the append → compact lifecycle per decade.
+    */
+  def compactIndex(s: SparkSession, idx: IvfIndex, dstDir: String)
+      : IvfIndex = {
+    // LIVE rows only: compaction is where tombstones are applied
+    // physically — the new generation starts with an empty delete set
+    indexData(s, idx)
+      .select(col("vec_id"), col("label"), col("vec"),
+        col("soft_cells"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
+    commitIndexMeta(s, dstDir, idx.cents)
+  }
+
   /** The append gate's fixture index, once per (session, scale dir):
     * build on the even-vec_id half, append the odd half — the
     * continuous-ingest shape, on a temp dir so pinned production indexes
@@ -587,6 +757,28 @@ object Ann {
       idx
     })
 
+  /** The delete gate's fixture index, once per (session, scale dir):
+    * build on the WHOLE corpus, then tombstone the odd-vec_id half —
+    * the retention/takedown shape (GDPR erasure, license revocation,
+    * corpus pruning), on a temp dir so pinned production indexes are
+    * never touched. Serving must behave as if the odd half never
+    * existed, while the data files still physically contain it until
+    * compaction.
+    */
+  private[graft] def deletedIndex(s: SparkSession, d: String): IvfIndex =
+    SessionCache.memo(s, "ivfDeleteIdx#" + d, {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ivf-delete-").toString
+      registerTempIndexDir(t)
+      val ev = embeddings(s, d)
+      val idx = buildFrom(s,
+        ev.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("vec")),
+        cellCount(s, d), t)
+      deleteFromIndex(s, idx, ev.filter(col("vec_id") % 2 === 1))
+      idx
+    })
+
   val queries: Map[String, Q] = Map(
     // IVF top-20 for the vec_id=0 query against the prebuilt index: rank
     // cells driver-side, scan only the Nprobe nearest cells' files
@@ -598,7 +790,7 @@ object Ann {
       val qv = embeddings(s, d).filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
       val probed = idx.probeCells(qv, nprobeOf(s, d))
-      s.read.parquet(idx.dir)
+      indexData(s, idx)
         .filter(col("cell").isin(probed: _*))
         .withColumn("sim", round(
           SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
@@ -630,7 +822,7 @@ object Ann {
         struct(lit(q).as("qid"), typedlit(v).as("qv"),
           typedlit(cells).as("cells"))
       }: _*)
-      s.read.parquet(idx.dir)
+      indexData(s, idx)
         .filter(col("cell").isin(allCells: _*))
         .select(col("vec_id"), col("cell"), col("vec"),
           explode(qlit).as("q"))
@@ -660,7 +852,7 @@ object Ann {
       val qv = embeddings(s, d).filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
       val probed = idx.probeCells(qv, idx.cents.length)
-      s.read.parquet(idx.dir)
+      indexData(s, idx)
         .filter(col("cell").isin(probed: _*))
         .withColumn("sim", round(
           SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
@@ -685,7 +877,7 @@ object Ann {
         struct(lit(q).as("qid"), typedlit(v).as("qv"),
           typedlit(cells).as("cells"))
       }: _*)
-      s.read.parquet(idx.dir)
+      indexData(s, idx)
         .filter(col("cell").isin(allCells: _*))
         .select(col("vec_id"), col("cell"), col("vec"),
           explode(qlit).as("q"))
@@ -714,7 +906,30 @@ object Ann {
       val qv = embeddings(s, d).filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
       val probed = idx.probeCells(qv, idx.cents.length)
-      s.read.parquet(idx.dir)
+      indexData(s, idx)
+        .filter(col("cell").isin(probed: _*))
+        .withColumn("sim", round(
+          SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // GATE for the tombstone-delete path ([[deleteFromIndex]] +
+    // [[indexData]]): index the whole corpus, tombstone the odd half,
+    // serve full-probe — exact there — so the result must BE the
+    // brute-force top-20 over the SURVIVING (even) half. Hash-gated
+    // against a restricted brute-force oracle: a tombstone that leaks
+    // into serving, an anti-join that drops a survivor, or a probe
+    // filter that stops pruning all surface as a hash mismatch. The
+    // physical-apply half (compaction erases tombstoned rows from the
+    // next generation's files) is AnnDeleteSpec's.
+    "ann_ivf_delete_gate" -> ((s, d) => {
+      val idx = deletedIndex(s, d)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val probed = idx.probeCells(qv, idx.cents.length)
+      indexData(s, idx)
         .filter(col("cell").isin(probed: _*))
         .withColumn("sim", round(
           SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
@@ -737,5 +952,19 @@ object Ann {
     // append + full probe is exact over base ∪ batch = the whole corpus,
     // so the brute-force oracle gates the ingest path bit-for-bit
     "ann_ivf_append_gate" -> SimilarityOps.oracles("sim_cosine_topk"),
+    // delete + full probe is exact over corpus ∖ tombstones = the even
+    // half, so the RESTRICTED brute-force oracle gates the tombstone
+    // path bit-for-bit (the query vector is vec_id=0 — even, surviving)
+    "ann_ivf_delete_gate" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+           round(list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), qv),
+                   p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
+                * sqrt(list_sum(list_transform(qv, x -> x*x)))), 4) AS sim
+         FROM embeddings, q
+         WHERE vec_id % 2 = 0
+         ORDER BY sim DESC, vec_id LIMIT 20""",
   )
 }

@@ -1247,7 +1247,7 @@ object DedupOps {
     // corpus — probe what exists, never throw
     val probes = math.min(semDedupProbesOf(s), idx.cents.length)
     val withSoft = requireBoundedBlocks(
-      s.read.parquet(idx.dir)
+      Ann.indexData(s, idx)
         .select(col("vec_id"), col("cell"), col("vec"), col("soft_cells")),
       "cell", MaxCosineBlockRows)
     val p = withSoft.select(col("vec_id"), col("cell"), col("vec"))
@@ -1335,7 +1335,7 @@ object DedupOps {
         // index's self-derived contract (~TargetCellRows); a violation
         // means the cells conf is mis-sized, which routing cannot fix
         val hotVSoft = requireBoundedBlocks(
-          s.read.parquet(idx.dir)
+          Ann.indexData(s, idx)
             .join(broadcast(hotDf), Seq("label"))
             .select(col("vec_id"), col("label"), col("cell"), col("vec"),
               col("soft_cells")),

@@ -1,0 +1,237 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Ann
+import graft.streaming.EmbedIngest
+
+/** Crash-recovery rehearsal for the STREAMING index-ingest path
+  * ([[EmbedIngest]] over [[Ann.appendToIndexIdempotent]]), with a real
+  * SIGKILL of a forked JVM — the same evidence standard as
+  * [[StreamRehearsalForked]], applied to the index-maintenance stream:
+  *
+  *   1. parent stages the deployment shape once: IVF index BUILT on the
+  *      even-vec_id half of the corpus, the odd half written as N
+  *      parquet files (one per micro-batch at maxFilesPerTrigger=1);
+  *   2. a forked child runs the ingest query, prints `READY_TO_KILL`
+  *      after `ceil(N/2)` committed data batches, and keeps running —
+  *      the parent SIGKILLs it mid-flight (a batch's offsets WAL'd,
+  *      its commit missing, possibly an append job's `_temporary` dirs
+  *      left in the index — nothing a shutdown hook could tidy);
+  *   3. a second forked child resumes from the SAME checkpoint and
+  *      drains to completion (and must replay ≥1 data batch, so a kill
+  *      that landed after completion fails the run instead of faking
+  *      recovery);
+  *   4. the parent asserts the exactly-once contract on the final
+  *      index: row conservation (== corpus count), DISTINCT vec_ids
+  *      (conservation alone cannot distinguish exactly-once from
+  *      loss+duplication canceling), one commit marker per batch, and
+  *      full-probe serving == the brute-force exact top-20 over the
+  *      whole corpus — the append gate's standard, now held across a
+  *      process death.
+  *
+  * Usage (parent):
+  *   tools/javamain.sh graft.tools.IngestRehearsal \
+  *     bench/ingest_rehearsal_r10.json /tmp/clustered2m [nBatches]
+  * The child role is internal (GRAFT_INGEST_ROLE=child).
+  */
+object IngestRehearsal {
+  private def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit =
+    if (sys.env.get("GRAFT_INGEST_ROLE").contains("child")) child()
+    else parent(args)
+
+  /** Child: run the ingest stream against the staged dirs. Armed mode
+    * (GRAFT_INGEST_KILL_AT set) uses an endless trigger, prints the
+    * kill marker at the threshold and WAITS for the parent's SIGKILL —
+    * running out of work first still leaves the query active, so the
+    * kill always lands on a live stream. Resume mode drains with
+    * AvailableNow and must replay ≥1 data batch after a kill.
+    */
+  private def child(): Unit = {
+    val wd = sys.env("GRAFT_INGEST_WD")
+    val killAt = sys.env.get("GRAFT_INGEST_KILL_AT").map(_.toLong)
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val idx = Ann.openIndex(spark, s"$wd/index")
+    val schema = spark.read.parquet(s"$wd/src").schema
+    val src = EmbedIngest.embeddingFileStream(spark, s"$wd/src", schema)
+    def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery) =
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    killAt match {
+      case Some(k) =>
+        val q = EmbedIngest.ingestQuery(src, idx, s"$wd/ckpt",
+          Trigger.ProcessingTime(0L))
+        var reached = -1L
+        while (q.isActive && reached < 0) {
+          Thread.sleep(20)
+          if (q.isActive && dataBatches(q) >= k) reached = dataBatches(q)
+        }
+        require(reached >= 0, "stream died before the kill threshold")
+        println(s"READY_TO_KILL batch=$reached")
+        Console.out.flush()
+        q.awaitTermination()
+        sys.error("ran to completion before the SIGKILL landed — " +
+          "recovery was never exercised")
+      case None =>
+        val q = EmbedIngest.ingestQuery(src, idx, s"$wd/ckpt")
+        q.awaitTermination(600000)
+        if (new java.io.File(s"$wd/killed").exists())
+          require(dataBatches(q) > 0,
+            "post-SIGKILL restart replayed no data — the kill landed " +
+              "after completion, recovery was never exercised")
+        println(s"INGEST_DONE batches=${dataBatches(q)}")
+        Console.out.flush()
+    }
+    spark.stop()
+  }
+
+  private def parent(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    require(args.length >= 2,
+      "usage: IngestRehearsal <outJson> <corpusDir> [nBatches]")
+    val outFile = args(0)
+    val corpus = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val wd = java.nio.file.Files
+      .createTempDirectory("graft-ingest-rehearsal-").toString
+    val spark = session(cpus)
+
+    // ---- stage: built index on the even half, odd half as batch files
+    val ev = spark.read.parquet(s"$corpus/embeddings.parquet")
+    val n = ev.count()
+    val k = Ann.cellCount(spark, corpus)
+    println(s"[ingest] staging: n=$n cells=$k wd=$wd")
+    val t0 = System.nanoTime()
+    Ann.buildFrom(spark,
+      ev.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+      k, s"$wd/index")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    ev.filter(col("vec_id") % 2 === 1)
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(s"$wd/src")
+    println(f"[ingest] staged: build=$buildSec%.1f s, $nBatches batch files")
+
+    // ---- fork 1: armed child, SIGKILL at the marker
+    val javaBin = ProcessHandle.current().info().command().orElse("java")
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    def launch(extraEnv: Map[String, String]): Process = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.tools.IngestRehearsal") ++ args.toSeq
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val env = pb.environment()
+      env.put("GRAFT_INGEST_ROLE", "child")
+      env.put("GRAFT_INGEST_WD", wd)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      extraEnv.foreach { case (kk, v) => env.put(kk, v) }
+      pb.start()
+    }
+    def drive(p: Process, killOn: Option[String]): Boolean = {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var killed = false
+      var line = rd.readLine()
+      while (line != null) {
+        println(s"[child] $line")
+        if (!killed && killOn.exists(line.contains)) {
+          p.destroyForcibly()
+          killed = true
+        }
+        line = try rd.readLine() catch { case _: java.io.IOException => null }
+      }
+      p.waitFor()
+      killed
+    }
+    val killThreshold = math.max(1, nBatches / 2)
+    println(s"[ingest] forking armed child (kill at $killThreshold batches)")
+    val w0 = System.nanoTime()
+    val p1 = launch(Map("GRAFT_INGEST_KILL_AT" -> killThreshold.toString))
+    val killed = drive(p1, Some("READY_TO_KILL"))
+    require(killed, s"child exited (code ${p1.exitValue()}) before the " +
+      "kill point — no SIGKILL was delivered")
+    println(s"[ingest] SIGKILLed child pid=${p1.pid()} " +
+      s"(exit ${p1.exitValue()})")
+    java.nio.file.Files.write(java.nio.file.Paths.get(wd, "killed"),
+      Array[Byte]())
+
+    // ---- fork 2: resume from the same checkpoint, drain
+    val p2 = launch(Map.empty)
+    val resumed = drive(p2, None)
+    require(!resumed && p2.exitValue() == 0,
+      s"resume child failed (exit ${p2.exitValue()})")
+    val wallSec = (System.nanoTime() - w0) / 1e9
+
+    // ---- asserts: exactly-once + exact serving on the final index
+    val idx = Ann.openIndex(spark, s"$wd/index")
+    val got = spark.read.parquet(idx.dir)
+    val total = got.count()
+    val distinct = got.select(col("vec_id")).distinct().count()
+    require(total == n, s"row conservation broke: $total != $n")
+    require(distinct == n, s"duplicate vec_ids: $distinct != $n")
+    // the checksummed LocalFileSystem writes a .crc sidecar per marker —
+    // count only the markers themselves
+    val markers = Option(new java.io.File(s"$wd/index/_ingest_commits")
+      .listFiles()).map(_.count(_.getName.startsWith("batch-")))
+      .getOrElse(0)
+    require(markers == nBatches,
+      s"expected $nBatches commit markers, found $markers")
+    val qv = ev.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    def served = got
+      .filter(col("cell").isin(idx.probeCells(qv, idx.cents.length): _*))
+      .withColumn("sim", round(
+        graft.operators.SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = ev
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .withColumn("sim", round(
+        graft.operators.SimilarityOps.cosine(col("vec"),
+          typedlit(qv)), 4))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val serveExact = served == brute
+    require(serveExact, "full-probe serving != brute force after recovery")
+    println(s"[ingest] exactly-once green: rows=$total distinct=$distinct " +
+      s"markers=$markers serveExact=$serveExact")
+
+    val json =
+      s"""{"corpus":"$corpus","n_vectors":$n,"cells":$k,
+         |"n_batches":$nBatches,"kill_threshold":$killThreshold,
+         |"kill":"fork_sigkill","staging_build_sec":$buildSec,
+         |"stream_wall_sec":$wallSec,
+         |"rows":$total,"distinct_vec_ids":$distinct,
+         |"commit_markers":$markers,
+         |"serve_equals_brute_force":$serveExact,"recovered":true}"""
+        .stripMargin.replace("\n", "")
+    val out = java.nio.file.Paths.get(outFile)
+    if (out.getParent != null)
+      java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[ingest] wrote $outFile")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
+    spark.stop()
+  }
+}

@@ -111,4 +111,49 @@ class AnnAppendSpec extends SparkSpec {
       Tables.embeddings(spark, sf).limit(0))
     assert(spark.read.parquet(idx.dir).count() === before)
   }
+
+  test("compaction is a pure layout move: contents bit-equal, files per cell back to one") {
+    // source: the built+appended fixture — every appended cell carries
+    // the build's file plus the append's, the layout drift compaction
+    // exists to undo
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec-").toString
+    val out = Ann.compactIndex(spark, idx, dst)
+    assert(out.cents === idx.cents, "centroids must carry over verbatim")
+    val cols = Seq("vec_id", "label", "vec", "soft_cells", "cell")
+    val src = spark.read.parquet(idx.dir).select(cols.map(col): _*)
+    val cmp = spark.read.parquet(dst).select(cols.map(col): _*)
+    assert(cmp.exceptAll(src).isEmpty && src.exceptAll(cmp).isEmpty,
+      "compaction changed index contents")
+    // at-rest shape: at most one data file per occupied cell (the
+    // build's shape), strictly fewer files than the appended source
+    val cells = cmp.select(col("cell")).distinct().count()
+    assert(indexFiles(dst).size <= cells,
+      s"expected <= $cells files, got ${indexFiles(dst).size}")
+    assert(indexFiles(dst).size < indexFiles(idx.dir).size,
+      "compaction did not reduce file count")
+    // the new generation is committed: ready marker + loadable centroids
+    assert(new java.io.File(dst, "_GRAFT_INDEX_READY").exists())
+    assert(spark.read.parquet(s"$dst/_centroids").count() ===
+      idx.cents.length.toLong)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+  }
+
+  test("compacted generation serves the identical full-probe answer") {
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-compact-serve-").toString
+    val out = Ann.compactIndex(spark, idx, dst)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    def top20(i: Ann.IvfIndex) = spark.read.parquet(i.dir)
+      .filter(col("cell").isin(i.probeCells(qv, i.cents.length): _*))
+      .withColumn("sim", round(
+        SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20).collect().toSeq
+    assert(top20(out) === top20(idx))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+  }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Ann, SimilarityOps}
+import graft.sources.Tables
+import graft.streaming.EmbedIngest
+
+/** Exactly-once streaming ingest into the IVF index
+  * ([[Ann.appendToIndexIdempotent]] + [[EmbedIngest]]): replays must
+  * never double rows — via the batch marker in the common case, via the
+  * cell-bounded presence probe in the crash window (append committed,
+  * marker missing), and loudly (never silently) when the index was
+  * mutated outside the protocol. The stream leg proves the end state
+  * equals the all-at-once build: same rows, no duplicates, identical
+  * exact serving.
+  */
+class AnnIngestSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def evAll = Tables.embeddings(spark, sf)
+
+  private def asVec(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+
+  /** Fresh half-built index (even vec_ids) in a temp dir. */
+  private def halfIndex(): Ann.IvfIndex = {
+    val t = tmp("graft-ingest-idx-")
+    Ann.buildFrom(spark, asVec(evAll.filter(col("vec_id") % 2 === 0)),
+      Ann.Cells, t)
+  }
+
+  test("a replayed batch with a commit marker is skipped, not re-appended") {
+    val idx = halfIndex()
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 7L))
+    val after = spark.read.parquet(idx.dir).count()
+    // replay of the SAME epoch: marker short-circuits
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 7L))
+    assert(spark.read.parquet(idx.dir).count() === after)
+  }
+
+  test("crash-window replay (rows committed, marker missing) skips and heals the marker") {
+    val idx = halfIndex()
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    // simulate: append job committed, then crash before the marker
+    Ann.appendToIndex(spark, idx, batch)
+    val after = spark.read.parquet(idx.dir).count()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 3L),
+      "presence probe must recognize the committed batch")
+    assert(spark.read.parquet(idx.dir).count() === after,
+      "crash-window replay duplicated rows")
+    assert(new java.io.File(idx.dir, "_ingest_commits/batch-3").exists(),
+      "marker not healed")
+    // NEXT replay takes the cheap marker path and still skips
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 3L))
+    assert(spark.read.parquet(idx.dir).count() === after)
+  }
+
+  test("a partially-present batch throws instead of guessing") {
+    val idx = halfIndex()
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    // an out-of-protocol mutation: only HALF the batch's rows present
+    Ann.appendToIndex(spark, idx, batch.filter(col("vec_id") % 8 === 1))
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIndexIdempotent(spark, idx, batch, 9L)
+    }
+    assert(e.getMessage.contains("partial"))
+  }
+
+  test("empty batch commits its marker without touching the index") {
+    val idx = halfIndex()
+    val before = spark.read.parquet(idx.dir).count()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, evAll.limit(0), 0L))
+    assert(spark.read.parquet(idx.dir).count() === before)
+    assert(new java.io.File(idx.dir, "_ingest_commits/batch-0").exists())
+  }
+
+  test("stream ingest with mid-run stop + restart lands the odd half exactly once") {
+    val idx = halfIndex()
+    val srcDir = tmp("graft-ingest-src-")
+    val ckpt = tmp("graft-ingest-ckpt-")
+    val odd = evAll.filter(col("vec_id") % 2 === 1)
+    // 6 files -> 6 micro-batches at maxFilesPerTrigger=1
+    odd.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val schema = evAll.schema
+    // leg 1: stop mid-stream after >= 2 batches (offsets WAL'd ahead of
+    // commits is exactly the state a crash leaves)
+    val q1 = EmbedIngest.ingestQuery(
+      EmbedIngest.embeddingFileStream(spark, srcDir, schema), idx, ckpt,
+      Trigger.ProcessingTime(0L))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "leg 1 processed nothing — the restart would replay from scratch")
+    // leg 2: same checkpoint, drain to the end
+    val q2 = EmbedIngest.ingestQuery(
+      EmbedIngest.embeddingFileStream(spark, srcDir, schema), idx, ckpt)
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(idx.dir)
+    assert(got.count() === evAll.count(), "row conservation broke")
+    assert(got.select(col("vec_id")).distinct().count() === evAll.count(),
+      "duplicate vec_ids — exactly-once broke")
+    // exact serving over the streamed index == the brute-force oracle
+    val qv = evAll.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    val served = got
+      .filter(col("cell").isin(idx.probeCells(qv, idx.cents.length): _*))
+      .withColumn("sim", round(
+        SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+    val want = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+    assert(served.exceptAll(want).isEmpty && want.exceptAll(served).isEmpty)
+  }
+}
