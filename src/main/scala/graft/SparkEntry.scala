@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Pq, Prune, Relational, SimilarityOps, SketchOps, TemporalOps, TextOps}
+import graft.operators.{Ann, CdcEnvelope, CurationOps, DedupOps, EventOps, MultimodalOps, Pq, Prune, Relational, RetrievalOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,7 +42,7 @@ object SparkEntry {
       SimilarityOps.queries ++ DedupOps.queries ++ Ann.queries ++
       TemporalOps.queries ++ MultimodalOps.queries ++ CdcEnvelope.queries ++
       CurationOps.queries ++ SketchOps.queries ++ Prune.queries ++
-      Pq.queries)
+      Pq.queries ++ RetrievalOps.queries)
       .map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) =>
         { pinSessionDefaults(s); fn(s, d) })
@@ -72,5 +72,5 @@ object SparkEntry {
       SimilarityOps.oracles ++ DedupOps.oracles ++ Ann.oracles ++
       TemporalOps.oracles ++ MultimodalOps.oracles ++ CdcEnvelope.oracles ++
       CurationOps.oracles ++ SketchOps.oracles ++ Prune.oracles ++
-      Pq.oracles
+      Pq.oracles ++ RetrievalOps.oracles
 }

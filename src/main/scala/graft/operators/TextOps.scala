@@ -71,7 +71,19 @@ object TextOps {
     * variant), tf part = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). The
     * global statistics frame is ONE row regardless of corpus size.
     */
-  private[operators] def bm25Top(df: DataFrame, terms: Seq[String]): DataFrame = {
+  private[operators] def bm25Top(df: DataFrame, terms: Seq[String]): DataFrame =
+    bm25Scores(df, terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** The un-truncated scoring frame behind [[bm25Top]] — one row per
+    * document. Exposed so the hybrid-retrieval fusion can take its own
+    * arm-sized top-N without re-deriving the scoring arithmetic (the
+    * two MUST be bit-identical or the fused ranks drift from the
+    * lexical query's).
+    */
+  private[operators] def bm25Scores(df: DataFrame, terms: Seq[String])
+      : DataFrame = {
     require(terms.nonEmpty, "bm25: need at least one query term")
     val toks = split(col("text"), " ")
     val base = df.select(
@@ -97,8 +109,6 @@ object TextOps {
     base.crossJoin(broadcast(g))
       .withColumn("bm25", round(terms.indices.map(part).reduce(_ + _), 4))
       .select(col("doc_id"), col("dl"), col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** DuckDB twin of [[bm25Top]], generated from the same term list.
@@ -107,6 +117,19 @@ object TextOps {
     * array-element equality.
     */
   private def bm25OracleSql(terms: Seq[String]): String = {
+    val (ctes, parts) = bm25OracleCore(terms)
+    s"""WITH $ctes
+         SELECT doc_id, dl, round($parts, 4) AS bm25
+         FROM t, g ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
+  /** The reusable pieces of [[bm25OracleSql]]: the `d`/`t`/`g` CTE chain
+    * and the per-document score expression (reads from `t, g`). Shared
+    * with the hybrid-retrieval oracle so the lexical arm's DuckDB
+    * arithmetic is the SAME text, not a drift-prone copy.
+    */
+  private[operators] def bm25OracleCore(terms: Seq[String])
+      : (String, String) = {
     def q(t: String) = t.replace("'", "''")
     val tfCols = terms.indices.map(i =>
       s"CAST(len(list_filter(ts, x -> x = '${q(terms(i))}')) AS BIGINT) AS tf$i")
@@ -119,14 +142,14 @@ object TextOps {
         "1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / " +
         "(CAST(sumdl AS DOUBLE) / n)))))")
       .mkString("\n           + ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+    val ctes =
+      s"""d AS (SELECT doc_id, string_split(text, ' ') AS ts
             FROM documents),
          t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
              $tfCols
            FROM d),
-         g AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM t)
-         SELECT doc_id, dl, round($parts, 4) AS bm25
-         FROM t, g ORDER BY bm25 DESC, doc_id LIMIT 20"""
+         g AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM t)"""
+    (ctes, parts)
   }
 
   /** OOV bucket token. Tokens come from splitting on the space character, so

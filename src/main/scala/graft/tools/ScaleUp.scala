@@ -265,6 +265,18 @@ object ScaleUp {
     spark.stop()
   }
 
+  /** Write with ONE file per core instead of inheriting the source's
+    * file count: the explode-based copy keeps the input partitioning,
+    * so a factor-100 scale of a single-file table used to land 60 M
+    * rows in 2 files — a ~300 MB scan that planned only ~3 input
+    * slices on a 32-core box (measured: q05's star join 66 s min-of-3
+    * on that layout). A fixture corpus must not smuggle a parallelism
+    * handicap into every number measured on it. The repartition is a
+    * round-robin of the copies — row order changes, which no consumer
+    * observes (every registry query totally orders its output, and the
+    * dedup/band geometries derive from counts, not order).
+    */
   private def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(path)
 }
