@@ -610,6 +610,14 @@ object Ann {
     * not an index append) and unique within the batch. Returns true
     * when rows were appended, false when the batch was recognized as
     * already present (either marker or probe) and skipped.
+    *
+    * Generation swaps compose with this: [[compactIndex]] does NOT
+    * carry `_ingest_commits` into the new dir, and doesn't need to —
+    * the checkpoint (not the marker) stops committed epochs from ever
+    * re-firing, so the only epoch that can replay after a
+    * restart-against-the-compacted-dir is the in-flight one, and the
+    * presence probe recognizes its rows (compaction carried them) and
+    * heals the marker in the new generation.
     */
   def appendToIndexIdempotent(s: SparkSession, idx: IvfIndex,
       batch: DataFrame, batchId: Long): Boolean = {

@@ -80,6 +80,26 @@ class AnnIngestSpec extends SparkSpec {
     assert(new java.io.File(idx.dir, "_ingest_commits/batch-0").exists())
   }
 
+  test("an epoch replayed against the COMPACTED generation is recognized and skipped") {
+    // the generation-swap composition the scaladoc claims: markers
+    // don't carry through compactIndex, but the presence probe
+    // recognizes the carried rows and heals the marker in the new dir
+    val idx = halfIndex()
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 5L))
+    val dst = tmp("graft-ingest-compact-")
+    val out = Ann.compactIndex(spark, idx, dst)
+    assert(!new java.io.File(dst, "_ingest_commits/batch-5").exists(),
+      "compaction must not carry ingest markers")
+    val n = spark.read.parquet(dst).count()
+    assert(!Ann.appendToIndexIdempotent(spark, out, batch, 5L),
+      "replay against the new generation must recognize carried rows")
+    assert(spark.read.parquet(dst).count() === n,
+      "generation-swap replay duplicated rows")
+    assert(new java.io.File(dst, "_ingest_commits/batch-5").exists(),
+      "marker not healed in the new generation")
+  }
+
   test("stream ingest with mid-run stop + restart lands the odd half exactly once") {
     val idx = halfIndex()
     val srcDir = tmp("graft-ingest-src-")
