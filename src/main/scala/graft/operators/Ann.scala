@@ -627,44 +627,50 @@ object Ann {
     if (fs.exists(marker)) return false
     val rows = batch.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("vec"))
-    // ONE batch-sized assignment pass serves the probe's collect AND
+    // ONE batch-sized assignment pass serves the presence probe AND
     // the append's write: the n·k·dim nearest-centroid kernel is the
     // dominant per-batch cost, so recomputing it for the write would
-    // double every micro-batch. Persisted, not localCheckpoint'd — the
-    // frame is ingest-batch-sized and the collect below is bounded by
-    // it, same class as the query-vector collects.
+    // double every micro-batch. Persisted, not localCheckpoint'd —
+    // the frame is ingest-batch-sized.
     val assignedDf = assignedRows(unitNormed(rows), idx.cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned =
+    val result =
       try {
-        val a = assignedDf.select(col("vec_id"), col("cell")).collect()
-        val didAppend = a.nonEmpty && {
-          val cells = a.map(_.getInt(1)).distinct.toSeq
-          val ids = a.map(_.getLong(0)).toSet
+        // the driver holds only the batch's DISTINCT cell list (≤ k
+        // ints — geometry-bounded) and two counts; the presence check
+        // itself is a distributed semi-join of the probed cells
+        // against the batch ids, never a collect of cell contents
+        // (cells hold ~TargetCellRows rows each, so collecting them
+        // would put ~200× the batch on the driver)
+        val batchCells = assignedDf.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchCount = assignedDf.count()
+        val didAppend = batchCount > 0 && {
           val present = s.read.parquet(idx.dir)
-            .filter(col("cell").isin(cells: _*))
-            .select(col("vec_id")).collect()
-            .map(_.getLong(0)).count(ids)
+            .filter(col("cell").isin(batchCells: _*))
+            .join(assignedDf.select(col("vec_id")),
+              Seq("vec_id"), "left_semi")
+            .count()
           if (present == 0) {
             assignedDf
               .repartition(col("cell"))
               .write.mode("append").partitionBy("cell").parquet(idx.dir)
             true
           } else {
-            require(present == ids.size,
-              s"index has $present of ${ids.size} batch rows — a " +
+            require(present == batchCount,
+              s"index has $present of $batchCount batch rows — a " +
                 "partial append cannot come from the atomic commit " +
                 "protocol; the index dir was modified outside the " +
                 "ingest path")
             false
           }
         }
-        (a.length, didAppend)
+        (batchCount, didAppend)
       } finally assignedDf.unpersist()
     val out = fs.create(marker, true)
-    out.write(s"rows=${assigned._1}\n".getBytes("UTF-8"))
+    out.write(s"rows=${result._1}\n".getBytes("UTF-8"))
     out.close()
-    assigned._2
+    result._2
   }
 
   /** Tombstone subdir (`_`-prefixed → invisible to the

@@ -27,10 +27,13 @@ import graft.streaming.EmbedIngest
   *   4. the parent asserts the exactly-once contract on the final
   *      index: row conservation (== corpus count), DISTINCT vec_ids
   *      (conservation alone cannot distinguish exactly-once from
-  *      loss+duplication canceling), one commit marker per batch, and
-  *      full-probe serving == the brute-force exact top-20 over the
-  *      whole corpus — the append gate's standard, now held across a
-  *      process death.
+  *      loss+duplication canceling), one commit marker per COMMITTED
+  *      EPOCH (epochs, not staged files, are the exactly-once unit —
+  *      a kill landing before the in-flight epoch's offsets hit the
+  *      WAL makes the resume re-plan that epoch and it may coalesce
+  *      several files), and full-probe serving == the brute-force
+  *      exact top-20 over the whole corpus — the append gate's
+  *      standard, now held across a process death.
   *
   * Usage (parent):
   *   tools/javamain.sh graft.tools.IngestRehearsal \
@@ -190,8 +193,21 @@ object IngestRehearsal {
     val markers = Option(new java.io.File(s"$wd/index/_ingest_commits")
       .listFiles()).map(_.count(_.getName.startsWith("batch-")))
       .getOrElse(0)
-    require(markers == nBatches,
-      s"expected $nBatches commit markers, found $markers")
+    // EPOCHS, not files, are the exactly-once unit: when the SIGKILL
+    // lands BEFORE the in-flight epoch's offsets hit the WAL, the
+    // resume re-plans that epoch fresh and may coalesce several source
+    // files into it (observed: offsets jump 3 → 5 in one epoch), so
+    // "one marker per staged file" is not an invariant — one marker
+    // per COMMITTED epoch is. Read the count from the checkpoint's own
+    // commit log.
+    val committedEpochs = Option(new java.io.File(s"$wd/ckpt/commits")
+      .listFiles()).map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    require(markers == committedEpochs,
+      s"expected one marker per committed epoch ($committedEpochs), " +
+        s"found $markers")
+    require(markers >= killThreshold,
+      s"only $markers epochs committed — the kill threshold " +
+        s"$killThreshold was never reached, recovery unexercised")
     val qv = ev.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
       .first().getSeq[Double](0)
@@ -218,7 +234,8 @@ object IngestRehearsal {
 
     val json =
       s"""{"corpus":"$corpus","n_vectors":$n,"cells":$k,
-         |"n_batches":$nBatches,"kill_threshold":$killThreshold,
+         |"n_batches":$nBatches,"committed_epochs":$committedEpochs,
+         |"kill_threshold":$killThreshold,
          |"kill":"fork_sigkill","staging_build_sec":$buildSec,
          |"stream_wall_sec":$wallSec,
          |"rows":$total,"distinct_vec_ids":$distinct,
