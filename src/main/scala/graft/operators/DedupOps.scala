@@ -317,10 +317,61 @@ object DedupOps {
     * it and reports recall on the near-threshold (hardest) pairs —
     * boundary-straddling pairs are exactly the ones extra probes
     * recover.
+    *
+    * Since round 10 the measurement can drive the default directly:
+    * point `spark.graft.dedup.semanticProbesCalibration` at the JSON
+    * artifact RoutedCosineCheck writes for YOUR corpus and the width
+    * becomes the SMALLEST swept value whose measured recalls clear the
+    * deployment's floors (`spark.graft.dedup.semanticRecallFloor`,
+    * default 0.9 overall; `spark.graft.dedup.semanticNearRecallFloor`,
+    * default 0.0 — near-threshold recall unconstrained unless asked
+    * for). Routed recall is a property of the corpus DISTRIBUTION, so
+    * unlike nprobe there is no geometry it could derive from — the
+    * knee must be measured, and this closes the loop measurement →
+    * knob without a human transcribing numbers. Precedence: an
+    * explicit `semanticProbes` always wins; a calibration path that is
+    * unreadable or whose sweep cannot reach the floors THROWS (a
+    * mis-pointed calibration is a config error, not a silent fallback
+    * to a default the deployment explicitly tried to replace).
     */
   private[graft] def semDedupProbesOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.dedup.semanticProbes")
-      .map(_.toInt).getOrElse(SemDedupProbes)
+      .map(_.toInt)
+      .orElse(calibratedProbesOf(s))
+      .getOrElse(SemDedupProbes)
+
+  /** Parse the RoutedCosineCheck artifact and pick the knee — see
+    * [[semDedupProbesOf]]. Session-memoized per (path, floors): the
+    * artifact is a driver-tiny single JSON object.
+    */
+  private def calibratedProbesOf(s: SparkSession): Option[Int] =
+    s.conf.getOption("spark.graft.dedup.semanticProbesCalibration")
+      .map { path =>
+        val floor = s.conf
+          .getOption("spark.graft.dedup.semanticRecallFloor")
+          .map(_.toDouble).getOrElse(0.9)
+        val nearFloor = s.conf
+          .getOption("spark.graft.dedup.semanticNearRecallFloor")
+          .map(_.toDouble).getOrElse(0.0)
+        SessionCache.memo(s, s"semProbesCal#$path#$floor#$nearFloor", {
+          val sweep = s.read.option("multiLine", "true").json(path)
+            .select(explode(col("sweep")).as("p"))
+            .select(col("p.probes").cast("int").as("w"),
+              col("p.recall").cast("double").as("r"),
+              col("p.near_threshold_recall").cast("double").as("nr"))
+            .collect()
+            .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+            .sortBy(_._1)
+          require(sweep.nonEmpty,
+            s"calibration artifact $path carries no probe sweep")
+          val ok = sweep.find(x => x._2 >= floor && x._3 >= nearFloor)
+          require(ok.isDefined,
+            s"no swept width in $path reaches recall ≥ $floor AND " +
+              s"near-threshold recall ≥ $nearFloor (widest: " +
+              s"${sweep.last}) — re-sweep wider or lower the floors")
+          ok.get._1
+        })
+      }
 
   /** Fail-fast guard for blocked all-pairs operators: a block whose row
     * count exceeds `maxBlockRows` would generate n²/2 pairs inside one
