@@ -57,7 +57,15 @@ object Relational {
           col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // ORDER BY every projected column: the synthetic fixture does
+        // NOT make (l_orderkey, l_linenumber) unique (unlike real
+        // TPC-H), and a tie under the sort is an engine-dependent row
+        // order — it happened to agree with DuckDB up to sf1 and broke
+        // at sf10. A total order over the whole row is tie-proof:
+        // remaining duplicates are identical rows, which hash the same
+        // in any order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
     }),
 
     // ---- 3-way join + agg + top-k (TPC-H Q3 shape) ----
@@ -340,7 +348,7 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_quantity > 45
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate""",
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

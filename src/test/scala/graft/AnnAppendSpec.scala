@@ -139,6 +139,54 @@ class AnnAppendSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
   }
 
+  test("randomized splits: build/append/delete composition == brute force over survivors") {
+    // generalizes the even/odd gates: three seeded random partitions of
+    // the corpus into (base, batch, doomed) — build on base, append
+    // batch, tombstone doomed — full-probe serving must equal brute
+    // force over base ∪ batch ∖ doomed for EVERY split, not just the
+    // parity the gates use
+    val ev = Tables.embeddings(spark, sf)
+    val qv = ev.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    for (seed <- Seq(11L, 42L, 97L)) {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-random-split-$seed-").toString
+      // deterministic 3-way split on a seeded hash: ~60% base,
+      // ~30% batch, ~10% doomed (doomed ⊂ base ∪ batch)
+      val bucket = pmod(xxhash64(col("vec_id"), lit(seed)), lit(10))
+      val base = ev.filter(bucket < 6)
+      val batch = ev.filter(bucket >= 6)
+      val doomed = ev.filter(pmod(xxhash64(col("vec_id"), lit(seed + 1)),
+        lit(10)) === 0)
+      val idx = Ann.buildFrom(spark,
+        base.select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        Ann.Cells, t)
+      Ann.appendToIndex(spark, idx, batch)
+      Ann.deleteFromIndex(spark, idx, doomed)
+      val probed = idx.probeCells(qv, idx.cents.length)
+      val got = Ann.indexData(spark, idx)
+        .filter(col("cell").isin(probed: _*))
+        .withColumn("sim", round(
+          SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = ev
+        .join(doomed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+        .withColumn("sim", round(
+          SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want, s"seed $seed: lifecycle serving != brute force")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+    }
+  }
+
   test("compacted generation serves the identical full-probe answer") {
     val dst = java.nio.file.Files
       .createTempDirectory("graft-compact-serve-").toString
