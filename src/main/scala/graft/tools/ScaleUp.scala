@@ -62,6 +62,43 @@ object ScaleUp {
     (0 until 26).map(i => a26((mul * i + off) % 26)).mkString
   }
 
+  /** Provenance marker every ScaleUp output carries. Chaining ScaleUp
+    * over its own output is INVALID — affine permutations compose
+    * (σ_k2∘σ_k1 collisions hand distinct copy pairs IDENTICAL text, a
+    * duplicate clique per doc), and the round-10 session measured the
+    * consequence as a 3× dedup slowdown before a re-read caught it.
+    * The scaladoc rule is now a guard: [[requireNotChained]] refuses a
+    * marked source with an error naming the ORIGINAL corpus to scale
+    * from instead.
+    */
+  private[graft] val ProvenanceMarker = "_GRAFT_SCALEUP"
+
+  /** Throws when `srcDir` is itself a ScaleUp output (carries the
+    * provenance marker), naming the original source recorded in it.
+    * Direct re-scaling of an original corpus at a larger factor is the
+    * sanctioned path and passes untouched.
+    */
+  private[graft] def requireNotChained(srcDir: String): Unit = {
+    val m = java.nio.file.Paths.get(srcDir, ProvenanceMarker)
+    if (java.nio.file.Files.exists(m)) {
+      val prov = new String(java.nio.file.Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      throw new IllegalArgumentException(
+        s"$srcDir is already a ScaleUp output ($prov) — chaining ScaleUp " +
+          "composes the per-copy permutations and collides distinct copy " +
+          "pairs into duplicate cliques (measured: 3x dedup slowdown). " +
+          "Scale the ORIGINAL corpus named above with a larger factor " +
+          "instead.")
+    }
+  }
+
+  private def writeProvenance(dst: String, src: String, factor: Int,
+      mode: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst, ProvenanceMarker),
+      (s"""{"src": "$src", "factor": $factor, "mode": "$mode"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Copy k's vector isometry on a `dim`-dimensional index space: the
     * k-th element of the dihedral group — rotate by k mod dim, on the
     * REVERSED coordinate order for k ≥ dim. Returns the source index
@@ -88,6 +125,9 @@ object ScaleUp {
     // document families cannot. Collision-freedom is checked against
     // the actual key ranges below.
     val eventsOnly = args.length > 3 && args(3) == "events-only"
+    // refuse to scale a corpus that is itself a ScaleUp output — see
+    // ProvenanceMarker (permutation composition = duplicate cliques)
+    requireNotChained(src)
     // The per-copy text bijection family is the AFFINE permutation group
     // of the 26-letter alphabet, i → (a·i + b) mod 26 with gcd(a,26)=1:
     // 12 valid multipliers × 26 offsets = 312 distinct bijections, so a
@@ -145,8 +185,10 @@ object ScaleUp {
           "document/embedding tables were deliberately not scaled — " +
           "their bijection families cap at factor 312 / 2*dim\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeProvenance(dst, src, factor, "events-only")
       println(s"[scaleup] events-only: wrote $dst/events.parquet at " +
-        s"factor $factor (marker _GRAFT_EVENTS_ONLY written)")
+        s"factor $factor (markers _GRAFT_EVENTS_ONLY + _GRAFT_SCALEUP " +
+        "written)")
       spark.stop()
       return
     }
@@ -260,8 +302,9 @@ object ScaleUp {
       write(spark.read.parquet(s"$src/$t.parquet"), s"$dst/$t.parquet")
     }
 
+    writeProvenance(dst, src, factor, "full")
     println(s"[scaleup] wrote ${factor}x of all tables from $src to $dst " +
-      "(nation/region dims copied fixed)")
+      "(nation/region dims copied fixed; provenance marker written)")
     spark.stop()
   }
 

@@ -75,4 +75,26 @@ class ScaleUpSpec extends AnyFunSuite {
       assert(viaIndex === viaExprShape, s"k=$k")
     }
   }
+
+  test("chaining guard: a marked ScaleUp output refuses to be a source") {
+    // the trap this kills cost round 10 a 3x dedup mis-measurement:
+    // sf0.1 -> sf1 -> sf10 chained two affine permutations, and distinct
+    // (k1,k2) pairs composed into the SAME map = duplicate cliques
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-")
+    java.nio.file.Files.write(
+      dir.resolve("_GRAFT_SCALEUP"),
+      """{"src": "/root/testdata/sf0.1", "factor": 10, "mode": "full"}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.requireNotChained(dir.toString)
+    }
+    // the error must NAME the original corpus so the fix is in the message
+    assert(e.getMessage.contains("/root/testdata/sf0.1"))
+    assert(e.getMessage.contains("ORIGINAL"))
+  }
+
+  test("chaining guard: an unmarked (original) source passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-orig-")
+    ScaleUp.requireNotChained(dir.toString) // must not throw
+  }
 }

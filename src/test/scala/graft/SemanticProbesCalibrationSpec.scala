@@ -25,13 +25,6 @@ class SemanticProbesCalibrationSpec extends SparkSpec {
     p.toString
   }
 
-  private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
-    val s = spark.newSession()
-    kv.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally kv.foreach { case (k, _) => s.conf.unset(k) }
-  }
-
   test("no confs -> the static default") {
     assert(DedupOps.semDedupProbesOf(spark.newSession()) ===
       DedupOps.SemDedupProbes)

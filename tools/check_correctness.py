@@ -14,14 +14,32 @@ docs, so BOTH the all-pairs list_intersect form (~hours at 5k docs) and a
 grouped-intersection rewrite (sum of df^2 = 1.5e9 join rows, measured)
 melt — gate it at sf0.01 only.
 """
-import sys, json, glob, os
+import sys, json, glob, os, shutil
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Where DuckDB may spill, and how much. Unbounded spill once left 75 GiB
+# of duckdb_temp_storage-*.tmp under .tmp/, filled the disk to 100%, and
+# took a whole round's driver artifacts down with it — a melting oracle
+# must fail ITS query, not the machine.
+SPILL_DIR = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "duckdb_spill"))
+SPILL_CAP = "20GiB"
+
 def main(sf_dir, out_dir, only=()):
+    # clean leftovers from any previous crashed run (old unbounded runs
+    # spilled directly under .tmp/ — sweep that pattern too)
+    shutil.rmtree(SPILL_DIR, ignore_errors=True)
+    for stale in glob.glob(os.path.join(os.path.dirname(SPILL_DIR),
+                                        "duckdb_temp_storage-*.tmp")):
+        try: os.remove(stale)
+        except OSError: pass
+    os.makedirs(SPILL_DIR, exist_ok=True)
     con = duckdb.connect()
+    con.sql(f"SET temp_directory='{SPILL_DIR}'")
+    con.sql(f"SET max_temp_directory_size='{SPILL_CAP}'")
     for t in TABLES:
         # testdata tables are single files; ScaleUp rehearsal corpora are
         # Spark-written directories of part files — glob those
@@ -66,6 +84,10 @@ def main(sf_dir, out_dir, only=()):
         else:
             print(f"PASS {name} ({len(want)} rows)"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    con.close()
+    # a clean exit leaves no spill behind (the "full sweep leaves .tmp
+    # empty" contract); a crash leaves it for the next run's cleanup above
+    shutil.rmtree(SPILL_DIR, ignore_errors=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
