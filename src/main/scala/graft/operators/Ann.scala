@@ -585,6 +585,10 @@ object Ann {
     assignedRows(unitNormed(base), idx.cents)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(idx.dir)
+    // re-ingest wins: an appended id that was tombstoned serves again
+    // (see deleteFromIndex's semantics note)
+    clearTombstones(s, idx, base.select(col("vec_id")))
+    ()
   }
 
   /** Exactly-once wrapper around [[appendToIndex]] for STREAMING ingest
@@ -595,21 +599,31 @@ object Ann {
     * per-batch commit marker under `_ingest_commits/` (the `_` prefix
     * keeps it invisible to the partition-discovering data read), plus
     * an EXACT probe for the one window the marker alone can't close:
-    * a crash AFTER the append job committed but BEFORE the marker
-    * write. On replay with no marker, the batch is re-assigned to the
-    * frozen centroids and ONLY its own cells are scanned (partition
-    * pruning — recovery cost is bounded by the batch's cell occupancy,
-    * never a corpus pass) for the batch's vec_ids. The append job is
-    * atomic (file-source commit protocol), so the probe sees either
-    * none of the batch (crash before commit → append now) or all of it
-    * (the marker window → just write the marker); a partial count is
-    * corruption and throws rather than guessing.
+    * a crash AFTER the append job started committing but BEFORE the
+    * marker write. On replay with no marker, the batch is re-assigned
+    * to the frozen centroids and ONLY its own cells are scanned
+    * (partition pruning — recovery cost is bounded by the batch's cell
+    * occupancy, never a corpus pass) for the batch's vec_ids; the
+    * replay then appends EXACTLY the missing complement. A partial
+    * count is therefore repaired, not refused: FileOutputCommitter's
+    * job commit is a loop of per-task renames — not one atomic op,
+    * especially on object stores — so a crash inside the commit window
+    * can legitimately leave some task files visible and others not.
+    * (Appending the complement converges because batch ids are unique
+    * and already-present rows are never rewritten; a throw here would
+    * wedge the stream permanently on a crash the protocol itself
+    * allows.)
     *
-    * Contract: ingested vec_ids are NEW to the index (the embeddings
-    * ingest shape — an upsert needs the latest-state compaction path,
-    * not an index append) and unique within the batch. Returns true
-    * when rows were appended, false when the batch was recognized as
-    * already present (either marker or probe) and skipped.
+    * Contract: ingested vec_ids are not LIVE in the index (the
+    * embeddings ingest shape — an upsert needs the latest-state
+    * compaction path, not an index append) and unique within the
+    * batch. Re-ingesting a TOMBSTONED id is defined: re-ingest wins —
+    * the append clears the covering tombstone ([[clearTombstones]])
+    * whether the row needed appending (tombstoned + compacted away) or
+    * was still physically present (tombstoned, not yet compacted), so
+    * the id serves again either way. Returns true when rows were
+    * appended (fully or as a repair), false when the batch was
+    * recognized as already present (marker or probe) and skipped.
     *
     * Generation swaps compose with this: [[compactIndex]] does NOT
     * carry `_ingest_commits` into the new dir, and doesn't need to —
@@ -617,7 +631,13 @@ object Ann {
     * re-firing, so the only epoch that can replay after a
     * restart-against-the-compacted-dir is the in-flight one, and the
     * presence probe recognizes its rows (compaction carried them) and
-    * heals the marker in the new generation.
+    * heals the marker in the new generation. Markers themselves are
+    * PRUNED to the newest [[MaxIngestMarkers]] after each commit — a
+    * long-running low-churn stream must not grow an unbounded
+    * small-file set in the index dir. Pruning is safe for the same
+    * reason compaction may drop them all: a committed epoch never
+    * re-fires, and if one somehow did, the presence probe recognizes
+    * its rows and re-heals the marker.
     */
   def appendToIndexIdempotent(s: SparkSession, idx: IvfIndex,
       batch: DataFrame, batchId: Long): Boolean = {
@@ -646,31 +666,66 @@ object Ann {
           .collect().map(_.getInt(0)).toSeq
         val batchCount = assignedDf.count()
         val didAppend = batchCount > 0 && {
-          val present = s.read.parquet(idx.dir)
+          val cellIds = s.read.parquet(idx.dir)
             .filter(col("cell").isin(batchCells: _*))
-            .join(assignedDf.select(col("vec_id")),
-              Seq("vec_id"), "left_semi")
+            .select(col("vec_id"))
+          val present = cellIds
+            .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
+              "left_semi")
             .count()
-          if (present == 0) {
-            assignedDf
+          if (present < batchCount) {
+            // none present → the normal append; SOME present → a crash
+            // inside the commit window left a partial batch — append
+            // exactly the missing complement (anti-join over the same
+            // batch-cell-bounded scan)
+            val toAppend =
+              if (present == 0) assignedDf
+              else assignedDf.join(cellIds, Seq("vec_id"), "left_anti")
+            toAppend
               .repartition(col("cell"))
               .write.mode("append").partitionBy("cell").parquet(idx.dir)
             true
-          } else {
-            require(present == batchCount,
-              s"index has $present of $batchCount batch rows — a " +
-                "partial append cannot come from the atomic commit " +
-                "protocol; the index dir was modified outside the " +
-                "ingest path")
-            false
-          }
+          } else false
         }
+        // re-ingest wins over a pending tombstone, on EVERY branch: the
+        // re-ingested id may be physically present (skip/repair paths)
+        // or freshly appended — either way its tombstone must go
+        if (batchCount > 0)
+          clearTombstones(s, idx, assignedDf.select(col("vec_id")))
         (batchCount, didAppend)
       } finally assignedDf.unpersist()
     val out = fs.create(marker, true)
     out.write(s"rows=${result._1}\n".getBytes("UTF-8"))
     out.close()
+    pruneIngestMarkers(fs, commits)
     result._2
+  }
+
+  /** Ingest markers retained after each commit — enough to cover any
+    * sane checkpoint-retained replay range by orders of magnitude (the
+    * only epoch that CAN replay is the in-flight one), while bounding
+    * the small-file set a years-long low-churn stream would otherwise
+    * accumulate one-per-epoch.
+    */
+  val MaxIngestMarkers = 256
+
+  /** Drop all but the newest [[MaxIngestMarkers]] markers (by batchId —
+    * epoch order, not mtime). Safe because a pruned epoch can no longer
+    * replay; the presence probe backstops even that (see
+    * [[appendToIndexIdempotent]]).
+    */
+  private[graft] def pruneIngestMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      commits: org.apache.hadoop.fs.Path): Unit = {
+    val ids = fs.listStatus(commits).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-"))
+        scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+          .map(_ -> st.getPath)
+      else None
+    }
+    if (ids.length > MaxIngestMarkers)
+      ids.sortBy(_._1).dropRight(MaxIngestMarkers)
+        .foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Tombstone subdir (`_`-prefixed → invisible to the
@@ -678,6 +733,97 @@ object Ann {
     * `_ingest_commits`).
     */
   private val DeletesDir = "_deletes"
+
+  /** Staging sibling for a tombstone-set REWRITE (re-ingest clearing —
+    * see [[clearTombstones]]): the new set is written COMPLETE here
+    * before the old dir is removed and this renamed over it, so no
+    * crash window ever loses tombstones that should survive (losing one
+    * silently resurrects a deleted row — the GDPR-bad direction; the
+    * safe direction, a crash leaving the OLD set, merely keeps the
+    * re-ingested id hidden until the epoch replays and re-clears).
+    * Readers prefer this dir when it exists (it is always the newer,
+    * complete set); writers promote it before touching tombstones.
+    */
+  private val DeletesNextDir = "_deletes.next"
+
+  private def hadoopFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The CURRENT tombstone set's path, if any: a completed-but-unswapped
+    * rewrite (`_deletes.next`) wins over `_deletes` — it is by
+    * construction the newer complete set. Read-only (safe under
+    * concurrent readers); writers call [[promoteDeletesSwap]] first.
+    */
+  private def liveDeletesPath(s: SparkSession, idx: IvfIndex)
+      : Option[String] = {
+    val next = new org.apache.hadoop.fs.Path(idx.dir, DeletesNextDir)
+    val cur = new org.apache.hadoop.fs.Path(idx.dir, DeletesDir)
+    val fs = hadoopFs(s, next)
+    if (fs.exists(next)) Some(next.toString)
+    else if (fs.exists(cur)) Some(cur.toString)
+    else None
+  }
+
+  /** Finish a tombstone rewrite a crash may have left half-swapped:
+    * `_deletes.next`, when present, is complete and newer — remove the
+    * stale `_deletes` and rename it into place. Writer-side only (the
+    * single-writer maintenance/ingest contract every mutation path here
+    * already assumes); readers never mutate, they just prefer `.next`.
+    */
+  private def promoteDeletesSwap(s: SparkSession, idx: IvfIndex): Unit = {
+    val next = new org.apache.hadoop.fs.Path(idx.dir, DeletesNextDir)
+    val cur = new org.apache.hadoop.fs.Path(idx.dir, DeletesDir)
+    val fs = hadoopFs(s, next)
+    if (fs.exists(next)) {
+      fs.delete(cur, true)
+      fs.rename(next, cur)
+      ()
+    }
+  }
+
+  /** Re-ingest WINS over a pending tombstone — the defined semantics for
+    * the CDC-shaped sequence delete(id) → ingest(id) between
+    * compactions (formerly documented "undefined", which in practice
+    * meant the anti-join silently kept hiding the re-ingested live row):
+    * appending a batch clears any tombstone covering one of its ids, so
+    * the re-ingested row serves immediately. Returns how many
+    * tombstones were cleared.
+    *
+    * The driver-side collect of the SURVIVING set is bounded by the
+    * existing contract: the between-compactions tombstone set is
+    * ingest-batch-class (it already broadcasts at serve time in
+    * [[indexData]]); a tombstone volume that outgrows that is the
+    * signal to compact, not to stream on. Crash-safety: the new set is
+    * written complete into `_deletes.next` before the old dir is
+    * dropped ([[DeletesNextDir]]); every window either keeps the OLD
+    * set (re-clear happens on epoch replay) or serves the NEW complete
+    * set — never a partial one.
+    */
+  private def clearTombstones(s: SparkSession, idx: IvfIndex,
+      ids: DataFrame): Long = {
+    promoteDeletesSwap(s, idx)
+    val cur = new org.apache.hadoop.fs.Path(idx.dir, DeletesDir)
+    val fs = hadoopFs(s, cur)
+    if (!fs.exists(cur)) return 0L
+    val dels = s.read.parquet(cur.toString)
+      .select(col("vec_id")).distinct()
+    val idSet = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val hit = dels.join(broadcast(idSet), Seq("vec_id"), "left_semi").count()
+    if (hit == 0L) return 0L
+    // bounded collect: the tombstone set is broadcast-class by contract
+    val surviving = dels.join(broadcast(idSet), Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    if (surviving.isEmpty) fs.delete(cur, true)
+    else {
+      import s.implicits._
+      val next = new org.apache.hadoop.fs.Path(idx.dir, DeletesNextDir)
+      surviving.toSeq.toDF("vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(next.toString)
+      promoteDeletesSwap(s, idx)
+    }
+    hit
+  }
 
   /** Logical DELETE from the index — the CDC-shaped other half of
     * [[appendToIndex]]: deleted vec_ids land as an appended tombstone
@@ -688,16 +834,27 @@ object Ann {
     * next generation, after which the tombstone set is empty again.
     * Deletes are idempotent (anti-join semantics — tombstoning an id
     * twice, or an id that was never indexed, is a no-op) and win over
-    * the row until compaction; re-ingesting a tombstoned id is
-    * undefined BETWEEN compactions (the ingest contract is NEW ids) and
-    * fine after one. The tombstone set between compactions is assumed
-    * ingest-batch-class (it broadcasts at serve time) — a delete volume
-    * that outgrows broadcast IS the signal to compact.
+    * the row until the id is RE-INGESTED or compacted: delete → ingest
+    * of the same id resolves re-ingest-wins (the append clears the
+    * covering tombstone — [[appendToIndexIdempotent]] /
+    * [[appendToIndex]]), the CDC-natural "latest operation wins" order;
+    * ingest → delete hides the row as usual. Single-writer sequencing
+    * (one maintenance/ingest job mutates an index generation at a time)
+    * is what makes that order well-defined — the same contract every
+    * mutation path here already assumes. The tombstone set between
+    * compactions is assumed ingest-batch-class (it broadcasts at serve
+    * time) — a delete volume that outgrows broadcast IS the signal to
+    * compact.
     */
   def deleteFromIndex(s: SparkSession, idx: IvfIndex, ids: DataFrame)
-      : Unit =
+      : Unit = {
+    // finish any half-swapped tombstone rewrite first: appending into
+    // `_deletes` while a completed `_deletes.next` still shadows it
+    // would hide THIS delete from every reader
+    promoteDeletesSwap(s, idx)
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("append").parquet(s"${idx.dir}/$DeletesDir")
+  }
 
   /** The index's LIVE rows: the at-rest cell-partitioned data minus any
     * tombstoned vec_ids. This is THE read path every serving consumer
@@ -709,13 +866,12 @@ object Ann {
     */
   def indexData(s: SparkSession, idx: IvfIndex): DataFrame = {
     val data = s.read.parquet(idx.dir)
-    val delPath = new org.apache.hadoop.fs.Path(idx.dir, DeletesDir)
-    val fs = delPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delPath)) data
-    else data.join(
-      broadcast(s.read.parquet(delPath.toString)
-        .select(col("vec_id")).distinct()),
-      Seq("vec_id"), "left_anti")
+    liveDeletesPath(s, idx) match {
+      case None => data
+      case Some(p) => data.join(
+        broadcast(s.read.parquet(p).select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    }
   }
 
   /** Maintenance compaction for an appended index — the layout half of
@@ -742,9 +898,21 @@ object Ann {
       : IvfIndex = {
     // LIVE rows only: compaction is where tombstones are applied
     // physically — the new generation starts with an empty delete set
-    indexData(s, idx)
+    val live = indexData(s, idx)
       .select(col("vec_id"), col("label"), col("vec"),
         col("soft_cells"), col("cell"))
+    // An all-tombstoned index (a plausible takedown/retention end state)
+    // must NOT commit: a partitioned write of zero rows emits zero data
+    // files, so the generation would carry a ready marker for a dir
+    // every data read fails on (parquet schema inference) — a marker
+    // claiming servable for something that is not. Refuse with the fix
+    // in the message; full erasure is "delete the index dir", not a
+    // generation swap.
+    require(!live.isEmpty,
+      s"index at ${idx.dir} has no live rows (every row tombstoned) — " +
+        "an empty generation is not servable; delete the index dir " +
+        "and rebuild when data returns instead of compacting")
+    live
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
     commitIndexMeta(s, dstDir, idx.cents)

@@ -94,6 +94,80 @@ class AnnDeleteSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
   }
 
+  test("re-ingest WINS over a pending tombstone — row still physically present") {
+    // delete(id) then ingest(id) BEFORE any compaction: the row is still
+    // in the data files, so the presence probe skips the append — but the
+    // tombstone must be cleared so the id serves again (the old
+    // "undefined" behavior silently kept it hidden)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-reingest-").toString
+    val ev = Tables.embeddings(spark, sf)
+    val asVec = ev.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val idx = Ann.buildFrom(spark, asVec, Ann.Cells, t)
+    val total = ev.count()
+    Ann.deleteFromIndex(spark, idx, ev.filter(col("vec_id") < 4))
+    assert(Ann.indexData(spark, idx).filter(col("vec_id") < 4).count() === 0L)
+    // re-ingest two of the four tombstoned ids as a new epoch
+    assert(!Ann.appendToIndexIdempotent(spark, idx,
+      ev.filter(col("vec_id") < 2), 1L),
+      "physically-present re-ingest must skip the append")
+    val live = Ann.indexData(spark, idx)
+    assert(live.filter(col("vec_id") < 2).count() === 2L,
+      "re-ingested ids must serve again")
+    assert(live.filter(col("vec_id") >= 2 && col("vec_id") < 4).count() === 0L,
+      "non-re-ingested tombstones must survive the rewrite")
+    assert(live.count() === total - 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+  }
+
+  test("re-ingest WINS after compaction erased the row: appended and served") {
+    // delete(id) -> compact (bytes gone) -> ingest(id): the probe finds
+    // nothing, the append lands the fresh row, and no stale tombstone
+    // can hide it (compaction cleared the set)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-reingest2-").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-reingest2-gen2-").toString
+    val ev = Tables.embeddings(spark, sf)
+    val asVec = ev.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val idx = Ann.buildFrom(spark, asVec, Ann.Cells, t)
+    val total = ev.count()
+    Ann.deleteFromIndex(spark, idx, ev.filter(col("vec_id") === 0))
+    val gen2 = Ann.compactIndex(spark, idx, dst)
+    assert(spark.read.parquet(dst).count() === total - 1)
+    assert(Ann.appendToIndexIdempotent(spark, gen2,
+      ev.filter(col("vec_id") === 0), 1L),
+      "post-compaction re-ingest must append")
+    assert(Ann.indexData(spark, gen2).count() === total)
+    assert(Ann.indexData(spark, gen2)
+      .filter(col("vec_id") === 0).count() === 1L)
+    Seq(t, dst).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("compacting an all-tombstoned index refuses instead of committing an unservable generation") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-empty-compact-").toString
+    val ev = Tables.embeddings(spark, sf)
+    val idx = Ann.buildFrom(spark,
+      ev.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")),
+      Ann.Cells, t)
+    Ann.deleteFromIndex(spark, idx, ev.select(col("vec_id")))
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-empty-compact-dst-").toString
+    val e = intercept[IllegalArgumentException] {
+      Ann.compactIndex(spark, idx, dst)
+    }
+    assert(e.getMessage.contains("no live rows"))
+    // nothing was committed: no ready marker in the refused generation
+    assert(!new java.io.File(dst, "_GRAFT_INDEX_READY").exists())
+    Seq(t, dst).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("served top-20 over the deleted index == brute force over survivors") {
     val got = SparkEntry.queries("ann_ivf_delete_gate")(spark, sf)
     val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)

@@ -61,15 +61,47 @@ class AnnIngestSpec extends SparkSpec {
     assert(spark.read.parquet(idx.dir).count() === after)
   }
 
-  test("a partially-present batch throws instead of guessing") {
+  test("a partially-present batch is REPAIRED: replay appends exactly the missing complement") {
+    // a crash inside the append job's commit window (per-task renames,
+    // not one atomic op) legitimately leaves some task files visible —
+    // the replay must converge, not wedge the stream with a throw
     val idx = halfIndex()
     val batch = evAll.filter(col("vec_id") % 4 === 1)
-    // an out-of-protocol mutation: only HALF the batch's rows present
     Ann.appendToIndex(spark, idx, batch.filter(col("vec_id") % 8 === 1))
-    val e = intercept[IllegalArgumentException] {
-      Ann.appendToIndexIdempotent(spark, idx, batch, 9L)
+    val before = spark.read.parquet(idx.dir).count()
+    val missing = batch.filter(col("vec_id") % 8 =!= 1).count()
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 9L),
+      "repair must report an append")
+    val got = spark.read.parquet(idx.dir)
+    assert(got.count() === before + missing,
+      "repair must append exactly the missing complement")
+    assert(got.select(col("vec_id")).distinct().count() === got.count(),
+      "repair duplicated rows")
+    assert(new java.io.File(idx.dir, "_ingest_commits/batch-9").exists())
+    // the epoch is now committed: a further replay is a marker skip
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 9L))
+  }
+
+  test("ingest markers are pruned to the newest MaxIngestMarkers") {
+    val idx = halfIndex()
+    val commits = new java.io.File(idx.dir, "_ingest_commits")
+    commits.mkdirs()
+    // stage MaxIngestMarkers+10 old epochs' markers, then commit one more
+    (0 until Ann.MaxIngestMarkers + 10).foreach { i =>
+      java.nio.file.Files.write(
+        commits.toPath.resolve(s"batch-$i"), "rows=0\n".getBytes("UTF-8"))
     }
-    assert(e.getMessage.contains("partial"))
+    val newEpoch = (Ann.MaxIngestMarkers + 10).toLong
+    assert(!Ann.appendToIndexIdempotent(spark, idx, evAll.limit(0), newEpoch))
+    // ignore the local-FS .crc sidecar the hadoop writer leaves beside
+    // its marker — only batch-* files are the marker set
+    val names = commits.listFiles().map(_.getName)
+      .filter(_.startsWith("batch-")).toSet
+    assert(names.size === Ann.MaxIngestMarkers,
+      s"expected ${Ann.MaxIngestMarkers} retained markers, got ${names.size}")
+    // newest survive (incl. the one just committed); oldest are gone
+    assert(names.contains(s"batch-$newEpoch"))
+    assert(!names.contains("batch-0") && !names.contains("batch-10"))
   }
 
   test("empty batch commits its marker without touching the index") {
