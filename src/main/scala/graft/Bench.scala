@@ -87,6 +87,18 @@ object Bench {
       }
     val pqBuildJson = if (pqBuild.isNaN) "null" else pqBuild.toString
     val pqServingIncludesBuild = pqBuild.isNaN
+    // the IVF-PQ cell-partitioned codes artifact (Pq.buildIvfPqCodes):
+    // a per-generation maintenance build like the index layout, priced
+    // under its own metric so ann_ivfpq_* times are probe+re-rank only
+    val tIvfPq = System.nanoTime()
+    val ivfPqBuild: Double =
+      try { operators.Pq.buildIvfPqCodes(spark, sfDir); (System.nanoTime() - tIvfPq) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivfpq code build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val ivfPqBuildJson = if (ivfPqBuild.isNaN) "null" else ivfPqBuild.toString
+    val ivfPqServingIncludesBuild = ivfPqBuild.isNaN
     // mirror of ann_probe_includes_build: if the pre-build failed, the
     // memoization miss means the first timed dedup consumer
     // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
@@ -137,7 +149,7 @@ object Bench {
     val gateTotal = if (gates.nonEmpty) gates.values.sum else 0.0
     val gateList = gateNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

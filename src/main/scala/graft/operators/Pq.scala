@@ -94,9 +94,50 @@ object Pq {
     */
   val Shortlist = 200
 
-  private def shortlistWidth(s: SparkSession): Int =
+  /** The serving shortlist width: an explicit `spark.graft.pq.shortlist`
+    * always wins; otherwise a calibration artifact
+    * (`spark.graft.pq.shortlistCalibration` → the JSON
+    * [[graft.tools.PqRecallSweep]] writes) picks the SMALLEST swept
+    * width whose measured recall@20 clears `spark.graft.pq.recallFloor`
+    * (default 0.9) — the semanticProbes-calibration precedent: the
+    * knob's default must derive from a measurement of YOUR corpus, not
+    * a constant tuned on someone else's. An unreadable artifact or an
+    * unreachable floor THROWS — a deployment that tried to replace the
+    * static default must never silently get it back.
+    */
+  private[graft] def shortlistWidth(s: SparkSession): Int =
     s.conf.getOption("spark.graft.pq.shortlist")
-      .map(_.toInt).getOrElse(Shortlist)
+      .map(_.toInt)
+      .orElse(calibratedShortlistOf(s))
+      .getOrElse(Shortlist)
+
+  /** Parse the PqRecallSweep artifact and pick the knee — see
+    * [[shortlistWidth]]. Session-memoized per (path, floor): the
+    * artifact is a driver-tiny single JSON object.
+    */
+  private def calibratedShortlistOf(s: SparkSession): Option[Int] =
+    s.conf.getOption("spark.graft.pq.shortlistCalibration")
+      .map { path =>
+        val floor = s.conf.getOption("spark.graft.pq.recallFloor")
+          .map(_.toDouble).getOrElse(0.9)
+        SessionCache.memo(s, s"pqShortlistCal#$path#$floor", {
+          val sweep = s.read.option("multiLine", "true").json(path)
+            .select(explode(col("sweep")).as("p"))
+            .select(col("p.shortlist").cast("int").as("w"),
+              col("p.recall").cast("double").as("r"))
+            .collect()
+            .map(r => (r.getInt(0), r.getDouble(1)))
+            .sortBy(_._1)
+          require(sweep.nonEmpty,
+            s"calibration artifact $path carries no shortlist sweep")
+          val ok = sweep.find(_._2 >= floor)
+          require(ok.isDefined,
+            s"no swept shortlist in $path reaches recall ≥ $floor " +
+              s"(widest: ${sweep.last}) — re-sweep wider or lower the " +
+              "floor")
+          ok.get._1
+        })
+      }
 
   /** Largest divisor of `dim` that is ≤ [[SubspacesMax]] (always ≥ 1). */
   def subspaces(dim: Int): Int =
@@ -197,6 +238,116 @@ object Pq {
     lut
   }
 
+  /** Marker committed LAST after the cell-partitioned codes write (the
+    * [[Ann]] ready-marker discipline: a crash leaves no marker, the next
+    * builder overwrites the partial dir; later sessions LOAD).
+    */
+  private val PqCodesReady = "_GRAFT_PQ_CODES_READY"
+
+  /** IVF-PQ at-rest artifact: the PQ codes of every index row, stored
+    * CELL-PARTITIONED beside the IVF index (`<indexDir>/_pq_codes` —
+    * `_`-prefixed, so the index's partition-discovering data read never
+    * sees it, the `_centroids` trick). This is THE 100 TB serving
+    * composition the [[Ann]] and PQ halves were built for: a probe
+    * ADC-scans ONLY the probed cells' codes (partition pruning on the
+    * same `cell` key as the index) at m bytes per row, then
+    * exact-re-ranks the shortlist from the full-precision index rows of
+    * those same cells — at the deployed geometry that is ~2% of cells ×
+    * 32× smaller rows ≈ 1/1600th of the corpus bytes per query, with
+    * every PUBLISHED similarity still exact.
+    *
+    * Generation discipline: the codes are encoded from the index's
+    * PHYSICAL rows at build time (tombstoned rows may keep stale codes —
+    * harmless: the exact re-rank joins through [[Ann.indexData]], the
+    * live view, so a tombstoned id can never be published; appended rows
+    * are MISSING from the codes until rebuild — rebuild the artifact
+    * with the generation, exactly like the index layout itself).
+    * Returns the codes dir path.
+    */
+  def ivfPqCodes(s: SparkSession, d: String): String =
+    SessionCache.memo(s, s"ivfPqCodes#$d", {
+      val idx = Ann.ivfIndex(s, d)
+      buildPqCodesFor(s, idx, codebooks(s, d))
+    })
+
+  /** Encode + commit the cell-partitioned codes for an index dir (see
+    * [[ivfPqCodes]]); idempotent via the ready marker.
+    */
+  private[graft] def buildPqCodesFor(s: SparkSession, idx: Ann.IvfIndex,
+      books: Array[Array[Array[Double]]]): String = {
+    val dir = s"${idx.dir}/_pq_codes"
+    val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      s.read.parquet(idx.dir)
+        .select(col("vec_id"), col("vec"), col("cell"))
+        .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqExprs.pqEncode(
+            when(col("nrm") === 0, col("vec"))
+              .otherwise(transform(col("vec"), x => x / col("nrm"))),
+            books).as("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
+  /** Explicit maintenance entry for the IVF-PQ codes ([[Ann.buildIndex]]
+    * precedent): [[graft.Bench]] pre-builds through this and reports
+    * `ivfpq_code_build` as its own metric, so `ann_ivfpq_*` query times
+    * are probe-scan + re-rank only.
+    */
+  def buildIvfPqCodes(s: SparkSession, d: String): String = ivfPqCodes(s, d)
+
+  /** The IVF-PQ serving pipeline for the vec_id=0 query: rank cells
+    * driver-side (k·dim centroid rows), ADC-scan ONLY the probed cells'
+    * codes into a top-[[shortlistWidth]] shortlist, exact-cosine re-rank
+    * through the LIVE index view. `allCells=true` probes everything —
+    * the gate mode where the IVF half is exact by construction and the
+    * ONLY remaining approximation is the PQ shortlist cut (the
+    * `ann_ivf_exact_*` device applied to the composition).
+    */
+  private[graft] def ivfPqTopk(s: SparkSession, d: String,
+      allCells: Boolean): DataFrame = {
+    // bounded collect (≤ 1 row): the query vector, the Ann precedent.
+    // Missing query vector (incl. the empty corpus) → empty result,
+    // BEFORE index/codebook training can throw its non-empty require.
+    val qRows = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      embeddings(s, d).filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("sim"))
+    else {
+      val qRaw = qRows(0).getSeq[Double](0).toArray
+      val nrm = math.sqrt(qRaw.map(x => x * x).sum)
+      val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
+      val idx = Ann.ivfIndex(s, d)
+      val books = codebooks(s, d)
+      val lut = adcLut(qUnit, books)
+      val codesDir = ivfPqCodes(s, d)
+      val probed = idx.probeCells(qRaw.toSeq,
+        if (allCells) idx.cents.length else Ann.nprobeOf(s, d))
+      val shortlist = s.read.parquet(codesDir)
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"),
+          graft.functions.PqExprs.pqAdcDot(col("codes"),
+            typedlit(lut.toSeq)).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(shortlistWidth(s))
+        .select(col("vec_id"))
+      Ann.indexData(s, idx)
+        .filter(col("cell").isin(probed: _*))
+        .join(broadcast(shortlist), "vec_id")
+        .withColumn("sim", round(SimilarityOps.cosine(
+          col("vec"), typedlit(qRaw.toSeq)), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // PQ cosine top-20 for the vec_id=0 query: ADC shortlist over the
     // codes table, exact re-rank of the survivors — published sims are
@@ -234,6 +385,32 @@ object Pq {
       }
     }),
 
+    // IVF-PQ top-20 for the vec_id=0 query — the composed 100 TB serving
+    // shape: partition-pruned ADC scan over ONLY the probed cells' codes
+    // (m bytes/row), exact re-rank through the live index view. Two
+    // stacked approximations (cell recall x shortlist recall), so no SQL
+    // oracle (driver rows-only); the gate twin isolates the PQ half and
+    // IvfPqSpec + the decade probe bound the rest.
+    "ann_ivfpq_topk" -> ((s, d) => ivfPqTopk(s, d, allCells = false)),
+
+    // ORACLE GATE for the composition: probe EVERY cell — the IVF half
+    // is exact there (the ann_ivf_exact_* device), so the only remaining
+    // approximation is the PQ shortlist cut, and the sim_pq_topk_gate
+    // contract applies verbatim: top-20 overlap vs brute force >= 18 AND
+    // exact equality of the published sims on the overlap.
+    "ann_ivfpq_gate" -> ((s, d) => {
+      val pq = ivfPqTopk(s, d, allCells = true)
+        .select(col("vec_id"), col("sim").as("psim"))
+      val exact = SimilarityOps.queries("sim_cosine_topk")(s, d)
+        .select(col("vec_id"), col("sim").as("esim"))
+      pq.join(exact, Seq("vec_id"))
+        .groupBy(lit(20).as("k"))
+        .agg(count(lit(1)).as("n_overlap"),
+          max(abs(col("psim") - col("esim"))).as("max_err"))
+        .select(col("k"), (col("n_overlap") >= 18).as("recall_ok"),
+          (col("max_err") <= 0.0).as("rerank_exact_ok"))
+    }),
+
     // ORACLE GATE for the PQ path: top-20 overlap vs the exact
     // brute-force query ≥ 18 AND exact equality of the published sims
     // on the overlap (the re-rank contract — stronger than the int8
@@ -255,6 +432,11 @@ object Pq {
 
   val oracles: Map[String, String] = Map(
     "sim_pq_topk_gate" ->
+      """SELECT CAST(20 AS INT) AS k, true AS recall_ok,
+                true AS rerank_exact_ok
+         WHERE EXISTS (SELECT 1 FROM embeddings)""",
+    // all-cells IVF-PQ reduces to the PQ contract — same gate shape
+    "ann_ivfpq_gate" ->
       """SELECT CAST(20 AS INT) AS k, true AS recall_ok,
                 true AS rerank_exact_ok
          WHERE EXISTS (SELECT 1 FROM embeddings)""",

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Pq}
+import graft.sources.Tables
+
+/** The IVF-PQ composition ([[Pq.ivfPqCodes]] / `ann_ivfpq_topk`): codes
+  * stored cell-partitioned beside the index, probe-pruned ADC scan,
+  * exact re-rank through the live index view. The registry gate
+  * hash-checks the all-cells mode against the brute-force oracle; this
+  * spec pins what the hash can't see — the structural reduction to
+  * sim_cosine_topk, the at-rest layout, partition pruning in the plan,
+  * and tombstone safety against stale codes.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  test("all cells + shortlist >= corpus: the composition IS sim_cosine_topk") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pq.shortlist",
+      Tables.embeddings(s, sf).count().toString)
+    val got = Pq.ivfPqTopk(s, sf, allCells = true)
+    val want = SparkEntry.queries("sim_cosine_topk")(s, sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "exhaustive IVF-PQ must publish exactly the brute-force rows")
+  }
+
+  test("gate floors hold at the default shortlist") {
+    val row = SparkEntry.queries("ann_ivfpq_gate")(spark, sf).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(1), "top-20 overlap fell below 18/20")
+    assert(row(0).getBoolean(2), "published sims diverged from exact")
+  }
+
+  test("codes live cell-partitioned beside the index, under a ready marker") {
+    val dir = Pq.ivfPqCodes(spark, sf)
+    val idx = Ann.ivfIndex(spark, sf)
+    assert(dir === s"${idx.dir}/_pq_codes")
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes must be partitioned by cell")
+    assert(new java.io.File(dir, "_GRAFT_PQ_CODES_READY").exists())
+    // the `_`-prefixed subdir is invisible to the index data read
+    assert(spark.read.parquet(idx.dir).columns.toSet ===
+      Set("vec_id", "label", "vec", "soft_cells", "cell"))
+  }
+
+  test("the serving scan is probe-pruned: only probed cells' code files are read") {
+    val idx = Ann.ivfIndex(spark, sf)
+    val plan = Pq.ivfPqTopk(spark, sf, allCells = false)
+      .queryExecution.executedPlan.toString
+    // the codes scan carries the cell partition filter (pruned read)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter on the codes scan, got:\n$plan")
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    val probed = idx.probeCells(qv, Ann.nprobeOf(spark, sf)).toSet
+    assert(probed.size < idx.cents.length,
+      "fixture must actually prune (nprobe < cells)")
+  }
+
+  test("a tombstoned id is never published even though its CODES are stale") {
+    // fresh session => fresh temp index fixture; mutating it cannot
+    // poison the shared-session fixtures other suites read
+    val s = spark.newSession()
+    val idx = Ann.ivfIndex(s, sf)
+    Pq.ivfPqCodes(s, sf) // codes encoded over the full physical index
+    val top = Pq.ivfPqTopk(s, sf, allCells = true).collect()
+    val victim = top(0).getLong(0)
+    import s.implicits._
+    Ann.deleteFromIndex(s, idx, Seq(victim).toDF("vec_id"))
+    val after = Pq.ivfPqTopk(s, sf, allCells = true).collect()
+    assert(!after.map(_.getLong(0)).contains(victim),
+      "stale codes resurrected a tombstoned id through the re-rank")
+    assert(after.length === 20, "serving must backfill to k from the live view")
+  }
+}
