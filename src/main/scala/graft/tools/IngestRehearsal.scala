@@ -37,8 +37,24 @@ import graft.streaming.EmbedIngest
   *
   * Usage (parent):
   *   tools/javamain.sh graft.tools.IngestRehearsal \
-  *     bench/ingest_rehearsal_r10.json /tmp/clustered2m [nBatches]
+  *     bench/ingest_rehearsal_r10.json /tmp/clustered2m [nBatches] [mode]
   * The child role is internal (GRAFT_INGEST_ROLE=child).
+  *
+  * mode `compact-swap` (default `plain`) rehearses MAINTENANCE DURING
+  * INGEST — the generation contract under a crash: the armed child is
+  * SIGKILLed mid-flight as above, then (stream down, exactly when a
+  * maintenance window opens) the parent COMPACTS the half-ingested index
+  * into a new generation — which drops the ingest markers and merges the
+  * per-append files — re-points ingest at the new generation, and the
+  * resumed stream's first replayed epoch lands AGAINST THE SWAPPED DIR:
+  * its marker is gone but compaction carried its rows, so the presence
+  * probe must recognize them and heal the marker in the new generation
+  * (the AnnIngestSpec unit contract, held at decade scale across a real
+  * process death). A SECOND SIGKILL lands mid-drain against the new
+  * generation, proving exactly-once continues within it. Asserts add:
+  * new-generation markers == epochs committed after the swap, zero
+  * carried markers, and the same conservation/DISTINCT/serving-equality
+  * standard on the final swapped index.
   */
 object IngestRehearsal {
   private def session(cpus: String): SparkSession = {
@@ -67,7 +83,10 @@ object IngestRehearsal {
     val wd = sys.env("GRAFT_INGEST_WD")
     val killAt = sys.env.get("GRAFT_INGEST_KILL_AT").map(_.toLong)
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val idx = Ann.openIndex(spark, s"$wd/index")
+    // the generation swap re-points ingest at the new dir (the serving
+    // contract); default = the staged first generation
+    val idx = Ann.openIndex(spark,
+      sys.env.getOrElse("GRAFT_INGEST_INDEX", s"$wd/index"))
     val schema = spark.read.parquet(s"$wd/src").schema
     val src = EmbedIngest.embeddingFileStream(spark, s"$wd/src", schema)
     def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery) =
@@ -103,10 +122,13 @@ object IngestRehearsal {
   private def parent(args: Array[String]): Unit = {
     import scala.jdk.CollectionConverters._
     require(args.length >= 2,
-      "usage: IngestRehearsal <outJson> <corpusDir> [nBatches]")
+      "usage: IngestRehearsal <outJson> <corpusDir> [nBatches] [mode]")
     val outFile = args(0)
     val corpus = args(1)
     val nBatches = if (args.length > 2) args(2).toInt else 8
+    val mode = if (args.length > 3) args(3) else "plain"
+    require(mode == "plain" || mode == "compact-swap",
+      s"unknown mode $mode (plain | compact-swap)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wd = java.nio.file.Files
       .createTempDirectory("graft-ingest-rehearsal-").toString
@@ -174,15 +196,58 @@ object IngestRehearsal {
     java.nio.file.Files.write(java.nio.file.Paths.get(wd, "killed"),
       Array[Byte]())
 
-    // ---- fork 2: resume from the same checkpoint, drain
-    val p2 = launch(Map.empty)
+    def ckptCommits(): Int =
+      Option(new java.io.File(s"$wd/ckpt/commits")
+        .listFiles()).map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    def markerCount(dir: String): Int =
+      Option(new java.io.File(s"$dir/_ingest_commits")
+        .listFiles()).map(_.count(_.getName.startsWith("batch-")))
+        .getOrElse(0)
+
+    // ---- compact-swap mode: the maintenance window opens while the
+    // stream is down (exactly where a crash leaves it) — compact the
+    // half-ingested index into a NEW GENERATION and re-point ingest
+    val epochsAtKill = ckptCommits()
+    val servingDir =
+      if (mode == "compact-swap") {
+        val gen2 = s"$wd/index-gen2"
+        println(s"[ingest] compacting mid-ingest generation into $gen2")
+        val c0 = System.nanoTime()
+        val rowsAtSwap = spark.read.parquet(s"$wd/index").count()
+        Ann.compactIndex(spark, Ann.openIndex(spark, s"$wd/index"), gen2)
+        println(f"[ingest] compaction: $rowsAtSwap rows carried in " +
+          f"${(System.nanoTime() - c0) / 1e9}%.1f s")
+        require(spark.read.parquet(gen2).count() == rowsAtSwap,
+          "compaction dropped rows")
+        require(markerCount(gen2) == 0,
+          "compaction must not carry ingest markers into the generation")
+        // a SECOND SIGKILL lands against the new generation mid-drain:
+        // the first replayed epoch's marker is gone (dropped above) but
+        // its rows were carried — the presence probe must heal it, and
+        // exactly-once must continue within the swapped dir
+        println("[ingest] forking armed child against the new generation")
+        val pk = launch(Map("GRAFT_INGEST_KILL_AT" -> "1",
+          "GRAFT_INGEST_INDEX" -> gen2))
+        val killed2 = drive(pk, Some("READY_TO_KILL"))
+        require(killed2, s"swap-leg child exited (code ${pk.exitValue()}) " +
+          "before the kill point — no SIGKILL was delivered")
+        println(s"[ingest] SIGKILLed swap-leg child pid=${pk.pid()} " +
+          s"(exit ${pk.exitValue()})")
+        gen2
+      } else s"$wd/index"
+
+    // ---- final fork: resume from the same checkpoint, drain
+    val p2 = launch(
+      if (mode == "compact-swap")
+        Map("GRAFT_INGEST_INDEX" -> servingDir)
+      else Map.empty)
     val resumed = drive(p2, None)
     require(!resumed && p2.exitValue() == 0,
       s"resume child failed (exit ${p2.exitValue()})")
     val wallSec = (System.nanoTime() - w0) / 1e9
 
     // ---- asserts: exactly-once + exact serving on the final index
-    val idx = Ann.openIndex(spark, s"$wd/index")
+    val idx = Ann.openIndex(spark, servingDir)
     val got = spark.read.parquet(idx.dir)
     val total = got.count()
     val distinct = got.select(col("vec_id")).distinct().count()
@@ -190,23 +255,26 @@ object IngestRehearsal {
     require(distinct == n, s"duplicate vec_ids: $distinct != $n")
     // the checksummed LocalFileSystem writes a .crc sidecar per marker —
     // count only the markers themselves
-    val markers = Option(new java.io.File(s"$wd/index/_ingest_commits")
-      .listFiles()).map(_.count(_.getName.startsWith("batch-")))
-      .getOrElse(0)
+    val markers = markerCount(servingDir)
     // EPOCHS, not files, are the exactly-once unit: when the SIGKILL
     // lands BEFORE the in-flight epoch's offsets hit the WAL, the
     // resume re-plans that epoch fresh and may coalesce several source
     // files into it (observed: offsets jump 3 → 5 in one epoch), so
     // "one marker per staged file" is not an invariant — one marker
     // per COMMITTED epoch is. Read the count from the checkpoint's own
-    // commit log.
-    val committedEpochs = Option(new java.io.File(s"$wd/ckpt/commits")
-      .listFiles()).map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
-    require(markers == committedEpochs,
-      s"expected one marker per committed epoch ($committedEpochs), " +
-        s"found $markers")
-    require(markers >= killThreshold,
-      s"only $markers epochs committed — the kill threshold " +
+    // commit log. In compact-swap mode the generation dropped the
+    // pre-swap epochs' markers, so the invariant becomes one marker per
+    // epoch committed AFTER the swap (incl. the healed replay of the
+    // in-flight one).
+    val committedEpochs = ckptCommits()
+    val expectMarkers =
+      if (mode == "compact-swap") committedEpochs - epochsAtKill
+      else committedEpochs
+    require(markers == expectMarkers,
+      s"expected $expectMarkers markers (committed epochs " +
+        s"$committedEpochs, at-kill $epochsAtKill), found $markers")
+    require(committedEpochs >= killThreshold,
+      s"only $committedEpochs epochs committed — the kill threshold " +
         s"$killThreshold was never reached, recovery unexercised")
     val qv = ev.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
@@ -233,8 +301,9 @@ object IngestRehearsal {
       s"markers=$markers serveExact=$serveExact")
 
     val json =
-      s"""{"corpus":"$corpus","n_vectors":$n,"cells":$k,
+      s"""{"corpus":"$corpus","mode":"$mode","n_vectors":$n,"cells":$k,
          |"n_batches":$nBatches,"committed_epochs":$committedEpochs,
+         |"epochs_at_first_kill":$epochsAtKill,
          |"kill_threshold":$killThreshold,
          |"kill":"fork_sigkill","staging_build_sec":$buildSec,
          |"stream_wall_sec":$wallSec,
