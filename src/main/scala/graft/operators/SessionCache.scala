@@ -68,4 +68,16 @@ private[graft] object SessionCache {
       implicit ct: scala.reflect.ClassTag[T]): T =
     of(s).getOrElseUpdate(key + "⊢" + ct.runtimeClass.getName, build)
       .asInstanceOf[T]
+
+  /** Invalidate one memoized entry (same key construction as [[memo]])
+    * — for memos over MUTABLE artifacts, where the mutation path owns
+    * re-validation: e.g. the IVF index read's cached partition listing,
+    * dropped by every index writer so the next consumer re-lists.
+    * A no-op when the entry was never built.
+    */
+  def drop[T](s: SparkSession, key: String)(
+      implicit ct: scala.reflect.ClassTag[T]): Unit = {
+    of(s).remove(key + "⊢" + ct.runtimeClass.getName)
+    ()
+  }
 }
