@@ -886,21 +886,54 @@ object Ann {
   private def invalidateIndexRead(s: SparkSession, dir: String): Unit =
     SessionCache.drop[DataFrame](s, s"ivfIndexRead#$dir")
 
+  /** The tombstone set, materialized DRIVER-SIDE at query-build time —
+    * bounded by the existing contract (between-compactions tombstones
+    * are broadcast-class; they were already collected into a broadcast
+    * at execution time, this only moves the same tiny read earlier).
+    * Materializing eagerly is what makes the read safe under a
+    * concurrent [[promoteDeletesSwap]]: a lazy scan could plan against
+    * `_deletes` and execute after the writer deleted it (rewrite swap:
+    * delete cur, rename next over it) — FileNotFound despite the
+    * resolved path having existed. Here the scan runs immediately, and
+    * a swap racing it gets ONE re-resolution: the swap is
+    * delete-then-rename, so the second resolution sees either the
+    * renamed complete set or no set at all (fully cleared) — never a
+    * partial one. A second consecutive failure propagates (fail loud:
+    * two failures can't be one swap window).
+    */
+  private def liveDeleteIds(s: SparkSession, idx: IvfIndex)
+      : Option[Array[Long]] = {
+    def readOnce(p: String): Array[Long] =
+      s.read.parquet(p).select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0))
+    liveDeletesPath(s, idx).map { p =>
+      try readOnce(p)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          liveDeletesPath(s, idx).map(readOnce).getOrElse(Array.empty[Long])
+      }
+    }.filter(_.nonEmpty)
+  }
+
   /** The index's LIVE rows: the at-rest cell-partitioned data minus any
     * tombstoned vec_ids. This is THE read path every serving consumer
     * uses (probe queries, the semantic-dedup family): with no deletes
     * it is exactly the bare scan (no join in the plan at all), and with
     * deletes it adds one broadcast anti-join — cell partition-pruning
     * still reaches the scan because the probe filter pushes below the
-    * join.
+    * join. The tombstone set is resolved + read fresh at every query
+    * build (deletes stay immediately visible) through [[liveDeleteIds]],
+    * which is what keeps the read safe under a concurrent tombstone
+    * rewrite.
     */
   def indexData(s: SparkSession, idx: IvfIndex): DataFrame = {
     val data = indexRead(s, idx)
-    liveDeletesPath(s, idx) match {
+    liveDeleteIds(s, idx) match {
       case None => data
-      case Some(p) => data.join(
-        broadcast(s.read.parquet(p).select(col("vec_id")).distinct()),
-        Seq("vec_id"), "left_anti")
+      case Some(ids) =>
+        import s.implicits._
+        data.join(broadcast(ids.toSeq.toDF("vec_id")),
+          Seq("vec_id"), "left_anti")
     }
   }
 

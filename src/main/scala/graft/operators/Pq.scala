@@ -112,15 +112,27 @@ object Pq {
       .getOrElse(Shortlist)
 
   /** Parse the PqRecallSweep artifact and pick the knee — see
-    * [[shortlistWidth]]. Session-memoized per (path, floor): the
-    * artifact is a driver-tiny single JSON object.
+    * [[shortlistWidth]]. Session-memoized per (path, floor, artifact
+    * mtime): the artifact is a driver-tiny single JSON object, and
+    * folding its modification time into the key means a mid-session
+    * re-sweep to the SAME path serves the new width on the next query
+    * instead of silently keeping the old one for the session's lifetime
+    * (the stale-memo class every index/codes writer here explicitly
+    * invalidates — a calibration rewrite deserves the same). Cost: one
+    * getFileStatus per query construction, driver-side.
     */
   private def calibratedShortlistOf(s: SparkSession): Option[Int] =
     s.conf.getOption("spark.graft.pq.shortlistCalibration")
       .map { path =>
         val floor = s.conf.getOption("spark.graft.pq.recallFloor")
           .map(_.toDouble).getOrElse(0.9)
-        SessionCache.memo(s, s"pqShortlistCal#$path#$floor", {
+        val p = new org.apache.hadoop.fs.Path(path)
+        // a missing artifact must THROW the contract's named error at
+        // read time below, not an opaque FileNotFound here
+        val mtime = scala.util.Try(
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getModificationTime).getOrElse(0L)
+        SessionCache.memo(s, s"pqShortlistCal#$path#$floor#$mtime", {
           val sweep = s.read.option("multiLine", "true").json(path)
             .select(explode(col("sweep")).as("p"))
             .select(col("p.shortlist").cast("int").as("w"),

@@ -74,10 +74,26 @@ private[graft] object SessionCache {
     * re-validation: e.g. the IVF index read's cached partition listing,
     * dropped by every index writer so the next consumer re-lists.
     * A no-op when the entry was never built.
+    *
+    * Dropped for EVERY session sharing the writer's SparkContext, not
+    * just the writer's own: the repo's newSession()-per-verify pattern
+    * means a sibling session can memoize the same artifact key, and a
+    * writer-local drop would leave that sibling serving the pre-write
+    * view (e.g. a pre-append index listing — appended rows silently
+    * invisible within one JVM). The artifact keys carry the mutated
+    * PATH, so same-key entries in sibling sessions are views of the
+    * same mutable thing by construction; cross-PROCESS staleness keeps
+    * the documented eventual-visibility contract.
     */
   def drop[T](s: SparkSession, key: String)(
       implicit ct: scala.reflect.ClassTag[T]): Unit = {
-    of(s).remove(key + "⊢" + ct.runtimeClass.getName)
+    val sc = s.sparkContext
+    val full = key + "⊢" + ct.runtimeClass.getName
+    val it = caches.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.sparkContext eq sc) e.getValue.remove(full)
+    }
     ()
   }
 }
