@@ -361,7 +361,7 @@ object Ann {
       tempIndexDirs.forEach(t => rm(new java.io.File(t)))
     }))
     catch { case _: IllegalStateException => () }
-  private def registerTempIndexDir(t: String): Unit = {
+  private[graft] def registerTempIndexDir(t: String): Unit = {
     tempDirHookOnce
     tempIndexDirs.add(t); ()
   }
@@ -527,6 +527,11 @@ object Ann {
       cents.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+      // commit-time cell manifest: cold sessions plan the scan from this
+      // instead of re-walking the 10^4-cell tree (the decade's 15 s
+      // listing, paid once per SESSION before — now once per GENERATION,
+      // by the writer). Written before the ready marker, like _centroids.
+      CellManifest.rewrite(s, dir)
       val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       val out = fs.create(marker, true)
@@ -583,13 +588,27 @@ object Ann {
       : Unit = {
     val base = batch.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("vec"))
-    assignedRows(unitNormed(base), idx.cents)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(idx.dir)
-    invalidateIndexRead(s, idx.dir)
-    // re-ingest wins: an appended id that was tombstoned serves again
-    // (see deleteFromIndex's semantics note)
-    clearTombstones(s, idx, base.select(col("vec_id")))
+    // one assignment pass feeds the write, the manifest update AND the
+    // codes append (the n·k·dim kernel is the dominant batch cost —
+    // see appendToIndexIdempotent's persist rationale)
+    val assigned = assignedRows(unitNormed(base), idx.cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(idx.dir)
+      invalidateIndexRead(s, idx.dir)
+      val batchCells = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      CellManifest.updateCells(s, idx.dir, batchCells)
+      // keep the IVF-PQ codes artifact in step: a committed codes
+      // generation that missed this batch would silently serve recall
+      // loss (appended ids unreachable through the ADC shortlist)
+      Pq.appendCodes(s, idx.dir, assigned, batchCells)
+      // re-ingest wins: an appended id that was tombstoned serves again
+      // (see deleteFromIndex's semantics note)
+      clearTombstones(s, idx, assigned.select(col("vec_id")))
+    } finally assigned.unpersist()
     ()
   }
 
@@ -668,13 +687,17 @@ object Ann {
           .collect().map(_.getInt(0)).toSeq
         val batchCount = assignedDf.count()
         val didAppend = batchCount > 0 && {
-          // memoized listing: each committed epoch's append invalidates
-          // it, so the probe always sees the pre-THIS-append snapshot —
-          // exactly the set the anti-join complement must be taken
-          // against — without re-paying the directory walk per epoch
-          val cellIds = indexRead(s, idx)
-            .filter(col("cell").isin(batchCells: _*))
-            .select(col("vec_id"))
+          // TRUTHFUL cell-bounded listing, NOT the memoized/manifest
+          // read: in the crash window between a committed append job
+          // and its manifest update, the manifest legitimately lags the
+          // tree — a probe trusting it would re-append rows that
+          // already physically exist (duplicates, the exact failure
+          // this protocol exists to prevent). Fresh-listing only the
+          // batch's cells keeps the probe batch-bounded, never O(cells).
+          val cellIds = CellManifest
+            .cellBoundedRead(s, idx.dir, batchCells)
+            .map(_.select(col("vec_id")))
+            .getOrElse(s.range(0).select(col("id").as("vec_id")))
           val present = cellIds
             .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
               "left_semi")
@@ -693,6 +716,16 @@ object Ann {
             invalidateIndexRead(s, idx.dir)
             true
           } else false
+        }
+        // manifest + codes catch-up on EVERY uncommitted-epoch branch
+        // (appended, repaired, or skip-after-crash): both updates are
+        // idempotent re-lists/anti-joins over the batch's cells, so a
+        // replay whose data already landed still heals a manifest or
+        // codes artifact the crash left behind — before the marker
+        // declares the epoch done
+        if (batchCount > 0) {
+          CellManifest.updateCells(s, idx.dir, batchCells)
+          Pq.appendCodes(s, idx.dir, assignedDf, batchCells)
         }
         // re-ingest wins over a pending tombstone, on EVERY branch: the
         // re-ingested id may be physically present (skip/repair paths)
@@ -877,11 +910,19 @@ object Ann {
     * one small file; the listing cost lives in the 10⁴ cell dirs).
     * Cross-PROCESS mutation keeps the existing generation contract:
     * appends become visible to other sessions on their next open —
-    * the same eventual visibility the file-source append documents.
+    * the same eventual visibility the file-source append documents
+    * (pinned by CrossProcessSpec's forked-append test).
+    *
+    * COLD sessions plan from the commit-time [[CellManifest]] when one
+    * exists (explicit leaf files + stored schema — no tree walk, no
+    * footer/partition inference), falling back to the walking read for
+    * legacy dirs; every writer keeps the manifest in step, so the two
+    * paths list the same files (ManifestSpec).
     */
   private def indexRead(s: SparkSession, idx: IvfIndex): DataFrame =
     SessionCache.memo(s, s"ivfIndexRead#${idx.dir}",
-      s.read.parquet(idx.dir))
+      CellManifest.readAsDf(s, idx.dir)
+        .getOrElse(s.read.parquet(idx.dir)))
 
   private def invalidateIndexRead(s: SparkSession, dir: String): Unit =
     SessionCache.drop[DataFrame](s, s"ivfIndexRead#$dir")

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Commit-time partition manifest for a cell-partitioned artifact dir
+  * (the IVF index and its `_pq_codes` sibling).
+  *
+  * WHY: `spark.read.parquet(dir)` on a 10⁴-cell tree pays a driver-side
+  * recursive listing + partition inference PER FRESH READ — measured
+  * 15–17 s at the 2M-vector decade (`bench/emb_decade_r11.json`,
+  * ProbeWallBreakdown), feeding a 0.2 s probed scan. The session memo
+  * ([[SessionCache]]) amortizes that within a session, but every COLD
+  * session re-pays it, and the walk grows with cell count — at 100 TB
+  * geometry (10⁵–10⁶ cells on an object store) it is minutes of driver
+  * time and O(cells) LIST calls. The fix is the same one every table
+  * format (Hive metastore partitions, Delta/Iceberg file manifests)
+  * converged on: the WRITER already knows the files it committed —
+  * persist that knowledge once at commit time, and let readers plan
+  * from the manifest instead of re-discovering the tree.
+  *
+  * FORMAT: one plain-text file `<dir>/_cell_manifest` (the `_` prefix
+  * keeps it invisible to partition discovery, the `_centroids` trick):
+  * line 1 `schema\t<DDL of the read-back schema, partition col included>`,
+  * then one `<cell>\t<relative/file/path>` line per data file. Written
+  * complete to a staging sibling and renamed into place, so readers see
+  * the old manifest or the new one, never a partial write ([[rewrite]]).
+  *
+  * TRUTHFULNESS CONTRACT: the manifest is advisory for SERVING reads
+  * only — every path that must see the exact on-disk state regardless
+  * of crash windows (the ingest presence probe, the codes append's
+  * anti-join) goes through [[cellBoundedRead]], a fresh listing of just
+  * the touched cell dirs. Writers sequence data → manifest → commit
+  * marker, and the idempotent ingest path re-runs its manifest update on
+  * every replay of an uncommitted epoch, so a crash between data and
+  * manifest self-heals on replay; a manifest missing entirely (legacy
+  * dir, crashed build) falls back to the listing walk ([[readAsDf]]
+  * returns None).
+  */
+private[graft] object CellManifest {
+
+  private val Name = "_cell_manifest"
+  private val StagingName = "_cell_manifest.next"
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** List the data files of one `cell=N` dir (non-hidden, non-marker). */
+  private def listCell(fs: FileSystem, cellDir: Path): Seq[String] =
+    fs.listStatus(cellDir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(st => s"${cellDir.getName}/${st.getPath.getName}")
+
+  /** Full walk of `dir` → (cell → relative files). The one place the
+    * O(cells) listing is still paid — at COMMIT time, by the writer,
+    * once per generation, not per query/session.
+    */
+  private def walk(fs: FileSystem, dir: Path): Seq[(Int, String)] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap { st =>
+        val cell = st.getPath.getName.stripPrefix("cell=").toInt
+        listCell(fs, st.getPath).map(cell -> _)
+      }
+
+  private def writeLines(fs: FileSystem, dir: Path, schemaDdl: String,
+      entries: Seq[(Int, String)]): Unit = {
+    val staging = new Path(dir, StagingName)
+    val out = fs.create(staging, true)
+    try {
+      out.write(s"schema\t$schemaDdl\n".getBytes("UTF-8"))
+      entries.sortBy(e => (e._1, e._2)).foreach { case (c, f) =>
+        out.write(s"$c\t$f\n".getBytes("UTF-8"))
+      }
+    } finally out.close()
+    val live = new Path(dir, Name)
+    // delete-then-rename: a crash in between leaves NO manifest, which
+    // readers treat as "walk the tree" — never a partial manifest
+    fs.delete(live, false)
+    require(fs.rename(staging, live),
+      s"could not publish cell manifest at $live")
+  }
+
+  /** Parse the manifest if present: (read-back schema DDL, entries).
+    * One re-read retry covers a concurrent [[writeLines]] swap window
+    * (delete live, rename staging) — the second attempt sees the new
+    * complete manifest or none at all.
+    */
+  private def readLines(s: SparkSession, dir: Path)
+      : Option[(String, Seq[(Int, String)])] = {
+    val fs = fsOf(s, dir)
+    def once(): Option[(String, Seq[(Int, String)])] = {
+      val live = new Path(dir, Name)
+      if (!fs.exists(live)) None
+      else {
+        val in = fs.open(live)
+        val text =
+          try {
+            val bs = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+            bs.toString("UTF-8")
+          } finally in.close()
+        val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
+        require(lines.nonEmpty && lines.head.startsWith("schema\t"),
+          s"malformed cell manifest at $live")
+        val ddl = lines.head.stripPrefix("schema\t")
+        val entries = lines.tail.map { ln =>
+          val i = ln.indexOf('\t')
+          (ln.substring(0, i).toInt, ln.substring(i + 1))
+        }
+        Some((ddl, entries))
+      }
+    }
+    try once()
+    catch { case scala.util.control.NonFatal(_) => once() }
+  }
+
+  /** Regenerate the manifest from a full tree walk — the build/compact
+    * commit step (and the codes build's). The stored schema is the
+    * READ-BACK one: data columns (from ONE file footer — never a
+    * tree-wide inference) plus the `cell` partition column. An empty
+    * tree drops any existing manifest instead of publishing one that
+    * lists no files.
+    */
+  def rewrite(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    val entries = walk(fs, p)
+    if (entries.isEmpty) { fs.delete(new Path(p, Name), false); () }
+    else {
+      val dataSchema = s.read.parquet(s"$dir/${entries.head._2}").schema
+      val schema =
+        if (dataSchema.fieldNames.contains("cell")) dataSchema
+        else dataSchema.add("cell", org.apache.spark.sql.types.IntegerType)
+      writeLines(fs, p, schema.toDDL, entries)
+    }
+  }
+
+  /** Refresh ONLY the given cells' entries after an append — a
+    * cell-bounded relist (batch-sized, never O(cells)) merged over the
+    * existing manifest. No-op when no manifest exists (legacy dir /
+    * crashed build: readers are already on the walk fallback, and a
+    * partial manifest would silently HIDE every other cell). Re-listing
+    * the dirs instead of trusting the writer's file names makes the
+    * update idempotent and crash-healing: a replay that appends nothing
+    * still folds any orphaned files from a crashed attempt in.
+    */
+  def updateCells(s: SparkSession, dir: String, cells: Seq[Int]): Unit = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    readLines(s, p).foreach { case (ddl, entries) =>
+      val touched = cells.toSet
+      val kept = entries.filterNot { case (c, _) => touched(c) }
+      val fresh = cells.distinct.flatMap { c =>
+        val cd = new Path(p, s"cell=$c")
+        if (fs.exists(cd)) listCell(fs, cd).map(c -> _) else Nil
+      }
+      writeLines(fs, p, ddl, kept ++ fresh)
+    }
+  }
+
+  /** Plan the artifact's scan from the manifest: explicit leaf files +
+    * basePath (partition values parse from the paths — partition
+    * pruning on `cell` still reaches the scan) + the stored schema (no
+    * footer read, no partition-type inference). None when no manifest —
+    * the caller falls back to the walking read.
+    */
+  def readAsDf(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(dir)
+    readLines(s, p).map { case (ddl, entries) =>
+      val files = entries.map { case (_, f) => s"$dir/$f" }
+      require(files.nonEmpty, s"cell manifest at $dir lists no files")
+      s.read
+        .schema(StructType.fromDDL(ddl))
+        .option("basePath", dir)
+        .parquet(files: _*)
+    }
+  }
+
+  /** TRUTHFUL cell-bounded read: a fresh listing of exactly the given
+    * cells' dirs, bypassing both the manifest and any session memo —
+    * what the exactly-once machinery (ingest presence probe, codes
+    * append anti-join) must anti-join against, because in the
+    * crash-between-data-and-manifest window the manifest legitimately
+    * lags the tree and trusting it would re-append rows that already
+    * physically exist. Cost: one exists() per touched cell plus a
+    * listing of batch-occupancy-many dirs — batch-bounded, never
+    * O(cells). Returns None when none of the cells' dirs exist yet
+    * (first rows of a brand-new cell).
+    */
+  def cellBoundedRead(s: SparkSession, dir: String, cells: Seq[Int])
+      : Option[DataFrame] = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    val dirs = cells.distinct.map(c => new Path(p, s"cell=$c"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(s.read.option("basePath", dir).parquet(dirs: _*))
+  }
+}

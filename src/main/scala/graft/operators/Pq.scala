@@ -161,8 +161,11 @@ object Pq {
     * guard of [[Ann.buildInto]]: an all-zero vector stays raw instead of
     * becoming all-NaN.
     */
-  private def normed(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+  /** Unit-normalize an embeddings-shaped frame (vec_id, label,
+    * embedding) → (vec_id, label, uvec); zero-norm rows stay raw.
+    */
+  private[graft] def normedOf(df: DataFrame): DataFrame =
+    df
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
@@ -170,38 +173,50 @@ object Pq {
         when(col("nrm") === 0, col("vec"))
           .otherwise(transform(col("vec"), x => x / col("nrm"))).as("uvec"))
 
+  private def normed(s: SparkSession, d: String): DataFrame =
+    normedOf(embeddings(s, d))
+
+  /** Train per-subspace codebooks over any (vec_id, …, uvec) frame —
+    * the COUNT-bounded hash sample + m in-memory k-means runs of
+    * [[codebooks]], factored out so fixture/ingest paths can train on
+    * exactly the corpus slice the deployed timeline would have seen
+    * (e.g. the pre-append base half). `what` names the frame in the
+    * empty-input error.
+    */
+  private[graft] def trainBooks(base: DataFrame, what: String)
+      : Array[Array[Array[Double]]] = {
+    val dims = base.agg(min(size(col("uvec"))).as("lo"),
+      max(size(col("uvec"))).as("hi")).first()
+    require(!dims.isNullAt(0),
+      s"PQ codebook training needs a non-empty embeddings table in $what")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"ragged embedding dims in $what (${dims.getInt(0)}..${dims.getInt(1)})")
+    val dim = dims.getInt(0)
+    val m = subspaces(dim)
+    val dsub = dim / m
+    val target = CodebookSize * TrainPerCode
+    val mod = math.max(1L, base.count() / target)
+    val sample = base
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select(col("vec_id"), col("uvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    Array.tabulate(m) { j =>
+      Ann.kmeansLocal(
+        sample.map { case (id, v) =>
+          (id, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        },
+        math.min(CodebookSize, sample.length), Ann.Iters)
+        .map(_.toArray).toArray
+    }
+  }
+
   /** Per-subspace codebooks for a scale dir — `books(j)(c)` is subspace
     * j's c-th centroid. Session-memoized (the [[Ann.ivfIndex]] staleness
     * rationale); one bounded driver collect + m in-memory k-means runs.
     * Fails with a named error on an empty corpus, like IVF training.
     */
   def codebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    SessionCache.memo(s, s"pqBooks#$d", {
-      val base = normed(s, d)
-      val dims = base.agg(min(size(col("uvec"))).as("lo"),
-        max(size(col("uvec"))).as("hi")).first()
-      require(!dims.isNullAt(0),
-        s"PQ codebook training needs a non-empty embeddings table in $d")
-      require(dims.getInt(0) == dims.getInt(1),
-        s"ragged embedding dims in $d (${dims.getInt(0)}..${dims.getInt(1)})")
-      val dim = dims.getInt(0)
-      val m = subspaces(dim)
-      val dsub = dim / m
-      val target = CodebookSize * TrainPerCode
-      val mod = math.max(1L, base.count() / target)
-      val sample = base
-        .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-        .select(col("vec_id"), col("uvec")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      Array.tabulate(m) { j =>
-        Ann.kmeansLocal(
-          sample.map { case (id, v) =>
-            (id, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-          },
-          math.min(CodebookSize, sample.length), Ann.Iters)
-          .map(_.toArray).toArray
-      }
-    })
+    SessionCache.memo(s, s"pqBooks#$d", trainBooks(normed(s, d), d))
 
   /** The encoded corpus (vec_id, label, codes: array<tinyint>) — the
     * at-rest artifact stage-1 scans. Eagerly materialized once per
@@ -271,19 +286,45 @@ object Pq {
     * Generation discipline: the codes are encoded from the index's
     * PHYSICAL rows at build time (tombstoned rows may keep stale codes —
     * harmless: the exact re-rank joins through [[Ann.indexData]], the
-    * live view, so a tombstoned id can never be published; appended rows
-    * are MISSING from the codes until rebuild — rebuild the artifact
-    * with the generation, exactly like the index layout itself).
-    * Returns the codes dir path.
+    * live view, so a tombstoned id can never be published). APPENDED
+    * rows are PQ-encoded into the artifact inside the same append
+    * commit ([[appendCodes]], called by every [[Ann]] append path), so
+    * a freshly ingested vector is servable through the composition the
+    * moment its epoch commits — the serve-after-ingest half of the
+    * streaming contract. The codebooks persist beside the codes
+    * (`_books`) so the append path encodes with EXACTLY the generation's
+    * books. Returns the codes dir path.
     */
-  def ivfPqCodes(s: SparkSession, d: String): String =
-    SessionCache.memo(s, s"ivfPqCodes#$d", {
-      val idx = Ann.ivfIndex(s, d)
-      buildPqCodesFor(s, idx, codebooks(s, d))
+  def ivfPqCodes(s: SparkSession, d: String): String = {
+    val idx = Ann.ivfIndex(s, d)
+    SessionCache.memo(s, s"ivfPqCodes#${idx.dir}",
+      buildPqCodesFor(s, idx, codebooks(s, d)))
+  }
+
+  /** Codebook sidecar inside the codes dir — persisted at build so the
+    * append path (and any later session/process) encodes with the
+    * generation's exact books, the `_centroids` discipline.
+    */
+  private val BooksDir = "_books"
+
+  /** Load the persisted codebooks of a codes generation. Session-
+    * memoized; [[buildPqCodesFor]] drops the memo on rebuild.
+    */
+  private[graft] def loadBooks(s: SparkSession, codesDir: String)
+      : Array[Array[Array[Double]]] =
+    SessionCache.memo(s, s"ivfPqBooks#$codesDir", {
+      val rows = s.read.parquet(s"$codesDir/$BooksDir")
+        .orderBy(col("j"), col("c")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      require(rows.nonEmpty, s"empty codebook sidecar at $codesDir/$BooksDir")
+      val m = rows.map(_._1).max + 1
+      Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
     })
 
   /** Encode + commit the cell-partitioned codes for an index dir (see
-    * [[ivfPqCodes]]); idempotent via the ready marker.
+    * [[ivfPqCodes]]); idempotent via the ready marker. Write order:
+    * codes, `_books`, cell manifest, marker LAST — a crash leaves no
+    * marker and the next builder overwrites the partial dir.
     */
   private[graft] def buildPqCodesFor(s: SparkSession, idx: Ann.IvfIndex,
       books: Array[Array[Array[Double]]]): String = {
@@ -301,23 +342,85 @@ object Pq {
             books).as("codes"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      // drop any stale cached listing for this generation (rebuild case)
+      import s.implicits._
+      books.indices
+        .flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
+        .toDF("j", "c", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$BooksDir")
+      CellManifest.rewrite(s, dir)
+      // drop any stale cached listing/books for this generation (rebuild)
       SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
+      SessionCache.drop[Array[Array[Array[Double]]]](s, s"ivfPqBooks#$dir")
       fs.create(marker, true).close()
     }
     dir
+  }
+
+  /** Keep a COMMITTED codes generation in step with an index append —
+    * called by both [[Ann.appendToIndex]] and
+    * [[Ann.appendToIndexIdempotent]] inside the append commit (before
+    * the epoch marker), closing the serve-after-ingest gap: without
+    * this, appended vectors could never enter the ADC shortlist until a
+    * wholesale rebuild — silent recall loss on exactly the freshest
+    * data a CDC-shaped engine exists to serve.
+    *
+    * `assigned` is the append's already-assigned frame (vec_id, …, vec,
+    * cell) — the encode reuses the batch's one assignment pass.
+    * Idempotent and crash-healing the same way the data append is: the
+    * batch anti-joins against a TRUTHFUL cell-bounded listing of the
+    * codes tree ([[CellManifest.cellBoundedRead]]), so a replay whose
+    * codes already landed appends nothing, and a replay after a crash
+    * mid-codes-append appends exactly the missing complement. No-op
+    * when no codes generation exists (the wholesale build encodes from
+    * the physical index rows, which include this batch). A LEGACY
+    * generation (marker but no `_books` sidecar) cannot be appended to
+    * consistently — its marker is dropped so the next read re-encodes
+    * wholesale, never silently under-serving.
+    */
+  private[graft] def appendCodes(s: SparkSession, indexDir: String,
+      assigned: DataFrame, batchCells: Seq[Int]): Unit = {
+    val dir = s"$indexDir/_pq_codes"
+    val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, BooksDir))) {
+      fs.delete(marker, false)
+      SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
+      return
+    }
+    val books = loadBooks(s, dir)
+    val encoded = assigned
+      .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqExprs.pqEncode(
+          when(col("nrm") === 0, col("vec"))
+            .otherwise(transform(col("vec"), x => x / col("nrm"))),
+          books).as("codes"))
+    val missing = CellManifest.cellBoundedRead(s, dir, batchCells) match {
+      case None => encoded
+      case Some(existing) =>
+        encoded.join(existing.select(col("vec_id")), Seq("vec_id"),
+          "left_anti")
+    }
+    missing
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
+    CellManifest.updateCells(s, dir, batchCells)
   }
 
   /** Session-memoized read of the codes artifact — the same
     * listing-amortization as `Ann.indexRead`: the codes tree has one
     * dir per cell (10⁴ at the 2M decade), and a fresh
     * `spark.read.parquet` re-walks it per query (measured 13–15 s,
-    * dwarfing the 0.2 s probed scan). The artifact is IMMUTABLE per
-    * generation (rebuilt wholesale by [[buildPqCodesFor]], which drops
-    * this memo), so no other invalidation is needed.
+    * dwarfing the 0.2 s probed scan). Both writers drop the memo —
+    * [[buildPqCodesFor]] on rebuild, [[appendCodes]] per appended
+    * epoch — and cold sessions plan from the commit-time
+    * [[CellManifest]] instead of re-walking (legacy dirs fall back).
     */
   private def codesRead(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, s"ivfPqCodesRead#$dir", s.read.parquet(dir))
+    SessionCache.memo(s, s"ivfPqCodesRead#$dir",
+      CellManifest.readAsDf(s, dir).getOrElse(s.read.parquet(dir)))
 
   /** Explicit maintenance entry for the IVF-PQ codes ([[Ann.buildIndex]]
     * precedent): [[graft.Bench]] pre-builds through this and reports
@@ -345,33 +448,137 @@ object Pq {
       embeddings(s, d).filter(lit(false))
         .select(col("vec_id"), col("label"), lit(0.0).as("sim"))
     else {
-      val qRaw = qRows(0).getSeq[Double](0).toArray
-      val nrm = math.sqrt(qRaw.map(x => x * x).sum)
-      val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
       val idx = Ann.ivfIndex(s, d)
-      val books = codebooks(s, d)
-      val lut = adcLut(qUnit, books)
       val codesDir = ivfPqCodes(s, d)
-      val probed = idx.probeCells(qRaw.toSeq,
+      serveIvfPqTopk(s, idx, codesDir, codebooks(s, d),
+        qRows(0).getSeq[Double](0).toArray,
         if (allCells) idx.cents.length else Ann.nprobeOf(s, d))
-      val shortlist = codesRead(s, codesDir)
-        .filter(col("cell").isin(probed: _*))
-        .select(col("vec_id"),
-          graft.functions.PqExprs.pqAdcDot(col("codes"),
-            typedlit(lut.toSeq)).as("adc"))
-        .orderBy(col("adc").desc, col("vec_id"))
-        .limit(shortlistWidth(s))
-        .select(col("vec_id"))
-      Ann.indexData(s, idx)
-        .filter(col("cell").isin(probed: _*))
-        .join(broadcast(shortlist), "vec_id")
-        .withColumn("sim", round(SimilarityOps.cosine(
-          col("vec"), typedlit(qRaw.toSeq)), 4))
-        .select(col("vec_id"), col("label"), col("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(20)
     }
   }
+
+  /** The IVF-PQ serve core against an EXPLICIT (index, codes, books)
+    * triple — shared by the production entry (the memoized per-dir
+    * artifacts) and the ingest gate's appended fixture. See
+    * [[ivfPqTopk]] for the pipeline shape.
+    */
+  private[graft] def serveIvfPqTopk(s: SparkSession, idx: Ann.IvfIndex,
+      codesDir: String, books: Array[Array[Array[Double]]],
+      qRaw: Array[Double], nprobe: Int): DataFrame = {
+    val nrm = math.sqrt(qRaw.map(x => x * x).sum)
+    val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
+    val lut = adcLut(qUnit, books)
+    val probed = idx.probeCells(qRaw.toSeq, nprobe)
+    val shortlist = codesRead(s, codesDir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        graft.functions.PqExprs.pqAdcDot(col("codes"),
+          typedlit(lut.toSeq)).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlistWidth(s))
+      .select(col("vec_id"))
+    Ann.indexData(s, idx)
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(shortlist), "vec_id")
+      .withColumn("sim", round(SimilarityOps.cosine(
+        col("vec"), typedlit(qRaw.toSeq)), 4))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** BATCHED IVF-PQ serving — [[graft.operators.Ann]]'s `ann_ivf_batch`
+    * routing transplanted onto the ADC codes scan: the codes tree is
+    * scanned ONCE over the union of all queries' probed cells
+    * (partition pruning intact), each m-byte row ADC-scores only
+    * against the queries that probed its cell (per-query LUT riding in
+    * the exploded query struct), per-query shortlists come from the
+    * k-bounded [[graft.functions.TopK]] aggregator (partial before the
+    * shuffle — at most width rows per query per task), and the exact
+    * re-rank broadcasts the (qid, vec_id) shortlist pairs back against
+    * the live index view. `allCells` is the gate mode: every cell
+    * probed ⇒ the IVF half is exact and only the shortlist cut remains.
+    */
+  private[graft] def ivfPqBatch(s: SparkSession, d: String,
+      allCells: Boolean): DataFrame = {
+    val qvs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id"), asDouble(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qvs.isEmpty)
+      embeddings(s, d).filter(lit(false))
+        .select(col("vec_id").as("qid"), lit(1).as("rk"),
+          col("vec_id"), lit(0.0).as("sim"))
+    else {
+      val idx = Ann.ivfIndex(s, d)
+      val books = codebooks(s, d)
+      val codesDir = ivfPqCodes(s, d)
+      val width = shortlistWidth(s)
+      val probes = qvs.map { case (q, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val u = if (nrm == 0.0) v else v.map(_ / nrm)
+        (q, v, adcLut(u, books),
+          idx.probeCells(v.toSeq,
+            if (allCells) idx.cents.length else Ann.nprobeOf(s, d)))
+      }
+      val unionCells = probes.flatMap(_._4).distinct.toSeq
+      val qlit = array(probes.map { case (q, _, lut, cells) =>
+        struct(lit(q).as("qid"), typedlit(lut.toSeq).as("lut"),
+          typedlit(cells).as("cells"))
+      }.toSeq: _*)
+      val shortlists = codesRead(s, codesDir)
+        .filter(col("cell").isin(unionCells: _*))
+        .select(col("vec_id"), col("cell"), col("codes"),
+          explode(qlit).as("q"))
+        .filter(array_contains(col("q.cells"), col("cell")))
+        .select(col("q.qid").as("qid"), col("vec_id"),
+          graft.functions.PqExprs.pqAdcDot(col("codes"),
+            col("q.lut")).as("adc"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(width)(col("adc"),
+          col("vec_id")).as("top"))
+        .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
+      import s.implicits._
+      val qdf = probes.toSeq.map { case (q, v, _, _) => (q, v.toSeq) }
+        .toDF("qid", "qv")
+      Ann.indexData(s, idx)
+        .filter(col("cell").isin(unionCells: _*))
+        .join(broadcast(shortlists), Seq("vec_id"))
+        .join(broadcast(qdf), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(SimilarityOps.cosine(col("vec"), col("qv")), 4).as("sim"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(5)(col("sim"),
+          col("vec_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("qid"), (col("p") + 1).cast("int").as("rk"),
+          col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }
+  }
+
+  /** The ingest gate's fixture, once per (session, scale dir): index
+    * built on the even-vec_id half, CODES COMMITTED (books trained on
+    * that same base half — the deployed timeline: the codebook exists
+    * before the batch arrives), THEN the odd half appended — so the
+    * odd rows are servable only if the append path encoded them into
+    * the committed codes generation ([[appendCodes]]). Temp dir; pinned
+    * production indexes are never touched.
+    */
+  private[graft] def ivfPqAppendedFixture(s: SparkSession, d: String)
+      : Ann.IvfIndex =
+    SessionCache.memo(s, s"ivfPqAppendFix#$d", {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-append-").toString
+      Ann.registerTempIndexDir(t)
+      val ev = embeddings(s, d)
+      val even = ev.filter(col("vec_id") % 2 === 0)
+      val idx = Ann.buildFrom(s,
+        even.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("vec")),
+        Ann.cellCount(s, d), t)
+      buildPqCodesFor(s, idx, trainBooks(normedOf(even), s"$d (base half)"))
+      Ann.appendToIndex(s, idx, ev.filter(col("vec_id") % 2 === 1))
+      idx
+    })
 
   val queries: Map[String, Q] = Map(
     // PQ cosine top-20 for the vec_id=0 query: ADC shortlist over the
@@ -436,6 +643,63 @@ object Pq {
           (col("max_err") <= 0.0).as("rerank_exact_ok"))
     }),
 
+    // SERVE-AFTER-INGEST GATE for the composition: codes committed on
+    // the even half, odd half APPENDED (appendCodes runs inside the
+    // append), then served all-cells — the IVF half exact, so the
+    // ann_ivfpq_gate contract vs the WHOLE-corpus brute force applies:
+    // if the append had not encoded the odd rows, roughly half the true
+    // top-20 could never enter the shortlist and the overlap floor
+    // fails. Deterministic appended-id visibility (a near-duplicate of
+    // the query appended, then served rank-1) is IvfPqSpec's.
+    "ann_ivfpq_ingest_gate" -> ((s, d) => {
+      val qRows = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+      if (qRows.isEmpty)
+        embeddings(s, d).filter(lit(false))
+          .select(lit(20).as("k"), lit(true).as("recall_ok"),
+            lit(true).as("rerank_exact_ok"))
+      else {
+        val idx = ivfPqAppendedFixture(s, d)
+        val served = serveIvfPqTopk(s, idx, s"${idx.dir}/_pq_codes",
+          loadBooks(s, s"${idx.dir}/_pq_codes"),
+          qRows(0).getSeq[Double](0).toArray, idx.cents.length)
+          .select(col("vec_id"), col("sim").as("psim"))
+        val exact = SimilarityOps.queries("sim_cosine_topk")(s, d)
+          .select(col("vec_id"), col("sim").as("esim"))
+        served.join(exact, Seq("vec_id"))
+          .groupBy(lit(20).as("k"))
+          .agg(count(lit(1)).as("n_overlap"),
+            max(abs(col("psim") - col("esim"))).as("max_err"))
+          .select(col("k"), (col("n_overlap") >= 18).as("recall_ok"),
+            (col("max_err") <= 0.0).as("rerank_exact_ok"))
+      }
+    }),
+
+    // Batched IVF-PQ top-5 for queries vec_id<3 — the composed serving
+    // shape a real retrieval workload runs: one pruned pass over the
+    // union of probed cells' codes, per-query ADC shortlists, exact
+    // re-rank. Two stacked approximations (rows-only driver check); the
+    // gate twin bounds the PQ half.
+    "ann_ivfpq_batch" -> ((s, d) => ivfPqBatch(s, d, allCells = false)),
+
+    // ORACLE GATE for the batched composition: probe EVERY cell (IVF
+    // half exact) and hold each query to the sim_pq contract — top-5
+    // overlap vs brute-force sim_batch_topk and exact equality of
+    // published sims on the overlap.
+    "ann_ivfpq_batch_gate" -> ((s, d) => {
+      val got = ivfPqBatch(s, d, allCells = true)
+        .select(col("qid"), col("vec_id"), col("sim").as("psim"))
+      val want = SimilarityOps.queries("sim_batch_topk")(s, d)
+        .select(col("qid"), col("vec_id"), col("sim").as("esim"))
+      got.join(want, Seq("qid", "vec_id"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_overlap"),
+          max(abs(col("psim") - col("esim"))).as("max_err"))
+        .select(col("qid"), (col("n_overlap") >= 4).as("recall_ok"),
+          (col("max_err") <= 0.0).as("rerank_exact_ok"))
+        .orderBy(col("qid"))
+    }),
+
     // ORACLE GATE for the PQ path: top-20 overlap vs the exact
     // brute-force query ≥ 18 AND exact equality of the published sims
     // on the overlap (the re-rank contract — stronger than the int8
@@ -465,5 +729,17 @@ object Pq {
       """SELECT CAST(20 AS INT) AS k, true AS recall_ok,
                 true AS rerank_exact_ok
          WHERE EXISTS (SELECT 1 FROM embeddings)""",
+    // append-then-serve reduces to the same contract over the whole
+    // corpus (base ∪ appended) — green only if appended rows entered
+    // the committed codes generation
+    "ann_ivfpq_ingest_gate" ->
+      """SELECT CAST(20 AS INT) AS k, true AS recall_ok,
+                true AS rerank_exact_ok
+         WHERE EXISTS (SELECT 1 FROM embeddings)""",
+    // one truth-table row per batched query, keyed by qid
+    "ann_ivfpq_batch_gate" ->
+      """SELECT CAST(vec_id AS BIGINT) AS qid, true AS recall_ok,
+                true AS rerank_exact_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY qid""",
   )
 }

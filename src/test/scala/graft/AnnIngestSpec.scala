@@ -132,6 +132,52 @@ class AnnIngestSpec extends SparkSpec {
       "marker not healed in the new generation")
   }
 
+  test("idempotent ingest keeps a committed codes generation in step, replay-safe") {
+    val idx = halfIndex()
+    val codesDir = graft.operators.Pq.buildPqCodesFor(spark, idx,
+      graft.operators.Pq.trainBooks(
+        graft.operators.Pq.normedOf(evAll.filter(col("vec_id") % 2 === 0)),
+        "ingest-fixture"))
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 21L))
+    val codeIds = spark.read.parquet(codesDir).select(col("vec_id"))
+    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    assert(codeIds.exceptAll(idxIds).isEmpty &&
+      idxIds.exceptAll(codeIds).isEmpty,
+      "codes must cover exactly the index rows after the epoch commits")
+    // marker replay: codes untouched
+    val nCodes = spark.read.parquet(codesDir).count()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 21L))
+    assert(spark.read.parquet(codesDir).count() === nCodes)
+  }
+
+  test("crash window with data landed but codes missing: the replay heals the codes") {
+    val idx = halfIndex()
+    graft.operators.Pq.buildPqCodesFor(spark, idx,
+      graft.operators.Pq.trainBooks(
+        graft.operators.Pq.normedOf(evAll.filter(col("vec_id") % 2 === 0)),
+        "ingest-fixture"))
+    val codesDir = s"${idx.dir}/_pq_codes"
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    // simulate: data append committed but the codes append never ran
+    // (crash between the two) — hide the codes marker for the append
+    val marker = new java.io.File(codesDir, "_GRAFT_PQ_CODES_READY")
+    assert(marker.delete())
+    Ann.appendToIndex(spark, idx, batch)
+    java.nio.file.Files.createFile(marker.toPath)
+    // replay of the uncommitted epoch: probe skips the data, the codes
+    // anti-join appends exactly the missing complement
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 22L),
+      "probe must recognize the committed data rows")
+    val codeIds = spark.read.parquet(codesDir).select(col("vec_id"))
+    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    assert(codeIds.exceptAll(idxIds).isEmpty &&
+      idxIds.exceptAll(codeIds).isEmpty,
+      "replay must heal the codes to cover exactly the index rows")
+    assert(codeIds.count() === codeIds.distinct().count(),
+      "codes healing duplicated rows")
+  }
+
   test("stream ingest with mid-run stop + restart lands the odd half exactly once") {
     val idx = halfIndex()
     val srcDir = tmp("graft-ingest-src-")

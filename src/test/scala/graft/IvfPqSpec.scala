@@ -60,6 +60,57 @@ class IvfPqSpec extends SparkSpec {
       "fixture must actually prune (nprobe < cells)")
   }
 
+  test("a freshly APPENDED near-duplicate of the query is served through the composition") {
+    // the serve-after-ingest contract, deterministically: codes are
+    // committed BEFORE the append, the appended vector IS the query
+    // vector (exact cosine 1.0), and the very next composed query must
+    // publish it — possible only if the append path PQ-encoded the
+    // batch into the committed codes generation (Pq.appendCodes)
+    val s = spark.newSession()
+    Pq.ivfPqCodes(s, sf) // build index + codes on the existing corpus
+    val q = Tables.embeddings(s, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0)
+    val newId = Tables.embeddings(s, sf)
+      .agg(max(col("vec_id"))).first().getLong(0) + 1
+    import s.implicits._
+    val idx = Ann.ivfIndex(s, sf)
+    Ann.appendToIndex(s, idx,
+      Seq((newId, 999, q)).toDF("vec_id", "label", "embedding"))
+    val top = Pq.ivfPqTopk(s, sf, allCells = true).collect()
+    val hit = top.find(_.getLong(0) == newId)
+    assert(hit.isDefined,
+      "appended vector invisible to the composition — codes not in step")
+    assert(hit.get.getDouble(2) === 1.0,
+      "appended near-duplicate must re-rank at exact cosine 1.0")
+  }
+
+  test("ingest gate floors hold (append-then-serve, all cells)") {
+    val row = SparkEntry.queries("ann_ivfpq_ingest_gate")(spark, sf).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(1), "top-20 overlap fell below 18/20")
+    assert(row(0).getBoolean(2), "published sims diverged from exact")
+  }
+
+  test("all cells + shortlist >= corpus: the BATCH composition IS sim_batch_topk") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pq.shortlist",
+      Tables.embeddings(s, sf).count().toString)
+    val got = Pq.ivfPqBatch(s, sf, allCells = true)
+    val want = SparkEntry.queries("sim_batch_topk")(s, sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "exhaustive batched IVF-PQ must publish exactly the brute-force rows")
+  }
+
+  test("batch gate floors hold per query at the default shortlist") {
+    val rows = SparkEntry.queries("ann_ivfpq_batch_gate")(spark, sf).collect()
+    assert(rows.length === 3, "one truth-table row per batched query")
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"qid ${r.getLong(0)}: top-5 overlap < 4/5")
+      assert(r.getBoolean(2), s"qid ${r.getLong(0)}: sims diverged from exact")
+    }
+  }
+
   test("a tombstoned id is never published even though its CODES are stale") {
     // fresh session => fresh temp index fixture; mutating it cannot
     // poison the shared-session fixtures other suites read
