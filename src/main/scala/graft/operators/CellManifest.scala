@@ -14,67 +14,81 @@ import org.apache.spark.sql.types.StructType
   * ([[SessionCache]]) amortizes that within a session, but every COLD
   * session re-pays it, and the walk grows with cell count — at 100 TB
   * geometry (10⁵–10⁶ cells on an object store) it is minutes of driver
-  * time and O(cells) LIST calls. The fix is the same one every table
-  * format (Hive metastore partitions, Delta/Iceberg file manifests)
-  * converged on: the WRITER already knows the files it committed —
-  * persist that knowledge once at commit time, and let readers plan
-  * from the manifest instead of re-discovering the tree.
+  * time and O(cells) LIST calls. The fix is the one every table format
+  * (Hive metastore partitions, Delta/Iceberg file manifests) converged
+  * on: the WRITER already knows the files — and their stat facts — at
+  * commit time; persist them once, and readers open the artifact with
+  * ONE small-file read and ZERO list/stat calls
+  * ([[org.apache.spark.sql.graft.ManifestRead]]: a pre-warmed
+  * FileStatusCache under a stock InMemoryFileIndex, so partition
+  * pruning and split planning stay stock Spark).
   *
   * FORMAT: one plain-text file `<dir>/_cell_manifest` (the `_` prefix
   * keeps it invisible to partition discovery, the `_centroids` trick):
-  * line 1 `schema\t<DDL of the read-back schema, partition col included>`,
-  * then one `<cell>\t<relative/file/path>` line per data file. Written
-  * complete to a staging sibling and renamed into place, so readers see
-  * the old manifest or the new one, never a partial write ([[rewrite]]).
+  * line 1 `schema\t<DDL of the read-back schema, partition col
+  * included>`, then one `<cell>\t<relative/path>\t<length>\t<mtime>`
+  * line per data file. Written complete to a staging sibling and
+  * renamed into place, so readers see the old manifest or the new one,
+  * never a partial write ([[rewrite]]). A manifest whose entries lack
+  * the stat fields (or is missing entirely — legacy dir, crashed
+  * build) makes [[readAsDf]] return None and the caller falls back to
+  * the walking read.
   *
   * TRUTHFULNESS CONTRACT: the manifest is advisory for SERVING reads
   * only — every path that must see the exact on-disk state regardless
   * of crash windows (the ingest presence probe, the codes append's
   * anti-join) goes through [[cellBoundedRead]], a fresh listing of just
   * the touched cell dirs. Writers sequence data → manifest → commit
-  * marker, and the idempotent ingest path re-runs its manifest update on
-  * every replay of an uncommitted epoch, so a crash between data and
-  * manifest self-heals on replay; a manifest missing entirely (legacy
-  * dir, crashed build) falls back to the listing walk ([[readAsDf]]
-  * returns None).
+  * marker, and the idempotent ingest path re-runs its manifest update
+  * on every replay of an uncommitted epoch, so a crash between data
+  * and manifest self-heals on replay.
   */
 private[graft] object CellManifest {
 
   private val Name = "_cell_manifest"
   private val StagingName = "_cell_manifest.next"
 
+  /** cell id, dir-relative path, file length, file mtime. */
+  private type Entry = (Int, String, Long, Long)
+
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** List the data files of one `cell=N` dir (non-hidden, non-marker). */
-  private def listCell(fs: FileSystem, cellDir: Path): Seq[String] =
+  /** List the data files of one `cell=N` dir (non-hidden, non-marker),
+    * carrying the stat facts the reader will serve without re-statting.
+    */
+  private def listCell(fs: FileSystem, cellDir: Path)
+      : Seq[(String, Long, Long)] =
     fs.listStatus(cellDir).toSeq
       .filter(st => st.isFile && {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       })
-      .map(st => s"${cellDir.getName}/${st.getPath.getName}")
+      .map(st => (s"${cellDir.getName}/${st.getPath.getName}",
+        st.getLen, st.getModificationTime))
 
-  /** Full walk of `dir` → (cell → relative files). The one place the
-    * O(cells) listing is still paid — at COMMIT time, by the writer,
-    * once per generation, not per query/session.
+  /** Full walk of `dir` → entries. The one place the O(cells) listing
+    * is still paid — at COMMIT time, by the writer, once per
+    * generation, not per query/session.
     */
-  private def walk(fs: FileSystem, dir: Path): Seq[(Int, String)] =
+  private def walk(fs: FileSystem, dir: Path): Seq[Entry] =
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .flatMap { st =>
         val cell = st.getPath.getName.stripPrefix("cell=").toInt
-        listCell(fs, st.getPath).map(cell -> _)
+        listCell(fs, st.getPath).map { case (f, len, mt) =>
+          (cell, f, len, mt)
+        }
       }
 
   private def writeLines(fs: FileSystem, dir: Path, schemaDdl: String,
-      entries: Seq[(Int, String)]): Unit = {
+      entries: Seq[Entry]): Unit = {
     val staging = new Path(dir, StagingName)
     val out = fs.create(staging, true)
     try {
       out.write(s"schema\t$schemaDdl\n".getBytes("UTF-8"))
-      entries.sortBy(e => (e._1, e._2)).foreach { case (c, f) =>
-        out.write(s"$c\t$f\n".getBytes("UTF-8"))
+      entries.sortBy(e => (e._1, e._2)).foreach { case (c, f, len, mt) =>
+        out.write(s"$c\t$f\t$len\t$mt\n".getBytes("UTF-8"))
       }
     } finally out.close()
     val live = new Path(dir, Name)
@@ -88,12 +102,14 @@ private[graft] object CellManifest {
   /** Parse the manifest if present: (read-back schema DDL, entries).
     * One re-read retry covers a concurrent [[writeLines]] swap window
     * (delete live, rename staging) — the second attempt sees the new
-    * complete manifest or none at all.
+    * complete manifest or none at all. A structurally old/foreign
+    * manifest (missing stat fields) parses to None: the caller's walk
+    * fallback is always safe, a half-understood manifest is not.
     */
   private def readLines(s: SparkSession, dir: Path)
-      : Option[(String, Seq[(Int, String)])] = {
+      : Option[(String, Seq[Entry])] = {
     val fs = fsOf(s, dir)
-    def once(): Option[(String, Seq[(Int, String)])] = {
+    def once(): Option[(String, Seq[Entry])] = {
       val live = new Path(dir, Name)
       if (!fs.exists(live)) None
       else {
@@ -107,14 +123,16 @@ private[graft] object CellManifest {
             bs.toString("UTF-8")
           } finally in.close()
         val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
-        require(lines.nonEmpty && lines.head.startsWith("schema\t"),
-          s"malformed cell manifest at $live")
-        val ddl = lines.head.stripPrefix("schema\t")
-        val entries = lines.tail.map { ln =>
-          val i = ln.indexOf('\t')
-          (ln.substring(0, i).toInt, ln.substring(i + 1))
+        if (lines.isEmpty || !lines.head.startsWith("schema\t")) None
+        else {
+          val ddl = lines.head.stripPrefix("schema\t")
+          val entries = lines.tail.map { ln =>
+            val parts = ln.split("\t")
+            if (parts.length != 4) return None // legacy format → walk
+            (parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong)
+          }
+          Some((ddl, entries))
         }
-        Some((ddl, entries))
       }
     }
     try once()
@@ -156,30 +174,34 @@ private[graft] object CellManifest {
     val fs = fsOf(s, p)
     readLines(s, p).foreach { case (ddl, entries) =>
       val touched = cells.toSet
-      val kept = entries.filterNot { case (c, _) => touched(c) }
+      val kept = entries.filterNot { case (c, _, _, _) => touched(c) }
       val fresh = cells.distinct.flatMap { c =>
         val cd = new Path(p, s"cell=$c")
-        if (fs.exists(cd)) listCell(fs, cd).map(c -> _) else Nil
+        if (fs.exists(cd))
+          listCell(fs, cd).map { case (f, len, mt) => (c, f, len, mt) }
+        else Nil
       }
       writeLines(fs, p, ddl, kept ++ fresh)
     }
   }
 
-  /** Plan the artifact's scan from the manifest: explicit leaf files +
-    * basePath (partition values parse from the paths — partition
-    * pruning on `cell` still reaches the scan) + the stored schema (no
-    * footer read, no partition-type inference). None when no manifest —
-    * the caller falls back to the walking read.
+  /** Plan the artifact's scan from the manifest: the stored listing is
+    * served through a pre-warmed FileStatusCache under a stock
+    * InMemoryFileIndex ([[org.apache.spark.sql.graft.ManifestRead]]) —
+    * no tree walk, no per-file stat, no footer read, no partition-type
+    * inference; partition pruning on `cell` still reaches the scan.
+    * None when no (readable, current-format) manifest — the caller
+    * falls back to the walking read.
     */
   def readAsDf(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(dir)
     readLines(s, p).map { case (ddl, entries) =>
-      val files = entries.map { case (_, f) => s"$dir/$f" }
-      require(files.nonEmpty, s"cell manifest at $dir lists no files")
-      s.read
-        .schema(StructType.fromDDL(ddl))
-        .option("basePath", dir)
-        .parquet(files: _*)
+      require(entries.nonEmpty, s"cell manifest at $dir lists no files")
+      org.apache.spark.sql.graft.ManifestRead.parquetFromListing(
+        s, dir, StructType.fromDDL(ddl),
+        entries.map { case (_, f, len, mt) =>
+          org.apache.spark.sql.graft.ManifestRead.entry(dir, f, len, mt)
+        })
     }
   }
 

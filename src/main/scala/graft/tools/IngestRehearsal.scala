@@ -150,6 +150,25 @@ object IngestRehearsal {
       .repartition(nBatches)
       .write.mode("overwrite").parquet(s"$wd/src")
     println(f"[ingest] staged: build=$buildSec%.1f s, $nBatches batch files")
+    // plain mode ALSO rehearses the IVF-PQ serve-after-ingest contract
+    // at decade scale: a codes generation committed on the BASE half
+    // (books trained there — the deployed timeline), every streamed
+    // epoch PQ-encoding its batch in step (Pq.appendCodes inside the
+    // idempotent commit), across a real SIGKILL. compact-swap keeps the
+    // documented generation contract instead: codes rebuild WITH the
+    // generation, so no pre-staged codes there.
+    val codesBuildSec =
+      if (mode == "plain") {
+        val c0 = System.nanoTime()
+        graft.operators.Pq.buildPqCodesFor(spark,
+          Ann.openIndex(spark, s"$wd/index"),
+          graft.operators.Pq.trainBooks(
+            graft.operators.Pq.normedOf(
+              ev.filter(col("vec_id") % 2 === 0)), "rehearsal base half"))
+        val sec = (System.nanoTime() - c0) / 1e9
+        println(f"[ingest] staged codes generation in $sec%.1f s")
+        sec
+      } else 0.0
 
     // ---- fork 1: armed child, SIGKILL at the marker
     val javaBin = ProcessHandle.current().info().command().orElse("java")
@@ -300,6 +319,39 @@ object IngestRehearsal {
     println(s"[ingest] exactly-once green: rows=$total distinct=$distinct " +
       s"markers=$markers serveExact=$serveExact")
 
+    // ---- plain mode: the codes generation must have kept step with
+    // every streamed epoch — coverage is EXACTLY the final index rows
+    // (no missed batch, no replay duplicate), and the composed IVF-PQ
+    // serve holds the gate contract (all cells probed, top-20 overlap
+    // >= 18/20 vs brute force, published sims exact on the overlap)
+    // at decade scale across the process death
+    val (codesRows, ivfPqOverlap) =
+      if (mode == "plain") {
+        val codesDir = s"${idx.dir}/_pq_codes"
+        val codes = spark.read.parquet(codesDir).select(col("vec_id"))
+        val cRows = codes.count()
+        require(cRows == n && codes.distinct().count() == n,
+          s"codes fell out of step: $cRows rows (corpus $n)")
+        require(codes.exceptAll(got.select(col("vec_id"))).isEmpty,
+          "codes carry a vec_id the index does not")
+        val composed = graft.operators.Pq.serveIvfPqTopk(spark, idx,
+          codesDir, graft.operators.Pq.loadBooks(spark, codesDir),
+          qv.toArray, idx.cents.length)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        val overlap = composed.map(_._1).toSet
+          .intersect(brute.map(_._1).toSet).size
+        require(overlap >= 18,
+          s"composed IVF-PQ overlap@20 fell to $overlap after ingest")
+        val bruteSim = brute.toMap
+        composed.filter(c => bruteSim.contains(c._1)).foreach { c =>
+          require(c._2 == bruteSim(c._1),
+            s"published sim diverged from exact for vec_id ${c._1}")
+        }
+        println(s"[ingest] IVF-PQ codes-in-step green: codes=$cRows " +
+          s"overlap20=$overlap sims exact")
+        (cRows, overlap)
+      } else (0L, -1)
+
     val json =
       s"""{"corpus":"$corpus","mode":"$mode","n_vectors":$n,"cells":$k,
          |"n_batches":$nBatches,"committed_epochs":$committedEpochs,
@@ -309,7 +361,10 @@ object IngestRehearsal {
          |"stream_wall_sec":$wallSec,
          |"rows":$total,"distinct_vec_ids":$distinct,
          |"commit_markers":$markers,
-         |"serve_equals_brute_force":$serveExact,"recovered":true}"""
+         |"serve_equals_brute_force":$serveExact,
+         |"codes_build_sec":$codesBuildSec,"codes_rows":$codesRows,
+         |"ivfpq_overlap20_after_ingest":$ivfPqOverlap,
+         |"recovered":true}"""
         .stripMargin.replace("\n", "")
     val out = java.nio.file.Paths.get(outFile)
     if (out.getParent != null)

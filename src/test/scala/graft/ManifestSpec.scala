@@ -52,12 +52,25 @@ class ManifestSpec extends SparkSpec {
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(p)).asScala
       .filter(_.nonEmpty).drop(1)
-      .map(_.split("\t", 2)(1)).toSet
+      .map(_.split("\t")(1)).toSet
   }
+
+  /** Manifest entries as (relPath → recorded length). */
+  private def manifestLengths(dir: String): Map[String, Long] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, "_cell_manifest"))).asScala
+      .filter(_.nonEmpty).drop(1)
+      .map { ln => val p = ln.split("\t"); p(1) -> p(2).toLong }.toMap
 
   test("build commits a manifest matching the fresh listing; manifest read == walk read") {
     val idx = halfIndex()
     assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
+    // the stat facts the reader serves WITHOUT re-statting must be true
+    manifestLengths(idx.dir).foreach { case (rel, len) =>
+      assert(new java.io.File(idx.dir, rel).length() === len,
+        s"manifest length lies for $rel")
+    }
     val viaManifest = CellManifest.readAsDf(spark, idx.dir)
     assert(viaManifest.isDefined, "committed index must carry a manifest")
     val m = viaManifest.get
