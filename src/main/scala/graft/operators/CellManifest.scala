@@ -69,17 +69,36 @@ private[graft] object CellManifest {
 
   /** Full walk of `dir` → entries. The one place the O(cells) listing
     * is still paid — at COMMIT time, by the writer, once per
-    * generation, not per query/session.
+    * generation, not per query/session. Driver-side parallel (the
+    * listing is pure metadata I/O; a Spark job here would pay one task
+    * per cell — measured ~15 s at 10⁴ cells against ~1 s of threaded
+    * listStatus calls).
     */
-  private def walk(fs: FileSystem, dir: Path): Seq[Entry] =
+  private def walk(fs: FileSystem, dir: Path): Seq[Entry] = {
+    import scala.collection.parallel.CollectionConverters._
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .flatMap { st =>
+      .par.flatMap { st =>
         val cell = st.getPath.getName.stripPrefix("cell=").toInt
         listCell(fs, st.getPath).map { case (f, len, mt) =>
           (cell, f, len, mt)
         }
-      }
+      }.seq
+  }
+
+  /** Driver-side parallel relist of the given cells (existing dirs
+    * only) — the shared kernel of [[updateCells]] and
+    * [[cellBoundedRead]]: metadata-only, batch-bounded, no Spark job.
+    */
+  private def listCells(fs: FileSystem, p: Path, cells: Seq[Int])
+      : Seq[Entry] = {
+    import scala.collection.parallel.CollectionConverters._
+    cells.distinct.par.flatMap { c =>
+      val cd = new Path(p, s"cell=$c")
+      try listCell(fs, cd).map { case (f, len, mt) => (c, f, len, mt) }
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.seq
+  }
 
   private def writeLines(fs: FileSystem, dir: Path, schemaDdl: String,
       entries: Seq[Entry]): Unit = {
@@ -175,13 +194,7 @@ private[graft] object CellManifest {
     readLines(s, p).foreach { case (ddl, entries) =>
       val touched = cells.toSet
       val kept = entries.filterNot { case (c, _, _, _) => touched(c) }
-      val fresh = cells.distinct.flatMap { c =>
-        val cd = new Path(p, s"cell=$c")
-        if (fs.exists(cd))
-          listCell(fs, cd).map { case (f, len, mt) => (c, f, len, mt) }
-        else Nil
-      }
-      writeLines(fs, p, ddl, kept ++ fresh)
+      writeLines(fs, p, ddl, kept ++ listCells(fs, p, cells))
     }
   }
 
@@ -215,14 +228,32 @@ private[graft] object CellManifest {
     * listing of batch-occupancy-many dirs — batch-bounded, never
     * O(cells). Returns None when none of the cells' dirs exist yet
     * (first rows of a brand-new cell).
+    *
+    * The TRUTHFUL listing happens driver-side (threaded listStatus of
+    * the touched cell dirs) and the scan is planned through
+    * [[org.apache.spark.sql.graft.ManifestRead]] over exactly those
+    * statuses — handing Spark the dirs instead would re-list them with
+    * a one-task-per-dir job (measured ~15 s at 10⁴ touched cells,
+    * per PROBE, i.e. twice per streamed epoch).
     */
   def cellBoundedRead(s: SparkSession, dir: String, cells: Seq[Int])
       : Option[DataFrame] = {
     val p = new Path(dir)
     val fs = fsOf(s, p)
-    val dirs = cells.distinct.map(c => new Path(p, s"cell=$c"))
-      .filter(fs.exists).map(_.toString)
-    if (dirs.isEmpty) None
-    else Some(s.read.option("basePath", dir).parquet(dirs: _*))
+    val entries = listCells(fs, p, cells)
+    if (entries.isEmpty) None
+    else {
+      // one footer read for the data schema; the cell partition column
+      // rides in from the paths
+      val dataSchema = s.read.parquet(s"$dir/${entries.head._2}").schema
+      val schema =
+        if (dataSchema.fieldNames.contains("cell")) dataSchema
+        else dataSchema.add("cell", org.apache.spark.sql.types.IntegerType)
+      Some(org.apache.spark.sql.graft.ManifestRead.parquetFromListing(
+        s, dir, schema,
+        entries.map { case (_, f, len, mt) =>
+          org.apache.spark.sql.graft.ManifestRead.entry(dir, f, len, mt)
+        }))
+    }
   }
 }

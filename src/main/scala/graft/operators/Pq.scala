@@ -297,8 +297,15 @@ object Pq {
     */
   def ivfPqCodes(s: SparkSession, d: String): String = {
     val idx = Ann.ivfIndex(s, d)
-    SessionCache.memo(s, s"ivfPqCodes#${idx.dir}",
-      buildPqCodesFor(s, idx, codebooks(s, d)))
+    SessionCache.memo(s, s"ivfPqCodes#${idx.dir}", {
+      val dir = s"${idx.dir}/_pq_codes"
+      val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // committed generation → serve it (books load from the sidecar;
+      // codebook training happens only when the artifact must be built)
+      if (fs.exists(marker)) dir
+      else buildPqCodesFor(s, idx, codebooks(s, d))
+    })
   }
 
   /** Codebook sidecar inside the codes dir — persisted at build so the
@@ -450,7 +457,11 @@ object Pq {
     else {
       val idx = Ann.ivfIndex(s, d)
       val codesDir = ivfPqCodes(s, d)
-      serveIvfPqTopk(s, idx, codesDir, codebooks(s, d),
+      // serve with the GENERATION'S books (persisted `_books` sidecar),
+      // not a fresh codebooks() train: the ADC LUT must be built from
+      // exactly the books the stored codes were encoded with — and a
+      // cold serving session skips the per-session k-means entirely
+      serveIvfPqTopk(s, idx, codesDir, loadBooks(s, codesDir),
         qRows(0).getSeq[Double](0).toArray,
         if (allCells) idx.cents.length else Ann.nprobeOf(s, d))
     }
@@ -509,8 +520,8 @@ object Pq {
           col("vec_id"), lit(0.0).as("sim"))
     else {
       val idx = Ann.ivfIndex(s, d)
-      val books = codebooks(s, d)
       val codesDir = ivfPqCodes(s, d)
+      val books = loadBooks(s, codesDir) // the generation's books
       val width = shortlistWidth(s)
       val probes = qvs.map { case (q, v) =>
         val nrm = math.sqrt(v.map(x => x * x).sum)

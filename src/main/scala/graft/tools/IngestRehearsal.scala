@@ -108,7 +108,15 @@ object IngestRehearsal {
           "recovery was never exercised")
       case None =>
         val q = EmbedIngest.ingestQuery(src, idx, s"$wd/ckpt")
-        q.awaitTermination(600000)
+        // AvailableNow terminates when the backlog is drained — a
+        // timeout here means the drain is INCOMPLETE, and reporting
+        // success anyway would hand the parent a silently-partial
+        // index (bug found exactly that way: a 600 s cap expired one
+        // epoch short at the 2M decade and the conservation assert,
+        // not the harness, caught it). Fail loud instead.
+        require(q.awaitTermination(3600000),
+          "resume leg still draining after 60 min — raise the cap or " +
+            "investigate the per-epoch cost; a timeout is NOT success")
         if (new java.io.File(s"$wd/killed").exists())
           require(dataBatches(q) > 0,
             "post-SIGKILL restart replayed no data — the kill landed " +
@@ -334,10 +342,24 @@ object IngestRehearsal {
           s"codes fell out of step: $cRows rows (corpus $n)")
         require(codes.exceptAll(got.select(col("vec_id"))).isEmpty,
           "codes carry a vec_id the index does not")
-        val composed = graft.operators.Pq.serveIvfPqTopk(spark, idx,
-          codesDir, graft.operators.Pq.loadBooks(spark, codesDir),
-          qv.toArray, idx.cents.length)
-          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        // the gate floor needs a WIDTH with measured recall at this
+        // corpus size: on the clustered decades the default 200 holds
+        // only the small scales (recall@20 at 2M: 0.20 @200 … 1.00
+        // @64000 — bench/pq_recall_r11_2m.json; within-cluster cosine
+        // gaps sit below 8-byte ADC resolution, so the shortlist must
+        // out-width the cluster). 3.2% of the corpus reproduces the
+        // measured-1.0 width at 2M and stays shortlist-shaped; the
+        // assert still catches missing appended codes — they would cap
+        // overlap at the even half's share (~10/20) at ANY width.
+        val assertWidth = math.max(graft.operators.Pq.Shortlist.toLong,
+          math.ceil(n * 0.032).toLong).toString
+        spark.conf.set("spark.graft.pq.shortlist", assertWidth)
+        val composed =
+          try graft.operators.Pq.serveIvfPqTopk(spark, idx,
+            codesDir, graft.operators.Pq.loadBooks(spark, codesDir),
+            qv.toArray, idx.cents.length)
+            .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+          finally spark.conf.unset("spark.graft.pq.shortlist")
         val overlap = composed.map(_._1).toSet
           .intersect(brute.map(_._1).toSet).size
         require(overlap >= 18,
