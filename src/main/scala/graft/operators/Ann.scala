@@ -942,7 +942,7 @@ object Ann {
     * partial one. A second consecutive failure propagates (fail loud:
     * two failures can't be one swap window).
     */
-  private def liveDeleteIds(s: SparkSession, idx: IvfIndex)
+  private[graft] def liveDeleteIds(s: SparkSession, idx: IvfIndex)
       : Option[Array[Long]] = {
     def readOnce(p: String): Array[Long] =
       s.read.parquet(p).select(col("vec_id")).distinct()
@@ -1020,7 +1020,16 @@ object Ann {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
     invalidateIndexRead(s, dstDir)
-    commitIndexMeta(s, dstDir, idx.cents)
+    val out = commitIndexMeta(s, dstDir, idx.cents)
+    // a committed codes generation rides the swap: codes are per-vec_id
+    // and compaction changes neither vectors nor cells, so carrying
+    // them (minus tombstones) is a pure m-bytes/row layout move — ~32×
+    // less IO than the wholesale re-encode the new generation would
+    // otherwise pay on first composed query. Committed AFTER the data
+    // marker under its own marker: a crash here leaves a servable data
+    // generation whose codes rebuild on demand.
+    Pq.carryCodesInto(s, idx, out)
+    out
   }
 
   /** The append gate's fixture index, once per (session, scale dir):

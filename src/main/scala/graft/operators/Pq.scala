@@ -436,6 +436,57 @@ object Pq {
     */
   def buildIvfPqCodes(s: SparkSession, d: String): String = ivfPqCodes(s, d)
 
+  /** Carry a COMMITTED codes generation through a data compaction
+    * ([[Ann.compactIndex]] calls this after committing the new data
+    * generation): codes are per-vec_id and compaction never changes a
+    * vector or its cell assignment, so the new generation's codes are
+    * EXACTLY the old generation's minus the tombstoned ids — a pure
+    * m-bytes-per-row layout move (one codes-sized shuffle, ~32× less
+    * IO than re-encoding from the full-precision rows, and zero
+    * 256·dim encode flops). Tombstones subtract via the same
+    * broadcast-class set the serving anti-join uses; the `_books`
+    * sidecar copies verbatim (same books ⇒ ADC LUTs stay consistent
+    * with the carried codes); manifest + ready marker commit the new
+    * codes generation, so appends keep encoding in step after the
+    * swap. No-op (None) when the source has no committed codes or no
+    * books sidecar — the next read on the new generation then builds
+    * wholesale, the pre-carry behavior.
+    */
+  private[graft] def carryCodesInto(s: SparkSession, src: Ann.IvfIndex,
+      dst: Ann.IvfIndex): Option[String] = {
+    val srcDir = s"${src.dir}/_pq_codes"
+    val dstDir = s"${dst.dir}/_pq_codes"
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val srcMarker = new org.apache.hadoop.fs.Path(srcDir, PqCodesReady)
+    val srcBooks = new org.apache.hadoop.fs.Path(srcDir, BooksDir)
+    if (!fs.exists(srcMarker) || !fs.exists(srcBooks)) None
+    else {
+      val codes = CellManifest.readAsDf(s, srcDir)
+        .getOrElse(s.read.parquet(srcDir))
+      val live = Ann.liveDeleteIds(s, src) match {
+        case None => codes
+        case Some(ids) =>
+          import s.implicits._
+          codes.join(broadcast(ids.toSeq.toDF("vec_id")),
+            Seq("vec_id"), "left_anti")
+      }
+      live.select(col("vec_id"), col("codes"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcBooks, fs,
+        new org.apache.hadoop.fs.Path(dstDir, BooksDir),
+        false, s.sparkContext.hadoopConfiguration)
+      CellManifest.rewrite(s, dstDir)
+      SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dstDir")
+      SessionCache.drop[Array[Array[Array[Double]]]](s,
+        s"ivfPqBooks#$dstDir")
+      fs.create(new org.apache.hadoop.fs.Path(dstDir, PqCodesReady), true)
+        .close()
+      Some(dstDir)
+    }
+  }
+
   /** The IVF-PQ serving pipeline for the vec_id=0 query: rank cells
     * driver-side (k·dim centroid rows), ADC-scan ONLY the probed cells'
     * codes into a top-[[shortlistWidth]] shortlist, exact-cosine re-rank

@@ -37,11 +37,14 @@ object ColdServeProbe {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // maintenance: ensure the pinned index is committed (one session)
+    // maintenance: ensure the pinned index + codes are committed
     val builder = root.newSession()
     builder.conf.set("spark.graft.ann.indexDir", indexBase)
     val buildWall = timed(graft.operators.Ann.buildIndex(builder, corpusDir))
-    println(f"[coldserve] pinned build/load       $buildWall%8.3f s")
+    val codesWall = timed(
+      graft.operators.Pq.buildIvfPqCodes(builder, corpusDir))
+    println(f"[coldserve] pinned build/load       $buildWall%8.3f s " +
+      f"(codes $codesWall%.3f s)")
     val measured = (1 to reps).map { i =>
       val s = root.newSession() // fresh memo space = cold listing path
       s.conf.set("spark.graft.ann.indexDir", indexBase)
@@ -49,16 +52,29 @@ object ColdServeProbe {
         graft.operators.Ann.queries("ann_ivf_topk")(s, corpusDir).collect())
       val steady = timed(
         graft.operators.Ann.queries("ann_ivf_topk")(s, corpusDir).collect())
-      println(f"[coldserve] session $i cold=$cold%.3f s steady=$steady%.3f s")
-      (cold, steady)
+      // the COMPOSED path's cold open adds the codes manifest + the
+      // `_books` sidecar load (no per-session codebook retrain)
+      val coldPq = timed(
+        graft.operators.Pq.queries("ann_ivfpq_topk")(s, corpusDir)
+          .collect())
+      val steadyPq = timed(
+        graft.operators.Pq.queries("ann_ivfpq_topk")(s, corpusDir)
+          .collect())
+      println(f"[coldserve] session $i cold=$cold%.3f s steady=$steady%.3f" +
+        f" s ivfpq_cold=$coldPq%.3f s ivfpq_steady=$steadyPq%.3f s")
+      (cold, steady, coldPq, steadyPq)
     }
     val json =
       s"""{"corpus":"$corpusDir","index_base":"$indexBase",
-         |"build_or_load_sec":$buildWall,
+         |"build_or_load_sec":$buildWall,"codes_build_sec":$codesWall,
          |"cold_first_query_sec":[${measured.map(_._1).mkString(",")}],
          |"steady_query_sec":[${measured.map(_._2).mkString(",")}],
+         |"ivfpq_cold_first_query_sec":[${measured.map(_._3).mkString(",")}],
+         |"ivfpq_steady_query_sec":[${measured.map(_._4).mkString(",")}],
          |"cold_min_sec":${measured.map(_._1).min},
-         |"steady_min_sec":${measured.map(_._2).min}}"""
+         |"steady_min_sec":${measured.map(_._2).min},
+         |"ivfpq_cold_min_sec":${measured.map(_._3).min},
+         |"ivfpq_steady_min_sec":${measured.map(_._4).min}}"""
         .stripMargin.replace("\n", "")
     val out = java.nio.file.Paths.get(outFile)
     if (out.getParent != null)

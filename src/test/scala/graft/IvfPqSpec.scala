@@ -111,6 +111,59 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("compaction CARRIES the codes generation: books bit-equal, tombstones applied, no re-encode") {
+    val s = spark.newSession()
+    val idx = Ann.ivfIndex(s, sf)
+    val codesDir = Pq.ivfPqCodes(s, sf)
+    import s.implicits._
+    // tombstone two served ids, then swap generations
+    val top = Pq.ivfPqTopk(s, sf, allCells = true).collect()
+    val victims = top.take(2).map(_.getLong(0)).toSeq
+    Ann.deleteFromIndex(s, idx, victims.toDF("vec_id"))
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-compact-").toString
+    val out = Ann.compactIndex(s, idx, dst)
+    val dstCodes = s"$dst/_pq_codes"
+    assert(new java.io.File(dstCodes, "_GRAFT_PQ_CODES_READY").exists(),
+      "carried codes generation must commit under its marker")
+    // codes cover exactly the new generation's data rows (victims gone)
+    val codeIds = s.read.parquet(dstCodes).select(col("vec_id"))
+    val dataIds = s.read.parquet(dst).select(col("vec_id"))
+    assert(codeIds.exceptAll(dataIds).isEmpty &&
+      dataIds.exceptAll(codeIds).isEmpty,
+      "carried codes diverge from the compacted data rows")
+    assert(codeIds.filter(col("vec_id").isin(victims: _*)).count() === 0)
+    // books carried bit-equal — the LUTs stay consistent, no retrain
+    val a = Pq.loadBooks(s, codesDir)
+    val b = Pq.loadBooks(s, dstCodes)
+    assert(a.length === b.length)
+    a.indices.foreach { j =>
+      assert(a(j).length === b(j).length)
+      a(j).indices.foreach(c =>
+        assert(java.util.Arrays.equals(a(j)(c), b(j)(c)),
+          s"codebook $j/$c changed across the carry"))
+    }
+    // carried codes are BIT-EQUAL for surviving ids (no re-encode)
+    val src = s.read.parquet(codesDir)
+      .filter(!col("vec_id").isin(victims: _*))
+      .select(col("vec_id"), col("codes"))
+    val dstC = s.read.parquet(dstCodes).select(col("vec_id"), col("codes"))
+    assert(src.exceptAll(dstC).isEmpty && dstC.exceptAll(src).isEmpty,
+      "carried codes are not bit-equal to the source generation")
+    // composed serving over the new generation == over the old (both
+    // all-cells, same books): the swap is invisible to results
+    val qv = Tables.embeddings(s, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .first().getSeq[Double](0).toArray
+    val servedOld = Pq.serveIvfPqTopk(s, idx, codesDir, a, qv,
+      idx.cents.length)
+    val servedNew = Pq.serveIvfPqTopk(s, out, dstCodes, b, qv,
+      out.cents.length)
+    assert(servedOld.exceptAll(servedNew).isEmpty &&
+      servedNew.exceptAll(servedOld).isEmpty,
+      "generation swap changed the composed serving results")
+  }
+
   test("a tombstoned id is never published even though its CODES are stale") {
     // fresh session => fresh temp index fixture; mutating it cannot
     // poison the shared-session fixtures other suites read
