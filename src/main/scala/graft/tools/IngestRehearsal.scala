@@ -158,25 +158,26 @@ object IngestRehearsal {
       .repartition(nBatches)
       .write.mode("overwrite").parquet(s"$wd/src")
     println(f"[ingest] staged: build=$buildSec%.1f s, $nBatches batch files")
-    // plain mode ALSO rehearses the IVF-PQ serve-after-ingest contract
+    // BOTH modes also rehearse the IVF-PQ serve-after-ingest contract
     // at decade scale: a codes generation committed on the BASE half
     // (books trained there — the deployed timeline), every streamed
     // epoch PQ-encoding its batch in step (Pq.appendCodes inside the
-    // idempotent commit), across a real SIGKILL. compact-swap keeps the
-    // documented generation contract instead: codes rebuild WITH the
-    // generation, so no pre-staged codes there.
-    val codesBuildSec =
-      if (mode == "plain") {
-        val c0 = System.nanoTime()
-        graft.operators.Pq.buildPqCodesFor(spark,
-          Ann.openIndex(spark, s"$wd/index"),
-          graft.operators.Pq.trainBooks(
-            graft.operators.Pq.normedOf(
-              ev.filter(col("vec_id") % 2 === 0)), "rehearsal base half"))
-        val sec = (System.nanoTime() - c0) / 1e9
-        println(f"[ingest] staged codes generation in $sec%.1f s")
-        sec
-      } else 0.0
+    // idempotent commit), across a real SIGKILL. In compact-swap mode
+    // the mid-ingest compaction additionally CARRIES the half-ingested
+    // codes into the new generation (Pq.carryCodesInto via
+    // compactIndex), and the post-swap epochs must keep encoding in
+    // step against the carried artifact.
+    val codesBuildSec = {
+      val c0 = System.nanoTime()
+      graft.operators.Pq.buildPqCodesFor(spark,
+        Ann.openIndex(spark, s"$wd/index"),
+        graft.operators.Pq.trainBooks(
+          graft.operators.Pq.normedOf(
+            ev.filter(col("vec_id") % 2 === 0)), "rehearsal base half"))
+      val sec = (System.nanoTime() - c0) / 1e9
+      println(f"[ingest] staged codes generation in $sec%.1f s")
+      sec
+    }
 
     // ---- fork 1: armed child, SIGKILL at the marker
     val javaBin = ProcessHandle.current().info().command().orElse("java")
@@ -327,14 +328,15 @@ object IngestRehearsal {
     println(s"[ingest] exactly-once green: rows=$total distinct=$distinct " +
       s"markers=$markers serveExact=$serveExact")
 
-    // ---- plain mode: the codes generation must have kept step with
-    // every streamed epoch — coverage is EXACTLY the final index rows
+    // ---- the codes generation must have kept step with every
+    // streamed epoch (and, in compact-swap mode, survived the
+    // mid-ingest carry) — coverage is EXACTLY the final index rows
     // (no missed batch, no replay duplicate), and the composed IVF-PQ
     // serve holds the gate contract (all cells probed, top-20 overlap
     // >= 18/20 vs brute force, published sims exact on the overlap)
     // at decade scale across the process death
-    val (codesRows, ivfPqOverlap) =
-      if (mode == "plain") {
+    val (codesRows, ivfPqOverlap) = {
+      {
         val codesDir = s"${idx.dir}/_pq_codes"
         val codes = spark.read.parquet(codesDir).select(col("vec_id"))
         val cRows = codes.count()
@@ -372,7 +374,8 @@ object IngestRehearsal {
         println(s"[ingest] IVF-PQ codes-in-step green: codes=$cRows " +
           s"overlap20=$overlap sims exact")
         (cRows, overlap)
-      } else (0L, -1)
+      }
+    }
 
     val json =
       s"""{"corpus":"$corpus","mode":"$mode","n_vectors":$n,"cells":$k,
