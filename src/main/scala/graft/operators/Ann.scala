@@ -590,16 +590,31 @@ object Ann {
       asDouble(col("embedding")).as("vec"))
     // one assignment pass feeds the write, the manifest update AND the
     // codes append (the n·k·dim kernel is the dominant batch cost —
-    // see appendToIndexIdempotent's persist rationale)
-    val assigned = assignedRows(unitNormed(base), idx.cents)
+    // see appendToIndexIdempotent's persist rationale). When a codes
+    // generation is committed, the PQ encode rides the SAME pass
+    // (Pq.withCodesColumn before the persist): data + codes then come
+    // out of one materialization of the batch instead of appendCodes
+    // paying a second encode pass per epoch.
+    val books = Pq.booksIfCommitted(s, idx.dir)
+    val assigned = books
+      .foldLeft(assignedRows(unitNormed(base), idx.cents))(
+        (a, b) => Pq.withCodesColumn(a, b))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      assigned
+      val batchCells = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // crash-safety for this NON-replayed append: declare the touched
+      // cells BEFORE the data write, so a crash between the write and
+      // the manifest update degrades to a bounded per-read relist of
+      // exactly these cells (CellManifest.markPending) instead of
+      // appended rows staying permanently invisible to manifest-backed
+      // serving (the idempotent path heals the same window on replay;
+      // this path has no replay)
+      CellManifest.markPending(s, idx.dir, batchCells)
+      assigned.drop("codes")
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(idx.dir)
       invalidateIndexRead(s, idx.dir)
-      val batchCells = assigned.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSeq
       CellManifest.updateCells(s, idx.dir, batchCells)
       // keep the IVF-PQ codes artifact in step: a committed codes
       // generation that missed this batch would silently serve recall
@@ -672,8 +687,14 @@ object Ann {
     // the append's write: the n·k·dim nearest-centroid kernel is the
     // dominant per-batch cost, so recomputing it for the write would
     // double every micro-batch. Persisted, not localCheckpoint'd —
-    // the frame is ingest-batch-sized.
-    val assignedDf = assignedRows(unitNormed(rows), idx.cents)
+    // the frame is ingest-batch-sized. With a committed codes
+    // generation, the PQ encode rides this same pass
+    // (Pq.withCodesColumn) — the codes-in-step work then adds no
+    // second pass over the batch.
+    val books = Pq.booksIfCommitted(s, idx.dir)
+    val assignedDf = books
+      .foldLeft(assignedRows(unitNormed(rows), idx.cents))(
+        (a, b) => Pq.withCodesColumn(a, b))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result =
       try {
@@ -686,6 +707,10 @@ object Ann {
         val batchCells = assignedDf.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq
         val batchCount = assignedDf.count()
+        // data-tree presence of the batch, reused by the codes append:
+        // 0 lets appendCodes skip its truthful anti-join entirely
+        // (codes-present ⊆ data-present — see its knownAbsent contract)
+        var presentInData = -1L
         val didAppend = batchCount > 0 && {
           // TRUTHFUL cell-bounded listing, NOT the memoized/manifest
           // read: in the crash window between a committed append job
@@ -702,6 +727,7 @@ object Ann {
             .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
               "left_semi")
             .count()
+          presentInData = present
           if (present < batchCount) {
             // none present → the normal append; SOME present → a crash
             // inside the commit window left a partial batch — append
@@ -710,7 +736,12 @@ object Ann {
             val toAppend =
               if (present == 0) assignedDf
               else assignedDf.join(cellIds, Seq("vec_id"), "left_anti")
-            toAppend
+            // replay heals a crash between this write and the manifest
+            // update, but until the replay arrives readers would serve
+            // a lagging manifest — the pending record bounds even that
+            // window to a per-read relist of the batch's cells
+            CellManifest.markPending(s, idx.dir, batchCells)
+            toAppend.drop("codes") // codes land in THEIR artifact below
               .repartition(col("cell"))
               .write.mode("append").partitionBy("cell").parquet(idx.dir)
             invalidateIndexRead(s, idx.dir)
@@ -725,7 +756,8 @@ object Ann {
         // declares the epoch done
         if (batchCount > 0) {
           CellManifest.updateCells(s, idx.dir, batchCells)
-          Pq.appendCodes(s, idx.dir, assignedDf, batchCells)
+          Pq.appendCodes(s, idx.dir, assignedDf, batchCells,
+            knownAbsent = presentInData == 0L)
         }
         // re-ingest wins over a pending tombstone, on EVERY branch: the
         // re-ingested id may be physically present (skip/repair paths)
@@ -918,9 +950,21 @@ object Ann {
     * footer/partition inference), falling back to the walking read for
     * legacy dirs; every writer keeps the manifest in step, so the two
     * paths list the same files (ManifestSpec).
+    *
+    * The memo is VERSIONED on the manifest's file status
+    * ([[CellManifest.stateToken]] → [[SessionCache.memoVersioned]]):
+    * a sibling PROCESS's committed append republishes the manifest, so
+    * an open session re-plans from the new listing at its very next
+    * query — one driver-side getFileStatus pair per query construction
+    * instead of generation-scoped staleness until newSession()
+    * (CrossProcessSpec pins both the old next-session path for
+    * manifest-less dirs and this same-session path). Decade cold/steady
+    * serving is unchanged: the token stat is microseconds against the
+    * 3.3 s cold open it protects.
     */
   private def indexRead(s: SparkSession, idx: IvfIndex): DataFrame =
-    SessionCache.memo(s, s"ivfIndexRead#${idx.dir}",
+    SessionCache.memoVersioned(s, s"ivfIndexRead#${idx.dir}",
+      CellManifest.stateToken(s, idx.dir),
       CellManifest.readAsDf(s, idx.dir)
         .getOrElse(s.read.parquet(idx.dir)))
 

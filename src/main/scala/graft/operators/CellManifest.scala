@@ -47,6 +47,61 @@ private[graft] object CellManifest {
 
   private val Name = "_cell_manifest"
   private val StagingName = "_cell_manifest.next"
+  private val LockName = "_cell_manifest.lock"
+  private val PendingName = "_cell_manifest.pending"
+
+  /** How long a lock file may sit before it is presumed abandoned (a
+    * writer that crashed between lock and unlock) and broken. Appends
+    * hold the lock for one batch-bounded relist + one small-file write
+    * — seconds, not minutes.
+    */
+  private val LockStaleMs = 120000L
+
+  /** Serialize manifest read-modify-writes across writer PROCESSES.
+    *
+    * [[updateCells]] is a read-merge-write of the whole manifest; two
+    * concurrent writers each publishing a merge of the PRE-write state
+    * would each drop the other's new files — and because a manifest
+    * exists, the walk fallback never triggers, so physically present
+    * rows become silently invisible to manifest-backed serving. The
+    * production contract is SINGLE WRITER per artifact dir (the
+    * streaming ingest path is one query; compaction writes a NEW dir),
+    * but that contract is enforced nowhere — this lock turns a
+    * violation into mutual exclusion instead of silent row loss.
+    *
+    * Mechanics: `create(overwrite = false)` is the usual atomic
+    * lock-file primitive (local FS + HDFS; object stores without
+    * atomic create degrade to best-effort, same as every lock-file
+    * scheme). A lock older than [[LockStaleMs]] is presumed abandoned
+    * by a crashed writer and broken. Failure to acquire within the
+    * stale window THROWS — blocking forever inside an ingest commit is
+    * worse than failing loud.
+    */
+  private def withManifestLock[T](fs: FileSystem, dir: Path)(f: => T): T = {
+    val lock = new Path(dir, LockName)
+    val deadline = System.currentTimeMillis() + LockStaleMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try { fs.create(lock, false).close(); true }
+        catch {
+          case _: java.io.IOException =>
+            val stale = scala.util.Try(
+              fs.getFileStatus(lock).getModificationTime)
+              .toOption.exists(_ < System.currentTimeMillis() - LockStaleMs)
+            if (stale) { fs.delete(lock, false); () }
+            else if (System.currentTimeMillis() > deadline)
+              sys.error(s"could not acquire manifest writer lock $lock " +
+                s"within ${LockStaleMs / 1000} s — a concurrent writer is " +
+                "violating the single-writer-per-artifact contract, or a " +
+                "crashed writer's lock has a future mtime; remove the " +
+                "lock file if the writer is known dead")
+            else Thread.sleep(50)
+            false
+        }
+    }
+    try f finally fs.delete(lock, false)
+  }
 
   /** cell id, dir-relative path, file length, file mtime. */
   private type Entry = (Int, String, Long, Long)
@@ -145,17 +200,84 @@ private[graft] object CellManifest {
         if (lines.isEmpty || !lines.head.startsWith("schema\t")) None
         else {
           val ddl = lines.head.stripPrefix("schema\t")
-          val entries = lines.tail.map { ln =>
-            val parts = ln.split("\t")
-            if (parts.length != 4) return None // legacy format → walk
-            (parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong)
-          }
-          Some((ddl, entries))
+          // ANY malformed line — wrong column count OR non-numeric
+          // cell/length/mtime — parses the whole manifest to None (the
+          // documented foreign-manifest contract): the walk fallback is
+          // always safe, a NumberFormatException propagated into the
+          // serving read is not
+          scala.util.Try {
+            lines.tail.map { ln =>
+              val parts = ln.split("\t")
+              require(parts.length == 4)
+              (parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong)
+            }
+          }.toOption.map(entries => (ddl, entries))
         }
       }
     }
     try once()
     catch { case scala.util.control.NonFatal(_) => once() }
+  }
+
+  /** Declare cells ABOUT to be appended to, BEFORE the data write — the
+    * crash-safety half of the manifest contract for NON-replayed appends
+    * ([[graft.operators.Ann.appendToIndex]]): without it, a crash after
+    * the data write but before [[updateCells]] leaves a manifest that
+    * permanently lags the tree, and because a manifest exists the walk
+    * fallback never triggers — physically present rows silently
+    * invisible to every manifest-backed read. With the pending sidecar
+    * down first, readers ([[readAsDf]]) treat the named cells as
+    * UNTRUSTED and fresh-relist exactly them (batch-bounded, the
+    * [[cellBoundedRead]] kernel) until a successful [[updateCells]] or
+    * [[rewrite]] clears it — so the crash window degrades to a bounded
+    * per-read relist, never to hidden rows. No-op when no manifest
+    * exists (readers are already on the truthful walk). Idempotent
+    * replayed appends get the same healing from their replay, but the
+    * sidecar also covers their pre-replay window.
+    */
+  def markPending(s: SparkSession, dir: String, cells: Seq[Int]): Unit = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    if (fs.exists(new Path(p, Name))) {
+      // merge over any still-unhealed earlier pending set — overwriting
+      // would re-hide a previous crash's cells. An UNREADABLE earlier
+      // sidecar stays untouched: readers are already on the safe full
+      // walk, and this append's updateCells will heal it wholesale.
+      pendingCells(fs, p) match {
+        case Some(None) => ()
+        case prior =>
+          val out = fs.create(new Path(p, PendingName), true)
+          try out.write(
+            (prior.flatten.getOrElse(Seq.empty) ++ cells)
+              .distinct.sorted.mkString(",").getBytes("UTF-8"))
+          finally out.close()
+      }
+    }
+  }
+
+  /** The pending sidecar's cells: None when the sidecar is absent,
+    * Some(cells) when present and parseable. A present-but-unreadable
+    * sidecar (foreign format, torn write) parses to Some(Nil) — callers
+    * must then trust NO cell ([[readAsDf]] falls back to the walk): a
+    * half-understood crash record is worse than re-walking once.
+    */
+  private def pendingCells(fs: FileSystem, dir: Path)
+      : Option[Option[Seq[Int]]] = {
+    val p = new Path(dir, PendingName)
+    if (!fs.exists(p)) None
+    else Some(scala.util.Try {
+      val in = fs.open(p)
+      val text =
+        try {
+          val bs = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+          bs.toString("UTF-8").trim
+        } finally in.close()
+      if (text.isEmpty) Seq.empty[Int]
+      else text.split(",").toSeq.map(_.trim.toInt)
+    }.toOption)
   }
 
   /** Regenerate the manifest from a full tree walk — the build/compact
@@ -177,6 +299,10 @@ private[graft] object CellManifest {
         else dataSchema.add("cell", org.apache.spark.sql.types.IntegerType)
       writeLines(fs, p, schema.toDDL, entries)
     }
+    // a full walk supersedes any crash record — the new manifest IS the
+    // tree (and with no manifest, readers walk anyway)
+    fs.delete(new Path(p, PendingName), false)
+    ()
   }
 
   /** Refresh ONLY the given cells' entries after an append — a
@@ -191,11 +317,29 @@ private[graft] object CellManifest {
   def updateCells(s: SparkSession, dir: String, cells: Seq[Int]): Unit = {
     val p = new Path(dir)
     val fs = fsOf(s, p)
-    readLines(s, p).foreach { case (ddl, entries) =>
-      val touched = cells.toSet
-      val kept = entries.filterNot { case (c, _, _, _) => touched(c) }
-      writeLines(fs, p, ddl, kept ++ listCells(fs, p, cells))
-    }
+    // lock BEFORE the read: the merge must be over the state no other
+    // writer is concurrently rewriting (see withManifestLock)
+    if (fs.exists(new Path(p, Name)))
+      withManifestLock(fs, p) {
+        pendingCells(fs, p) match {
+          case Some(None) =>
+            // unreadable crash record: nothing can be trusted cell-wise
+            // — heal wholesale (rewrite also clears the sidecar)
+            rewrite(s, dir)
+          case pend =>
+            // fold any unhealed pending cells into this update's relist
+            // — the append that crashed before ITS update gets healed by
+            // the next writer that completes one
+            val all = (cells ++ pend.flatten.getOrElse(Seq.empty)).distinct
+            readLines(s, p).foreach { case (ddl, entries) =>
+              val touched = all.toSet
+              val kept = entries.filterNot { case (c, _, _, _) => touched(c) }
+              writeLines(fs, p, ddl, kept ++ listCells(fs, p, all))
+            }
+            fs.delete(new Path(p, PendingName), false)
+            ()
+        }
+      }
   }
 
   /** Plan the artifact's scan from the manifest: the stored listing is
@@ -208,14 +352,57 @@ private[graft] object CellManifest {
     */
   def readAsDf(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(dir)
-    readLines(s, p).map { case (ddl, entries) =>
-      require(entries.nonEmpty, s"cell manifest at $dir lists no files")
-      org.apache.spark.sql.graft.ManifestRead.parquetFromListing(
-        s, dir, StructType.fromDDL(ddl),
-        entries.map { case (_, f, len, mt) =>
-          org.apache.spark.sql.graft.ManifestRead.entry(dir, f, len, mt)
-        })
+    val fs = fsOf(s, p)
+    // a pending sidecar marks cells whose manifest entries may lag the
+    // tree (an append's crash window): fresh-relist exactly those cells
+    // (batch-bounded) and trust the manifest for the rest. Unreadable
+    // sidecar → trust nothing, walk.
+    pendingCells(fs, p) match {
+      case Some(None) => None
+      case pend =>
+        readLines(s, p).map { case (ddl, entries) =>
+          val untrusted = pend.flatten.getOrElse(Seq.empty)
+          val merged =
+            if (untrusted.isEmpty) entries
+            else {
+              val u = untrusted.toSet
+              entries.filterNot { case (c, _, _, _) => u(c) } ++
+                listCells(fs, p, untrusted)
+            }
+          require(merged.nonEmpty, s"cell manifest at $dir lists no files")
+          org.apache.spark.sql.graft.ManifestRead.parquetFromListing(
+            s, dir, StructType.fromDDL(ddl),
+            merged.map { case (_, f, len, mt) =>
+              org.apache.spark.sql.graft.ManifestRead.entry(dir, f, len, mt)
+            })
+        }
     }
+  }
+
+  /** A cheap fingerprint of the manifest's on-disk commit state —
+    * (mtime, length) of the manifest file and of the pending sidecar,
+    * "-" when absent. Every committed writer republishes the manifest
+    * ([[writeLines]] rename) or touches the sidecar, so the token
+    * changes on every mutation a reader should see. Feeding it to
+    * [[SessionCache.memoVersioned]] as the version of the memoized
+    * artifact read gives an OPEN session bounded staleness across
+    * writer PROCESSES: one getFileStatus pair per query construction
+    * buys visibility of a sibling process's append at the very next
+    * query, not at the next newSession(). A dir with neither file
+    * (legacy / walking-read artifact) returns the constant "-|-" —
+    * exactly the old semantics: in-process writers still invalidate
+    * via [[SessionCache.drop]], cross-process appends become visible
+    * at the next session.
+    */
+  def stateToken(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    def tok(name: String): String =
+      scala.util.Try(fs.getFileStatus(new Path(p, name)))
+        .toOption
+        .map(st => s"${st.getModificationTime}:${st.getLen}")
+        .getOrElse("-")
+    s"${tok(Name)}|${tok(PendingName)}"
   }
 
   /** TRUTHFUL cell-bounded read: a fresh listing of exactly the given

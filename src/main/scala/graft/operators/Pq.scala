@@ -7,8 +7,10 @@ import graft.sources.Tables._
 
 /** Product-quantized similarity search — the embedding STORAGE+SCAN
   * answer at 100 TB, one notch past int8: instead of 4× (one tinyint
-  * per coordinate), PQ stores `m` CODES per vector (m=8 at dim=64 —
-  * 32× smaller than float32 at rest), each code naming the nearest
+  * per coordinate), PQ stores `m` CODES per vector (`4·dim/m`× smaller
+  * than float32 at rest — 16× at the default m=16, dim=64; see
+  * [[SubspacesMax]] for the measured recall-per-byte rationale behind
+  * the default), each code naming the nearest
   * entry of a per-subspace 256-way codebook trained offline by k-means
   * (the FAISS `PQ8` shape; see Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011).
@@ -60,10 +62,46 @@ object Pq {
     */
   val CodebookSize = 256
 
-  /** Upper bound on subspace count; the actual m is the largest divisor
-    * of dim ≤ this ([[subspaces]]), so dim=64 → 8 subspaces of 8 dims.
+  /** Default upper bound on subspace count; the actual m is the largest
+    * divisor of dim ≤ the session's cap ([[subspacesOf]]), so dim=64 →
+    * 16 subspaces of 4 dims at the default.
+    *
+    * RAISED 8 → 16 (round 13) on the recall-per-byte measurement: at
+    * the 2M-vector clustered decade, 8-byte codes sit below the
+    * within-cluster cosine gaps — recall@20 = 0.20 at shortlist 200,
+    * reaching 1.00 only at 64,000 (3.2% of the corpus,
+    * `bench/pq_recall_r11_2m.json`), which makes the composed IVF-PQ
+    * serve re-rank a corpus-fractional shortlist and lose to plain IVF.
+    * Doubling m HALVES each subspace (4 dims quantized by 256 entries —
+    * far finer cells) at almost no compute cost: encode flops are
+    * ks·dim regardless of m, the per-query LUT build is ks·dim
+    * regardless of m, and the ADC scan pays m array reads per row (16
+    * vs 8). The at-rest price is codes of 16 bytes instead of 8 — still
+    * 16× under float32 at dim 64 — bought back many times over by the
+    * shortlist the measured sweep licenses (see
+    * `bench/pq_recall_r13_2m_m16.json`). Deployments wanting the old
+    * 32× at-rest ratio (or finer 32-subspace codes) set
+    * `spark.graft.pq.m`; committed codes generations are unaffected —
+    * they serve with their persisted `_books` sidecar geometry.
     */
-  val SubspacesMax = 8
+  val SubspacesMax = 16
+
+  /** The session's subspace cap: `spark.graft.pq.m` (a BUILD-time knob —
+    * committed generations keep the geometry their `_books` sidecar
+    * records), default [[SubspacesMax]].
+    */
+  private[graft] def subspacesCap(s: SparkSession): Int = {
+    val cap = s.conf.getOption("spark.graft.pq.m").map(_.toInt)
+      .getOrElse(SubspacesMax)
+    require(cap >= 1, s"spark.graft.pq.m must be ≥ 1, got $cap")
+    cap
+  }
+
+  /** Largest divisor of `dim` ≤ the session's cap (always ≥ 1). */
+  def subspacesOf(s: SparkSession, dim: Int): Int = {
+    val cap = subspacesCap(s)
+    (cap to 1 by -1).find(dim % _ == 0).getOrElse(1)
+  }
 
   /** Training points targeted per codebook entry (so the sample is
     * CodebookSize·TrainPerCode ≈ 16k vectors — a bounded driver collect
@@ -151,7 +189,9 @@ object Pq {
         })
       }
 
-  /** Largest divisor of `dim` that is ≤ [[SubspacesMax]] (always ≥ 1). */
+  /** Largest divisor of `dim` that is ≤ [[SubspacesMax]] (always ≥ 1) —
+    * the default-cap form of [[subspacesOf]].
+    */
   def subspaces(dim: Int): Int =
     (SubspacesMax to 1 by -1).find(dim % _ == 0).getOrElse(1)
 
@@ -192,7 +232,7 @@ object Pq {
     require(dims.getInt(0) == dims.getInt(1),
       s"ragged embedding dims in $what (${dims.getInt(0)}..${dims.getInt(1)})")
     val dim = dims.getInt(0)
-    val m = subspaces(dim)
+    val m = subspacesOf(base.sparkSession, dim)
     val dsub = dim / m
     val target = CodebookSize * TrainPerCode
     val mod = math.max(1L, base.count() / target)
@@ -216,7 +256,8 @@ object Pq {
     * Fails with a named error on an empty corpus, like IVF training.
     */
   def codebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    SessionCache.memo(s, s"pqBooks#$d", trainBooks(normed(s, d), d))
+    SessionCache.memo(s, s"pqBooks#$d#m=${subspacesCap(s)}",
+      trainBooks(normed(s, d), d))
 
   /** The encoded corpus (vec_id, label, codes: array<tinyint>) — the
     * at-rest artifact stage-1 scans. Eagerly materialized once per
@@ -224,7 +265,7 @@ object Pq {
     * this is a persisted table maintained beside the corpus.
     */
   def codes(s: SparkSession, d: String): DataFrame =
-    SessionCache.getOrElseUpdate(s, s"pqCodes#$d", {
+    SessionCache.getOrElseUpdate(s, s"pqCodes#$d#m=${subspacesCap(s)}", {
       val books = codebooks(s, d)
       normed(s, d)
         .select(col("vec_id"), col("label"),
@@ -280,7 +321,8 @@ object Pq {
     * same `cell` key as the index) at m bytes per row, then
     * exact-re-ranks the shortlist from the full-precision index rows of
     * those same cells — at the deployed geometry that is ~2% of cells ×
-    * 32× smaller rows ≈ 1/1600th of the corpus bytes per query, with
+    * 4·dim/m× smaller rows (16× at the default geometry) ≈ 1/800th of
+    * the corpus bytes per query, with
     * every PUBLISHED similarity still exact.
     *
     * Generation discipline: the codes are encoded from the index's
@@ -302,9 +344,21 @@ object Pq {
       val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       // committed generation → serve it (books load from the sidecar;
-      // codebook training happens only when the artifact must be built)
-      if (fs.exists(marker)) dir
-      else buildPqCodesFor(s, idx, codebooks(s, d))
+      // codebook training happens only when the artifact must be built).
+      // A LEGACY generation (marker but no `_books` sidecar) is NOT
+      // servable — the serve path would throw loading the sidecar — so
+      // mirror appendCodes' handling: drop the marker and rebuild
+      // wholesale rather than returning a dir that hard-fails the first
+      // composed query.
+      if (fs.exists(marker) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, BooksDir))) dir
+      else {
+        if (fs.exists(marker)) {
+          fs.delete(marker, false)
+          SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
+        }
+        buildPqCodesFor(s, idx, codebooks(s, d))
+      }
     })
   }
 
@@ -363,6 +417,43 @@ object Pq {
     dir
   }
 
+  /** The committed codes generation's books for an index dir, if a
+    * SERVABLE generation exists: marker + `_books` sidecar. A legacy
+    * generation (marker but no sidecar) cannot be appended to or served
+    * consistently — its marker is dropped (forcing wholesale re-encode
+    * on the next read) and None is returned, never a half-servable dir.
+    * This is the shared gate of [[appendCodes]] and the append paths'
+    * encode-in-pass optimization ([[withCodesColumn]] fused into the
+    * batch's one assignment pass).
+    */
+  private[graft] def booksIfCommitted(s: SparkSession, indexDir: String)
+      : Option[Array[Array[Array[Double]]]] = {
+    val dir = s"$indexDir/_pq_codes"
+    val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else if (!fs.exists(new org.apache.hadoop.fs.Path(dir, BooksDir))) {
+      fs.delete(marker, false)
+      SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
+      None
+    } else Some(loadBooks(s, dir))
+  }
+
+  /** Add a `codes` column — the generation-books PQ encode of the
+    * unit-normalized `vec` — to an assigned batch frame. Called by the
+    * index append paths BEFORE their persist, so the encode rides the
+    * batch's one materialization pass instead of costing
+    * [[appendCodes]] a second pass over the batch per epoch (the
+    * codes-in-step ingest tax, task of `bench/ingest_rehearsal_r12`).
+    */
+  private[graft] def withCodesColumn(df: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    df.withColumn("nrm", SimilarityOps.l2norm(col("vec")))
+      .withColumn("codes", graft.functions.PqExprs.pqEncode(
+        when(col("nrm") === 0, col("vec"))
+          .otherwise(transform(col("vec"), x => x / col("nrm"))), books))
+      .drop("nrm")
+
   /** Keep a COMMITTED codes generation in step with an index append —
     * called by both [[Ann.appendToIndex]] and
     * [[Ann.appendToIndexIdempotent]] inside the append commit (before
@@ -385,35 +476,44 @@ object Pq {
     * wholesale, never silently under-serving.
     */
   private[graft] def appendCodes(s: SparkSession, indexDir: String,
-      assigned: DataFrame, batchCells: Seq[Int]): Unit = {
+      assigned: DataFrame, batchCells: Seq[Int],
+      knownAbsent: Boolean = false): Unit = {
     val dir = s"$indexDir/_pq_codes"
-    val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) return
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, BooksDir))) {
-      fs.delete(marker, false)
+    booksIfCommitted(s, indexDir).foreach { books =>
+      // the append paths fuse the encode into the batch's one persisted
+      // assignment pass (withCodesColumn) — reuse it; encode here only
+      // for callers that didn't
+      val encoded =
+        if (assigned.columns.contains("codes"))
+          assigned.select(col("vec_id"), col("cell"), col("codes"))
+        else withCodesColumn(assigned, books)
+          .select(col("vec_id"), col("cell"), col("codes"))
+      // `knownAbsent`: the caller's DATA presence probe saw none of the
+      // batch in the data tree — and codes-present ⊆ data-present (codes
+      // land strictly after their data within a commit), so the codes
+      // anti-join would drop nothing: skip its whole scan+join. Replays
+      // and repair branches (data partially/fully present) keep the
+      // truthful anti-join.
+      val missing =
+        if (knownAbsent) encoded
+        else CellManifest.cellBoundedRead(s, dir, batchCells) match {
+          case None => encoded
+          case Some(existing) =>
+            encoded.join(existing.select(col("vec_id")), Seq("vec_id"),
+              "left_anti")
+        }
+      // pending-cells record before the write: a crash between the codes
+      // write and the manifest update must degrade to a bounded relist,
+      // not to committed codes invisible to manifest-backed serving
+      // (CellManifest.markPending; healed by the updateCells below or by
+      // any later writer's)
+      CellManifest.markPending(s, dir, batchCells)
+      missing
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(dir)
       SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
-      return
+      CellManifest.updateCells(s, dir, batchCells)
     }
-    val books = loadBooks(s, dir)
-    val encoded = assigned
-      .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
-      .select(col("vec_id"), col("cell"),
-        graft.functions.PqExprs.pqEncode(
-          when(col("nrm") === 0, col("vec"))
-            .otherwise(transform(col("vec"), x => x / col("nrm"))),
-          books).as("codes"))
-    val missing = CellManifest.cellBoundedRead(s, dir, batchCells) match {
-      case None => encoded
-      case Some(existing) =>
-        encoded.join(existing.select(col("vec_id")), Seq("vec_id"),
-          "left_anti")
-    }
-    missing
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
-    SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
-    CellManifest.updateCells(s, dir, batchCells)
   }
 
   /** Session-memoized read of the codes artifact — the same
@@ -426,7 +526,8 @@ object Pq {
     * [[CellManifest]] instead of re-walking (legacy dirs fall back).
     */
   private def codesRead(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, s"ivfPqCodesRead#$dir",
+    SessionCache.memoVersioned(s, s"ivfPqCodesRead#$dir",
+      CellManifest.stateToken(s, dir),
       CellManifest.readAsDf(s, dir).getOrElse(s.read.parquet(dir)))
 
   /** Explicit maintenance entry for the IVF-PQ codes ([[Ann.buildIndex]]
@@ -441,7 +542,7 @@ object Pq {
     * generation): codes are per-vec_id and compaction never changes a
     * vector or its cell assignment, so the new generation's codes are
     * EXACTLY the old generation's minus the tombstoned ids — a pure
-    * m-bytes-per-row layout move (one codes-sized shuffle, ~32× less
+    * m-bytes-per-row layout move (one codes-sized shuffle, ~4·dim/m× less
     * IO than re-encoding from the full-precision rows, and zero
     * 256·dim encode flops). Tombstones subtract via the same
     * broadcast-class set the serving anti-join uses; the `_books`

@@ -69,6 +69,32 @@ private[graft] object SessionCache {
     of(s).getOrElseUpdate(key + "⊢" + ct.runtimeClass.getName, build)
       .asInstanceOf[T]
 
+  /** [[memo]] with an external VERSION: the entry is served only while
+    * `version` matches the one it was built under; a mismatch rebuilds
+    * and replaces in place (same key — [[drop]] still invalidates it).
+    * This is the bounded-staleness device for memos over artifacts a
+    * DIFFERENT process can mutate: key the version on the artifact's
+    * commit-time metadata (the cell manifest's file status — one
+    * driver-side getFileStatus per query construction, the
+    * calibratedShortlistOf mtime precedent) and a cross-process append
+    * becomes visible to an already-open session at its next query,
+    * instead of only after newSession(). Races are benign: two threads
+    * may build concurrently, last-put wins, both results are views of a
+    * committed state.
+    */
+  def memoVersioned[T](s: SparkSession, key: String, version: String,
+      build: => T)(implicit ct: scala.reflect.ClassTag[T]): T = {
+    val m = of(s)
+    val full = key + "⊢" + ct.runtimeClass.getName
+    m.get(full) match {
+      case Some((v: String, t)) if v == version => t.asInstanceOf[T]
+      case _ =>
+        val built = build
+        m.put(full, (version, built))
+        built
+    }
+  }
+
   /** Invalidate one memoized entry (same key construction as [[memo]])
     * — for memos over MUTABLE artifacts, where the mutation path owns
     * re-validation: e.g. the IVF index read's cached partition listing,

@@ -55,6 +55,24 @@ import graft.streaming.EmbedIngest
   * new-generation markers == epochs committed after the swap, zero
   * carried markers, and the same conservation/DISTINCT/serving-equality
   * standard on the final swapped index.
+  *
+  * mode `churn` rehearses the FULL index lifecycle with codes in step
+  * at every stage — delete → compact → re-ingest, the
+  * takedown/retention reality of a 100 TB corpus: after the SIGKILL,
+  * slice A of the BASE half is tombstoned (serving must exclude it
+  * immediately, its codes harmlessly stale), the index is compacted
+  * into a new generation (tombstones applied physically, codes CARRIED
+  * minus A — asserted codes == physical rows), slice B is tombstoned
+  * IN the new generation (pending, uncompacted), and BOTH slices are
+  * staged for re-ingest through the resumed stream: A is physically
+  * absent (the append + codes-in-step path), B is physically present
+  * but tombstoned (the presence probe must skip the append and
+  * re-ingest-wins must clear the tombstone). Final asserts: row/id
+  * conservation over the whole corpus, ZERO live tombstones, codes ==
+  * index rows exactly, full-probe serving == brute force, and the
+  * composed IVF-PQ gate floor — so a vector that was deleted,
+  * compacted away, and re-ingested is served through the composition
+  * again, across a real process death.
   */
 object IngestRehearsal {
   private def session(cpus: String): SparkSession = {
@@ -135,8 +153,8 @@ object IngestRehearsal {
     val corpus = args(1)
     val nBatches = if (args.length > 2) args(2).toInt else 8
     val mode = if (args.length > 3) args(3) else "plain"
-    require(mode == "plain" || mode == "compact-swap",
-      s"unknown mode $mode (plain | compact-swap)")
+    require(mode == "plain" || mode == "compact-swap" || mode == "churn",
+      s"unknown mode $mode (plain | compact-swap | churn)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wd = java.nio.file.Files
       .createTempDirectory("graft-ingest-rehearsal-").toString
@@ -262,11 +280,64 @@ object IngestRehearsal {
         println(s"[ingest] SIGKILLed swap-leg child pid=${pk.pid()} " +
           s"(exit ${pk.exitValue()})")
         gen2
+      } else if (mode == "churn") {
+        // ---- the full lifecycle with codes in step: delete → compact
+        // → re-ingest (takedown, retention, reversal) while the stream
+        // is down exactly where the SIGKILL left it
+        val gen2 = s"$wd/index-gen2"
+        val g1 = Ann.openIndex(spark, s"$wd/index")
+        // two disjoint slices of the BASE half (even vec_ids)
+        val aIds = ev.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id"))
+        val bIds = ev.filter(col("vec_id") % 40 === 20)
+          .select(col("vec_id"))
+        val aCount = aIds.count()
+        val bCount = bIds.count()
+        require(aCount > 0 && bCount > 0, "churn slices must be non-empty")
+        val physAtKill = spark.read.parquet(g1.dir).count()
+        // takedown #1: tombstone A — serving excludes it IMMEDIATELY,
+        // its carried codes harmlessly stale (live-view re-rank)
+        println(s"[churn] tombstoning slice A ($aCount ids) in gen1")
+        Ann.deleteFromIndex(spark, g1, aIds)
+        require(Ann.indexData(spark, g1)
+          .join(aIds, Seq("vec_id"), "left_semi").count() == 0,
+          "tombstoned slice A still visible in gen1 serving view")
+        // compact: tombstones applied physically, codes CARRIED minus A
+        println(s"[churn] compacting into $gen2 (A applied physically)")
+        val c0 = System.nanoTime()
+        Ann.compactIndex(spark, g1, gen2)
+        println(f"[churn] compaction in ${(System.nanoTime() - c0) / 1e9}%.1f s")
+        val g2 = Ann.openIndex(spark, gen2)
+        val phys2 = spark.read.parquet(gen2).count()
+        require(phys2 == physAtKill - aCount,
+          s"compaction row math broke: $phys2 != $physAtKill - $aCount")
+        val codes2 = spark.read.parquet(s"$gen2/_pq_codes")
+          .select(col("vec_id"))
+        require(codes2.count() == phys2,
+          s"carried codes fell out of step: ${codes2.count()} != $phys2")
+        require(markerCount(gen2) == 0,
+          "compaction must not carry ingest markers into the generation")
+        // takedown #2: tombstone B IN the new generation (pending,
+        // uncompacted — the codes for B stay, stale behind the live view)
+        println(s"[churn] tombstoning slice B ($bCount ids) in gen2")
+        Ann.deleteFromIndex(spark, g2, bIds)
+        require(Ann.indexData(spark, g2)
+          .join(bIds, Seq("vec_id"), "left_semi").count() == 0,
+          "tombstoned slice B still visible in gen2 serving view")
+        // reversal: stage BOTH slices for re-ingest through the STREAM —
+        // A is physically absent (append + codes-in-step), B is present
+        // but tombstoned (presence probe must skip, re-ingest must win)
+        ev.join(aIds, Seq("vec_id"), "left_semi")
+          .coalesce(1).write.mode("append").parquet(s"$wd/src")
+        ev.join(bIds, Seq("vec_id"), "left_semi")
+          .coalesce(1).write.mode("append").parquet(s"$wd/src")
+        println("[churn] staged re-ingest files for A and B; resuming")
+        gen2
       } else s"$wd/index"
 
     // ---- final fork: resume from the same checkpoint, drain
     val p2 = launch(
-      if (mode == "compact-swap")
+      if (mode != "plain")
         Map("GRAFT_INGEST_INDEX" -> servingDir)
       else Map.empty)
     val resumed = drive(p2, None)
@@ -296,7 +367,7 @@ object IngestRehearsal {
     // in-flight one).
     val committedEpochs = ckptCommits()
     val expectMarkers =
-      if (mode == "compact-swap") committedEpochs - epochsAtKill
+      if (mode != "plain") committedEpochs - epochsAtKill
       else committedEpochs
     require(markers == expectMarkers,
       s"expected $expectMarkers markers (committed epochs " +
@@ -327,6 +398,18 @@ object IngestRehearsal {
     require(serveExact, "full-probe serving != brute force after recovery")
     println(s"[ingest] exactly-once green: rows=$total distinct=$distinct " +
       s"markers=$markers serveExact=$serveExact")
+    if (mode == "churn") {
+      // re-ingest-wins must have cleared every tombstone: B was
+      // tombstoned in THIS generation and re-ingested through the
+      // stream — a surviving tombstone would mean the presence-probe
+      // skip path failed to clear it (rows above only prove physical
+      // presence; the live view is what serves)
+      require(Ann.liveDeleteIds(spark, idx).isEmpty,
+        "live tombstones survived the churn re-ingest — " +
+          "re-ingest-wins failed to clear them")
+      println("[churn] zero live tombstones after re-ingest — " +
+        "re-ingest-wins held")
+    }
 
     // ---- the codes generation must have kept step with every
     // streamed epoch (and, in compact-swap mode, survived the

@@ -13,7 +13,7 @@ import graft.sources.Tables
   * composed path's recall@20 against brute force. The bytes are real
   * at-rest file sizes from the cell-partitioned codes dir, so the
   * scan-bytes ratio is the partition-pruning arithmetic a 100 TB
-  * deployment would see (≈ nprobe/cells of 1/32nd-sized rows).
+  * deployment would see (≈ nprobe/cells of 4·dim/m×-smaller rows).
   *
   *   tools/javamain.sh graft.tools.IvfPqProbe <sfDir> <outJson> [reps]
   */

@@ -7,29 +7,32 @@ import graft.sources.Tables
 
 /** The listing memo's cross-PROCESS contract, pinned with a real fork
   * (the StreamRehearsalForked harness pattern): a separate JVM appends
-  * into a committed index dir; the session here that had already
-  * memoized the listing keeps its pre-append view (documented
-  * staleness — serving sessions are generation-scoped), and a NEW
-  * session opened afterwards sees the appended rows ("visible on their
-  * next open", Ann.indexRead). With the cell manifest, the new session
-  * gets there by reading the manifest the CHILD's writer updated —
-  * cross-process manifest maintenance is exercised too.
+  * into a committed index dir while a session here has already
+  * memoized the listing.
+  *
+  * With a cell manifest, the memo is VERSIONED on the manifest's file
+  * status (Ann.indexRead → SessionCache.memoVersioned over
+  * CellManifest.stateToken), so the child's committed append — which
+  * republishes the manifest — is visible to the parent's SAME open
+  * session at its very next query: bounded staleness, one
+  * driver-side stat pair per query construction. A manifest-LESS
+  * (legacy) dir keeps the old generation-scoped contract: the open
+  * session serves its memoized walking read until newSession(), and
+  * the next session's fresh walk sees the appended rows.
   */
 class CrossProcessSpec extends SparkSpec {
 
   private def evAll = Tables.embeddings(spark, sf)
 
-  test("a sibling process's append: invisible to the open session, visible to the next") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-xproc-idx-").toString
-    val idx = Ann.buildFrom(spark,
+  private def buildHalf(dir: String): Ann.IvfIndex =
+    Ann.buildFrom(spark,
       evAll.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("vec")),
       Ann.Cells, dir)
-    val evenCount = Ann.indexData(spark, idx).count() // memoize the listing
 
-    // fork the appender: same JVM binary and module args, small heap
+  /** Fork graft.tools.CrossProcessAppend against `dir` and wait. */
+  private def forkAppend(dir: String): Unit = {
     val javaBin = ProcessHandle.current().info().command().orElse("java")
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
@@ -48,12 +51,44 @@ class CrossProcessSpec extends SparkSpec {
     var line = rd.readLine()
     while (line != null) { out.append(line).append('\n'); line = rd.readLine() }
     assert(p.waitFor() == 0, s"child appender failed:\n$out")
+  }
 
-    // the open session's memoized listing predates the child's append —
-    // the documented generation-scoped staleness, quiet by design
+  test("a sibling process's append is visible to the SAME open session within one query") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xproc-idx-").toString
+    val idx = buildHalf(dir)
+    val evenCount = Ann.indexData(spark, idx).count() // memoize the listing
+    assert(evenCount < evAll.count())
+
+    forkAppend(dir)
+
+    // the child's committed append republished the manifest; the
+    // version token mismatches and the open session re-plans — NO
+    // newSession() required (bounded staleness)
+    assert(Ann.indexData(spark, idx).count() === evAll.count(),
+      "open session must see the sibling process's appended rows " +
+        "through the republished manifest")
+  }
+
+  test("a manifest-less dir keeps the legacy contract: stale until the next session") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xproc-legacy-").toString
+    val idx = buildHalf(dir)
+    // strip the manifest: the walking-read path, constant version token
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_cell_manifest"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._cell_manifest.crc"))
+    val evenCount = Ann.indexData(spark, idx).count() // memoize the walk
+
+    forkAppend(dir)
+
+    // no manifest → the child's updateCells was a no-op and the open
+    // session's memoized walk stays (documented generation-scoped
+    // staleness for legacy dirs)
     assert(Ann.indexData(spark, idx).count() === evenCount,
-      "memoized session unexpectedly re-listed mid-generation")
-    // a NEW session re-plans (manifest or walk) and sees the append
+      "memoized session unexpectedly re-listed a manifest-less dir")
+    // a NEW session's fresh walk sees the appended rows
     val s2 = spark.newSession()
     assert(Ann.indexData(s2, idx).count() === evAll.count(),
       "next-open session must see the sibling process's appended rows")

@@ -45,6 +45,32 @@ class IvfPqSpec extends SparkSpec {
       Set("vec_id", "label", "vec", "soft_cells", "cell"))
   }
 
+  test("a legacy codes generation (marker, no _books) is rebuilt, not hard-failed") {
+    // commit a generation under a PINNED base (so a later session loads
+    // this dir instead of building its own temp index), then strip its
+    // sidecar — the pre-sidecar on-disk shape. The serve path must drop
+    // the marker and rebuild wholesale instead of throwing on the
+    // missing books load.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-legacy-").toString
+    Ann.registerTempIndexDir(base)
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.ann.indexDir", base)
+    val dir = Pq.ivfPqCodes(s1, sf)
+    val books = new java.io.File(dir, "_books")
+    assert(books.exists(), "fixture needs a committed _books sidecar")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(books)
+    val s2 = spark.newSession() // cold path: no memoized codes dir
+    s2.conf.set("spark.graft.ann.indexDir", base)
+    val got = Pq.ivfPqTopk(s2, sf, allCells = true).collect()
+    assert(got.length === 20, "legacy generation must serve after rebuild")
+    assert(new java.io.File(dir, "_books").exists(),
+      "the rebuild must re-commit the books sidecar")
+  }
+
   test("the serving scan is probe-pruned: only probed cells' code files are read") {
     val idx = Ann.ivfIndex(spark, sf)
     val plan = Pq.ivfPqTopk(spark, sf, allCells = false)

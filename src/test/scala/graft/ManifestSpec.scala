@@ -156,6 +156,70 @@ class ManifestSpec extends SparkSpec {
       "codes rows diverge from index rows after the append")
   }
 
+  test("a malformed manifest parses to None — walk fallback, never a propagated parse error") {
+    val idx = halfIndex()
+    val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")
+    val lines = java.nio.file.Files.readAllLines(manifest)
+    // 4 columns, but non-numeric cell/length fields — a foreign manifest
+    val bad = new java.util.ArrayList[String](lines)
+    bad.add("not-a-cell\tsome/file\tlong?\t12")
+    java.nio.file.Files.write(manifest, bad)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx.dir, "._cell_manifest.crc"))
+    assert(CellManifest.readAsDf(spark, idx.dir).isEmpty,
+      "a half-understood manifest must yield the walk fallback, not throw")
+    // and the walking read still serves everything
+    assert(spark.newSession().read.parquet(idx.dir).count() ===
+      evAll.filter(col("vec_id") % 2 === 0).count())
+  }
+
+  test("append crash window: pending sidecar keeps appended rows visible until healed") {
+    val idx = halfIndex()
+    val baseCount = evAll.filter(col("vec_id") % 2 === 0).count()
+    // simulate the crash: data lands + pending is down, but the
+    // updateCells that would refresh the manifest never ran
+    val batch = evAll.filter(col("vec_id") % 2 === 1)
+    val cells = (0 until Ann.Cells).toSeq
+    CellManifest.markPending(spark, idx.dir, cells)
+    Ann.appendToIndex(spark, idx, batch) // full append (heals + clears)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.dir, "_cell_manifest.pending")),
+      "a completed append must clear the pending record")
+    // now regress: strip batch files from the manifest AND restore a
+    // pending record naming their cells — the reader must fold a fresh
+    // relist of those cells and still see every row
+    val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")
+    val all = java.nio.file.Files.readAllLines(manifest)
+    val regressed = new java.util.ArrayList[String]()
+    all.forEach { ln =>
+      if (ln.startsWith("schema\t") || regressed.size < 4) regressed.add(ln)
+    }
+    java.nio.file.Files.write(manifest, regressed)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx.dir, "._cell_manifest.crc"))
+    CellManifest.markPending(spark, idx.dir, cells)
+    assert(CellManifest.readAsDf(spark, idx.dir).get.count() ===
+      evAll.count(),
+      "pending-marked cells must be fresh-listed, not trusted stale")
+    // the next completed update heals the manifest and clears pending
+    CellManifest.updateCells(spark, idx.dir, cells)
+    assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.dir, "_cell_manifest.pending")))
+    assert(baseCount > 0)
+  }
+
+  test("an abandoned writer lock is broken; a live one is respected") {
+    val idx = halfIndex()
+    val lock = new java.io.File(idx.dir, "_cell_manifest.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 600000L))
+    // stale lock (10 min old) must be broken, the update must land
+    Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
+    assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
+    assert(!lock.exists(), "the completed update must release the lock")
+  }
+
   test("updateCells without a manifest is a no-op — legacy dirs keep the walk fallback") {
     val idx = halfIndex()
     val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")

@@ -14,12 +14,21 @@ import graft.sources.Tables
   */
 class PqSpec extends SparkSpec {
 
-  test("subspace count is the largest divisor of dim ≤ 8") {
-    assert(Pq.subspaces(64) == 8)
-    assert(Pq.subspaces(60) == 6)
+  test("subspace count is the largest divisor of dim ≤ the cap") {
+    assert(Pq.SubspacesMax == 16) // the measured recall-per-byte default
+    assert(Pq.subspaces(64) == 16)
+    assert(Pq.subspaces(60) == 15)
     assert(Pq.subspaces(7) == 7)
-    assert(Pq.subspaces(13) == 1) // prime beyond the cap → one subspace
+    assert(Pq.subspaces(13) == 13)
+    assert(Pq.subspaces(17) == 1) // prime beyond the cap → one subspace
     assert(Pq.subspaces(1) == 1)
+    // the session cap override (a BUILD-time knob)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pq.m", "8")
+    assert(Pq.subspacesOf(s2, 64) == 8)
+    s2.conf.set("spark.graft.pq.m", "32")
+    assert(Pq.subspacesOf(s2, 64) == 32)
+    assert(Pq.subspacesOf(spark, 64) == 16)
   }
 
   test("codebook geometry: m subspaces, ks ≤ 256 entries, dsub dims") {
@@ -120,7 +129,7 @@ class PqSpec extends SparkSpec {
     assert(r(0).getBoolean(2), "published sims must be exact (re-rank)")
   }
 
-  test("codes are m bytes per vector — the 32× at-rest claim at dim 64") {
+  test("codes are m bytes per vector — the 4·dim/m at-rest claim at dim 64") {
     val m = Pq.subspaces(64)
     val sizes = Pq.codes(spark, sf)
       .select(size(col("codes"))).distinct().collect().map(_.getInt(0))
