@@ -63,4 +63,42 @@ object TopK {
   def topK(k: Int)(sim: Column, id: Column): Column =
     udaf(new TopKBySim(k), ExpressionEncoder[(Double, Long)]())
       .apply(sim, id)
+
+  /** [[Hit]] plus the row's partition cell — so a k-bounded shortlist
+    * can carry WHERE its survivors live and the consumer can
+    * partition-prune its follow-up scan to exactly those cells
+    * ([[graft.operators.Pq]]'s batched re-rank). Ordering contract
+    * identical to [[TopKBySim]]; the cell rides as payload, never as a
+    * sort key.
+    */
+  case class CellHit(sim: Double, vec_id: Long, cell: Int)
+
+  class TopKBySimWithCell(k: Int)
+      extends Aggregator[(Double, Long, Int), Seq[CellHit], Seq[CellHit]] {
+    require(k > 0, "k must be positive")
+    private val ord: Ordering[CellHit] = new Ordering[CellHit] {
+      private def canon(x: Double): Double = if (x == 0.0) 0.0 else x
+      def compare(a: CellHit, b: CellHit): Int = {
+        val c = java.lang.Double.compare(canon(b.sim), canon(a.sim))
+        if (c != 0) c else java.lang.Long.compare(a.vec_id, b.vec_id)
+      }
+    }
+    private def prune(xs: Seq[CellHit]): Seq[CellHit] = xs.sorted(ord).take(k)
+    override def zero: Seq[CellHit] = Nil
+    override def reduce(b: Seq[CellHit], a: (Double, Long, Int)): Seq[CellHit] =
+      prune(b :+ CellHit(a._1, a._2, a._3))
+    override def merge(b1: Seq[CellHit], b2: Seq[CellHit]): Seq[CellHit] =
+      prune(b1 ++ b2)
+    override def finish(r: Seq[CellHit]): Seq[CellHit] = prune(r)
+    override def bufferEncoder: Encoder[Seq[CellHit]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[CellHit]] = ExpressionEncoder()
+  }
+
+  /** `topKCell(5)(col("sim"), col("vec_id"), col("cell"))` →
+    * `array<struct<sim,vec_id,cell>>` sorted best-first, at most k per
+    * group.
+    */
+  def topKCell(k: Int)(sim: Column, id: Column, cell: Column): Column =
+    udaf(new TopKBySimWithCell(k), ExpressionEncoder[(Double, Long, Int)]())
+      .apply(sim, id, cell)
 }

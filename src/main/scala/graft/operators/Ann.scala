@@ -696,6 +696,21 @@ object Ann {
       .foldLeft(assignedRows(unitNormed(rows), idx.cents))(
         (a, b) => Pq.withCodesColumn(a, b))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // opt-in per-stage walls (`spark.graft.ingest.timing=true`) — the
+    // decade ingest rehearsals are file-op bound, and stage attribution
+    // from the outside is guesswork; this prints one line per stage to
+    // stderr, zero cost when off
+    val timing = s.conf.getOption("spark.graft.ingest.timing")
+      .contains("true")
+    def staged[A](stage: String)(f: => A): A =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[ingest-timing] batch=$batchId%-4d $stage%-12s" +
+          f" ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
     val result =
       try {
         // the driver holds only the batch's DISTINCT cell list (≤ k
@@ -704,8 +719,10 @@ object Ann {
         // against the batch ids, never a collect of cell contents
         // (cells hold ~TargetCellRows rows each, so collecting them
         // would put ~200× the batch on the driver)
-        val batchCells = assignedDf.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val batchCells = staged("assign") {
+          assignedDf.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+        }
         val batchCount = assignedDf.count()
         // data-tree presence of the batch, reused by the codes append:
         // 0 lets appendCodes skip its truthful anti-join entirely
@@ -719,14 +736,18 @@ object Ann {
           // already physically exist (duplicates, the exact failure
           // this protocol exists to prevent). Fresh-listing only the
           // batch's cells keeps the probe batch-bounded, never O(cells).
-          val cellIds = CellManifest
-            .cellBoundedRead(s, idx.dir, batchCells)
-            .map(_.select(col("vec_id")))
-            .getOrElse(s.range(0).select(col("id").as("vec_id")))
-          val present = cellIds
-            .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
-              "left_semi")
-            .count()
+          val cellIds = staged("probe_list") {
+            CellManifest
+              .cellBoundedRead(s, idx.dir, batchCells)
+              .map(_.select(col("vec_id")))
+              .getOrElse(s.range(0).select(col("id").as("vec_id")))
+          }
+          val present = staged("probe_scan") {
+            cellIds
+              .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
+                "left_semi")
+              .count()
+          }
           presentInData = present
           if (present < batchCount) {
             // none present → the normal append; SOME present → a crash
@@ -741,9 +762,11 @@ object Ann {
             // a lagging manifest — the pending record bounds even that
             // window to a per-read relist of the batch's cells
             CellManifest.markPending(s, idx.dir, batchCells)
-            toAppend.drop("codes") // codes land in THEIR artifact below
-              .repartition(col("cell"))
-              .write.mode("append").partitionBy("cell").parquet(idx.dir)
+            staged("data_write") {
+              toAppend.drop("codes") // codes land in THEIR artifact below
+                .repartition(col("cell"))
+                .write.mode("append").partitionBy("cell").parquet(idx.dir)
+            }
             invalidateIndexRead(s, idx.dir)
             true
           } else false
@@ -755,15 +778,21 @@ object Ann {
         // codes artifact the crash left behind — before the marker
         // declares the epoch done
         if (batchCount > 0) {
-          CellManifest.updateCells(s, idx.dir, batchCells)
-          Pq.appendCodes(s, idx.dir, assignedDf, batchCells,
-            knownAbsent = presentInData == 0L)
+          staged("manifest") {
+            CellManifest.updateCells(s, idx.dir, batchCells)
+          }
+          staged("codes") {
+            Pq.appendCodes(s, idx.dir, assignedDf, batchCells,
+              knownAbsent = presentInData == 0L)
+          }
         }
         // re-ingest wins over a pending tombstone, on EVERY branch: the
         // re-ingested id may be physically present (skip/repair paths)
         // or freshly appended — either way its tombstone must go
         if (batchCount > 0)
-          clearTombstones(s, idx, assignedDf.select(col("vec_id")))
+          staged("tombstones") {
+            clearTombstones(s, idx, assignedDf.select(col("vec_id")))
+          }
         (batchCount, didAppend)
       } finally assignedDf.unpersist()
     val out = fs.create(marker, true)

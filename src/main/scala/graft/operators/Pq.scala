@@ -454,6 +454,76 @@ object Pq {
           .otherwise(transform(col("vec"), x => x / col("nrm"))), books))
       .drop("nrm")
 
+  /** The codes artifact's DELTA tier — the streamed-epoch answer to the
+    * file-granularity tax. A cell-PARTITIONED write of an epoch's codes
+    * costs one file per touched cell: at the 2M decade that is ~10⁴
+    * files for 2.5 MB of codes, measured 28–31 s per epoch — HALF the
+    * whole epoch wall, and none of it bytes
+    * (`graft.tools.AppendEpochProbe`, round 13). So appended epochs
+    * land instead as ONE cell-SORTED file under `_pq_codes/_delta/e-*`:
+    * the at-rest base stays cell-partitioned (built/folded by
+    * build/compact, where the partitioned write is amortized over the
+    * whole corpus), and serving reads base ∪ delta. Probe pruning still
+    * works on both tiers — the base by partition pruning, the delta by
+    * parquet row-group min/max stats on the sorted `cell` column (an
+    * epoch-sized delta is a single row group and is simply scanned — at
+    * m bytes a row that is cheaper than opening one extra file per
+    * cell). Deltas FOLD into the base at compaction
+    * ([[carryCodesInto]]), the LSM contract every ingesting store
+    * converges on; between compactions the delta tier is
+    * epochs-since-compaction small files, each read in one listStatus
+    * of `_delta`.
+    */
+  private val DeltaDir = "_delta"
+
+  /** Fresh (non-memoized) read of the delta tier: None when absent or
+    * empty. One listStatus of `_delta`; each epoch dir is passed
+    * explicitly so no tree walk or partition inference happens.
+    */
+  private[graft] def deltaRead(s: SparkSession, codesDir: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$codesDir/$DeltaDir")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val dirs = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("e-"))
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) None
+      else Some(s.read.parquet(dirs.toSeq: _*)
+        .select(col("vec_id"), col("codes"), col("cell")))
+    }
+  }
+
+  /** Version fingerprint of the delta tier (count:maxMtime:bytes of the
+    * epoch dirs) — folded into [[codesRead]]'s memo version beside the
+    * base manifest's [[CellManifest.stateToken]], so a sibling process's
+    * streamed epoch is visible to an open session at its next query.
+    */
+  private def deltaToken(s: SparkSession, codesDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$codesDir/$DeltaDir")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "-"
+    else {
+      val sts = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("e-"))
+      if (sts.isEmpty) "0"
+      else s"${sts.length}:${sts.map(_.getModificationTime).max}:" +
+        sts.map(_.getPath.getName.hashCode.toLong).sum
+    }
+  }
+
+  /** RAW committed codes rows of an index dir — base tier ∪ delta tier,
+    * read fresh (the maintenance/verification view; serving goes
+    * through the memoized [[codesRead]]).
+    */
+  def codesAt(s: SparkSession, indexDir: String): DataFrame = {
+    val dir = s"$indexDir/_pq_codes"
+    val base = s.read.parquet(dir)
+      .select(col("vec_id"), col("codes"), col("cell"))
+    deltaRead(s, dir).map(base.unionByName(_)).getOrElse(base)
+  }
+
   /** Keep a COMMITTED codes generation in step with an index append —
     * called by both [[Ann.appendToIndex]] and
     * [[Ann.appendToIndexIdempotent]] inside the append commit (before
@@ -463,12 +533,17 @@ object Pq {
     * data a CDC-shaped engine exists to serve.
     *
     * `assigned` is the append's already-assigned frame (vec_id, …, vec,
-    * cell) — the encode reuses the batch's one assignment pass.
-    * Idempotent and crash-healing the same way the data append is: the
-    * batch anti-joins against a TRUTHFUL cell-bounded listing of the
-    * codes tree ([[CellManifest.cellBoundedRead]]), so a replay whose
-    * codes already landed appends nothing, and a replay after a crash
-    * mid-codes-append appends exactly the missing complement. No-op
+    * cell) — the encode reuses the batch's one assignment pass
+    * ([[withCodesColumn]]). The batch lands as ONE cell-sorted file in
+    * the DELTA tier ([[DeltaDir]] — the measured 10⁴-files-per-epoch
+    * fix), never as a per-cell partitioned write. Idempotent and
+    * crash-healing the same way the data append is: unless the caller's
+    * data probe proved the batch absent (`knownAbsent` — and
+    * codes-present ⊆ data-present within a commit), the batch
+    * anti-joins a TRUTHFUL read of base ([[CellManifest
+    * .cellBoundedRead]]) ∪ delta ([[deltaRead]], fresh), so a replay
+    * whose codes already landed appends nothing and a crash
+    * mid-codes-append replays exactly the missing complement. No-op
     * when no codes generation exists (the wholesale build encodes from
     * the physical index rows, which include this batch). A LEGACY
     * generation (marker but no `_books` sidecar) cannot be appended to
@@ -479,6 +554,18 @@ object Pq {
       assigned: DataFrame, batchCells: Seq[Int],
       knownAbsent: Boolean = false): Unit = {
     val dir = s"$indexDir/_pq_codes"
+    // opt-in stage walls, the Ann.appendToIndexIdempotent device
+    val timing = s.conf.getOption("spark.graft.ingest.timing")
+      .contains("true")
+    def staged[A](stage: String)(f: => A): A =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[ingest-timing]   codes/$stage%-12s" +
+          f" ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
     booksIfCommitted(s, indexDir).foreach { books =>
       // the append paths fuse the encode into the batch's one persisted
       // assignment pass (withCodesColumn) — reuse it; encode here only
@@ -494,41 +581,56 @@ object Pq {
       // anti-join would drop nothing: skip its whole scan+join. Replays
       // and repair branches (data partially/fully present) keep the
       // truthful anti-join.
-      val missing =
+      val missing = staged("antijoin") {
         if (knownAbsent) encoded
-        else CellManifest.cellBoundedRead(s, dir, batchCells) match {
-          case None => encoded
-          case Some(existing) =>
-            encoded.join(existing.select(col("vec_id")), Seq("vec_id"),
-              "left_anti")
+        else {
+          val tiers =
+            CellManifest.cellBoundedRead(s, dir, batchCells)
+              .map(_.select(col("vec_id"))).toSeq ++
+              deltaRead(s, dir).map(_.select(col("vec_id"))).toSeq
+          tiers.reduceOption(_ unionByName _) match {
+            case None => encoded
+            case Some(existing) =>
+              encoded.join(existing, Seq("vec_id"), "left_anti")
+          }
         }
-      // pending-cells record before the write: a crash between the codes
-      // write and the manifest update must degrade to a bounded relist,
-      // not to committed codes invisible to manifest-backed serving
-      // (CellManifest.markPending; healed by the updateCells below or by
-      // any later writer's)
-      CellManifest.markPending(s, dir, batchCells)
-      missing
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(dir)
+      }
+      // ONE cell-sorted file per epoch: coalesce to a single task, sort
+      // by cell so parquet row-group stats carry the pruning the base
+      // tier gets from partitioning. The job commit is atomic-enough
+      // for the replay protocol (a crashed write leaves only
+      // _temporary, which deltaRead never lists); no manifest work —
+      // the base tier is untouched
+      staged("write") {
+        missing
+          .coalesce(1)
+          .sortWithinPartitions(col("cell"), col("vec_id"))
+          .write.mode("overwrite")
+          .parquet(s"$dir/$DeltaDir/e-${java.util.UUID.randomUUID()}")
+      }
       SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
-      CellManifest.updateCells(s, dir, batchCells)
     }
   }
 
-  /** Session-memoized read of the codes artifact — the same
-    * listing-amortization as `Ann.indexRead`: the codes tree has one
-    * dir per cell (10⁴ at the 2M decade), and a fresh
+  /** Session-memoized read of the codes artifact (base tier ∪ delta
+    * tier) — the same listing-amortization as `Ann.indexRead`: the base
+    * tree has one dir per cell (10⁴ at the 2M decade), and a fresh
     * `spark.read.parquet` re-walks it per query (measured 13–15 s,
-    * dwarfing the 0.2 s probed scan). Both writers drop the memo —
-    * [[buildPqCodesFor]] on rebuild, [[appendCodes]] per appended
-    * epoch — and cold sessions plan from the commit-time
-    * [[CellManifest]] instead of re-walking (legacy dirs fall back).
+    * dwarfing the 0.2 s probed scan). Cold sessions plan the base from
+    * the commit-time [[CellManifest]] instead of re-walking (legacy
+    * dirs fall back); the memo version carries BOTH tiers' on-disk
+    * state (manifest token + [[deltaToken]]), so an appended epoch —
+    * in this process or a sibling one — is visible at the very next
+    * query.
     */
   private def codesRead(s: SparkSession, dir: String): DataFrame =
     SessionCache.memoVersioned(s, s"ivfPqCodesRead#$dir",
-      CellManifest.stateToken(s, dir),
-      CellManifest.readAsDf(s, dir).getOrElse(s.read.parquet(dir)))
+      CellManifest.stateToken(s, dir) + "|" + deltaToken(s, dir), {
+        val base = CellManifest.readAsDf(s, dir)
+          .getOrElse(s.read.parquet(dir))
+          .select(col("vec_id"), col("codes"), col("cell"))
+        deltaRead(s, dir).map(base.unionByName(_)).getOrElse(base)
+      })
 
   /** Explicit maintenance entry for the IVF-PQ codes ([[Ann.buildIndex]]
     * precedent): [[graft.Bench]] pre-builds through this and reports
@@ -563,8 +665,15 @@ object Pq {
     val srcBooks = new org.apache.hadoop.fs.Path(srcDir, BooksDir)
     if (!fs.exists(srcMarker) || !fs.exists(srcBooks)) None
     else {
-      val codes = CellManifest.readAsDf(s, srcDir)
-        .getOrElse(s.read.parquet(srcDir))
+      // fold the delta tier into the new base here — compaction is
+      // exactly where the per-epoch single-file deltas pay their
+      // deferred partitioned write, amortized over the generation
+      val codes = {
+        val base = CellManifest.readAsDf(s, srcDir)
+          .getOrElse(s.read.parquet(srcDir))
+          .select(col("vec_id"), col("codes"), col("cell"))
+        deltaRead(s, srcDir).map(base.unionByName(_)).getOrElse(base)
+      }
       val live = Ann.liveDeleteIds(s, src) match {
         case None => codes
         case Some(ids) =>
@@ -631,17 +740,30 @@ object Pq {
     val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
     val lut = adcLut(qUnit, books)
     val probed = idx.probeCells(qRaw.toSeq, nprobe)
-    val shortlist = codesRead(s, codesDir)
+    // the shortlist MATERIALIZES on the driver — (vec_id, cell) pairs,
+    // ≤ width rows by construction (the calibrated-width driver-object
+    // class, like centroids). This is what lets the exact re-rank scan
+    // ONLY the shortlist's own cells: a lazily-composed broadcast join
+    // would scan the full-precision rows of every probed cell (the
+    // whole plain-IVF scan again, measured 2.1 s of the composed 4.2 s
+    // steady at the 2M decade), where the shortlist typically
+    // concentrates in a handful of cells — partition pruning on those
+    // cells is the actual 4·dim/m× IO win the codes exist to buy.
+    val short = codesRead(s, codesDir)
       .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("cell"),
         graft.functions.PqExprs.pqAdcDot(col("codes"),
           typedlit(lut.toSeq)).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(shortlistWidth(s))
-      .select(col("vec_id"))
+      .select(col("vec_id"), col("cell"))
+      .collect()
+    val shortCells = short.map(_.getInt(1)).distinct.toSeq
+    import s.implicits._
+    val shortIds = short.map(_.getLong(0)).toSeq.toDF("vec_id")
     Ann.indexData(s, idx)
-      .filter(col("cell").isin(probed: _*))
-      .join(broadcast(shortlist), "vec_id")
+      .filter(col("cell").isin(shortCells: _*))
+      .join(broadcast(shortIds), "vec_id")
       .withColumn("sim", round(SimilarityOps.cosine(
         col("vec"), typedlit(qRaw.toSeq)), 4))
       .select(col("vec_id"), col("label"), col("sim"))
@@ -687,24 +809,37 @@ object Pq {
         struct(lit(q).as("qid"), typedlit(lut.toSeq).as("lut"),
           typedlit(cells).as("cells"))
       }.toSeq: _*)
-      val shortlists = codesRead(s, codesDir)
+      // per-query shortlists MATERIALIZE on the driver — ≤ nq·width
+      // (qid, vec_id, cell) triples by construction — so the exact
+      // re-rank can partition-prune its full-precision scan to ONLY the
+      // cells the shortlists actually landed in (the serveIvfPqTopk
+      // rationale: a lazy broadcast join would re-scan every probed
+      // cell's full vectors, the whole plain-IVF cost the codes exist
+      // to avoid)
+      val shortRows = codesRead(s, codesDir)
         .filter(col("cell").isin(unionCells: _*))
         .select(col("vec_id"), col("cell"), col("codes"),
           explode(qlit).as("q"))
         .filter(array_contains(col("q.cells"), col("cell")))
-        .select(col("q.qid").as("qid"), col("vec_id"),
+        .select(col("q.qid").as("qid"), col("vec_id"), col("cell"),
           graft.functions.PqExprs.pqAdcDot(col("codes"),
             col("q.lut")).as("adc"))
         .groupBy(col("qid"))
-        .agg(graft.functions.TopK.topK(width)(col("adc"),
-          col("vec_id")).as("top"))
-        .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
+        .agg(graft.functions.TopK.topKCell(width)(col("adc"),
+          col("vec_id"), col("cell")).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.vec_id").as("vec_id"),
+          col("t.cell").as("cell"))
+        .collect()
+      val rerankCells = shortRows.map(_.getInt(2)).distinct.toSeq
       import s.implicits._
+      val pairs = shortRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("qid", "vec_id")
       val qdf = probes.toSeq.map { case (q, v, _, _) => (q, v.toSeq) }
         .toDF("qid", "qv")
       Ann.indexData(s, idx)
-        .filter(col("cell").isin(unionCells: _*))
-        .join(broadcast(shortlists), Seq("vec_id"))
+        .filter(col("cell").isin(rerankCells: _*))
+        .join(broadcast(pairs), Seq("vec_id"))
         .join(broadcast(qdf), Seq("qid"))
         .select(col("qid"), col("vec_id"),
           round(SimilarityOps.cosine(col("vec"), col("qv")), 4).as("sim"))

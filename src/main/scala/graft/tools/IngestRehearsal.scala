@@ -311,7 +311,7 @@ object IngestRehearsal {
         val phys2 = spark.read.parquet(gen2).count()
         require(phys2 == physAtKill - aCount,
           s"compaction row math broke: $phys2 != $physAtKill - $aCount")
-        val codes2 = spark.read.parquet(s"$gen2/_pq_codes")
+        val codes2 = graft.operators.Pq.codesAt(spark, gen2)
           .select(col("vec_id"))
         require(codes2.count() == phys2,
           s"carried codes fell out of step: ${codes2.count()} != $phys2")
@@ -421,23 +421,23 @@ object IngestRehearsal {
     val (codesRows, ivfPqOverlap) = {
       {
         val codesDir = s"${idx.dir}/_pq_codes"
-        val codes = spark.read.parquet(codesDir).select(col("vec_id"))
+        val codes = graft.operators.Pq.codesAt(spark, idx.dir)
+          .select(col("vec_id"))
         val cRows = codes.count()
         require(cRows == n && codes.distinct().count() == n,
           s"codes fell out of step: $cRows rows (corpus $n)")
         require(codes.exceptAll(got.select(col("vec_id"))).isEmpty,
           "codes carry a vec_id the index does not")
         // the gate floor needs a WIDTH with measured recall at this
-        // corpus size: on the clustered decades the default 200 holds
-        // only the small scales (recall@20 at 2M: 0.20 @200 … 1.00
-        // @64000 — bench/pq_recall_r11_2m.json; within-cluster cosine
-        // gaps sit below 8-byte ADC resolution, so the shortlist must
-        // out-width the cluster). 3.2% of the corpus reproduces the
+        // corpus size: at the 16-subspace default the 2M sweep reads
+        // recall@20 = 0.94 @2000 / 0.98 @4000 / 1.00 @10000
+        // (bench/pq_recall_r13_2m_m16.json — the r11 8-byte geometry
+        // needed 64,000). 0.5% of the corpus reproduces the
         // measured-1.0 width at 2M and stays shortlist-shaped; the
         // assert still catches missing appended codes — they would cap
         // overlap at the even half's share (~10/20) at ANY width.
         val assertWidth = math.max(graft.operators.Pq.Shortlist.toLong,
-          math.ceil(n * 0.032).toLong).toString
+          math.ceil(n * 0.005).toLong).toString
         spark.conf.set("spark.graft.pq.shortlist", assertWidth)
         val composed =
           try graft.operators.Pq.serveIvfPqTopk(spark, idx,

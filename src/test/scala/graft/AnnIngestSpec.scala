@@ -140,15 +140,16 @@ class AnnIngestSpec extends SparkSpec {
         "ingest-fixture"))
     val batch = evAll.filter(col("vec_id") % 4 === 1)
     assert(Ann.appendToIndexIdempotent(spark, idx, batch, 21L))
-    val codeIds = spark.read.parquet(codesDir).select(col("vec_id"))
+    val codeIds = graft.operators.Pq.codesAt(spark, idx.dir)
+      .select(col("vec_id"))
     val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
       "codes must cover exactly the index rows after the epoch commits")
     // marker replay: codes untouched
-    val nCodes = spark.read.parquet(codesDir).count()
+    val nCodes = graft.operators.Pq.codesAt(spark, idx.dir).count()
     assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 21L))
-    assert(spark.read.parquet(codesDir).count() === nCodes)
+    assert(graft.operators.Pq.codesAt(spark, idx.dir).count() === nCodes)
   }
 
   test("crash window with data landed but codes missing: the replay heals the codes") {
@@ -169,7 +170,8 @@ class AnnIngestSpec extends SparkSpec {
     // anti-join appends exactly the missing complement
     assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 22L),
       "probe must recognize the committed data rows")
-    val codeIds = spark.read.parquet(codesDir).select(col("vec_id"))
+    val codeIds = graft.operators.Pq.codesAt(spark, idx.dir)
+      .select(col("vec_id"))
     val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,

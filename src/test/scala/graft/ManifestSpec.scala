@@ -149,7 +149,7 @@ class ManifestSpec extends SparkSpec {
     Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
     assert(manifestFiles(codesDir) === walkFiles(codesDir))
     // the codes artifact covers the appended rows exactly
-    val codeIds = spark.read.parquet(codesDir).select(col("vec_id"))
+    val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
     val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
