@@ -588,6 +588,8 @@ object Ann {
       : Unit = {
     val base = batch.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("vec"))
+      .repartition(s.sparkContext.defaultParallelism) // kernel-width,
+    // never the caller's file granularity (see appendToIndexIdempotent)
     // one assignment pass feeds the write, the manifest update AND the
     // codes append (the n·k·dim kernel is the dominant batch cost —
     // see appendToIndexIdempotent's persist rationale). When a codes
@@ -681,8 +683,17 @@ object Ann {
     val marker = new org.apache.hadoop.fs.Path(commits, s"batch-$batchId")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
+    // a streamed micro-batch arrives at the SOURCE's partition
+    // granularity — with file sources at maxFilesPerTrigger=1 that is
+    // ONE partition per epoch, and the n·k·dim assignment kernel then
+    // runs on one core (measured 84 s/epoch of an 1,255 s decade
+    // rehearsal vs 9 s for the same batch pre-split — the in-stream
+    // stage walls, round 13). Spread the batch across the cluster
+    // BEFORE the kernel: the shuffle moves only the raw batch bytes
+    // (megabytes), the kernel is the dominant per-epoch flop cost.
     val rows = batch.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
     // ONE batch-sized assignment pass serves the presence probe AND
     // the append's write: the n·k·dim nearest-centroid kernel is the
     // dominant per-batch cost, so recomputing it for the write would
