@@ -45,6 +45,54 @@ class IvfPqSpec extends SparkSpec {
       Set("vec_id", "label", "vec", "soft_cells", "cell"))
   }
 
+  test("appended codes land in the DELTA tier; compaction folds them into the base") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-delta-").toString
+    Ann.registerTempIndexDir(t)
+    val ev = Tables.embeddings(spark, sf)
+    val even = ev.filter(col("vec_id") % 2 === 0)
+    val idx = Ann.buildFrom(spark,
+      even.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")),
+      Ann.Cells, t)
+    val codesDir = Pq.buildPqCodesFor(spark, idx,
+      Pq.trainBooks(Pq.normedOf(even), "delta-fixture"))
+    def baseFiles(): Set[String] = {
+      val d = new java.io.File(codesDir)
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .flatMap(cd => cd.listFiles().toSeq.filter(_.isFile)
+          .map(f => s"${cd.getName}/${f.getName}")).toSet
+    }
+    val before = baseFiles()
+    Ann.appendToIndex(spark, idx, ev.filter(col("vec_id") % 2 === 1))
+    // the epoch did NOT touch the cell-partitioned base (the measured
+    // 10^4-files-per-epoch tax) — it landed as delta files
+    assert(baseFiles() === before,
+      "an append must not write into the cell-partitioned codes base")
+    val delta = new java.io.File(codesDir, "_delta")
+    assert(delta.isDirectory &&
+      delta.listFiles().exists(_.getName.startsWith("e-")),
+      "appended codes must land under _delta/e-*")
+    // the union view covers exactly the index rows
+    val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
+    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    assert(codeIds.exceptAll(idxIds).isEmpty &&
+      idxIds.exceptAll(codeIds).isEmpty)
+    // compaction FOLDS the delta into the next generation's base
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-delta-dst-").toString
+    Ann.registerTempIndexDir(dst)
+    Ann.compactIndex(spark, idx, dst)
+    assert(!new java.io.File(s"$dst/_pq_codes/_delta").exists(),
+      "the compacted generation must start with an empty delta tier")
+    val dstCodes = Pq.codesAt(spark, dst).select(col("vec_id"))
+    val dstIds = spark.read.parquet(dst).select(col("vec_id"))
+    assert(dstCodes.exceptAll(dstIds).isEmpty &&
+      dstIds.exceptAll(dstCodes).isEmpty,
+      "folded codes diverge from the compacted generation's rows")
+  }
+
   test("a legacy codes generation (marker, no _books) is rebuilt, not hard-failed") {
     // commit a generation under a PINNED base (so a later session loads
     // this dir instead of building its own temp index), then strip its
