@@ -86,10 +86,11 @@ private[graft] object CellManifest {
         try { fs.create(lock, false).close(); true }
         catch {
           case _: java.io.IOException =>
+            val staleAt = System.currentTimeMillis() - LockStaleMs
             val stale = scala.util.Try(
               fs.getFileStatus(lock).getModificationTime)
-              .toOption.exists(_ < System.currentTimeMillis() - LockStaleMs)
-            if (stale) { fs.delete(lock, false); () }
+              .toOption.exists(_ < staleAt)
+            if (stale) breakStaleLock(fs, dir, lock, staleAt)
             else if (System.currentTimeMillis() > deadline)
               sys.error(s"could not acquire manifest writer lock $lock " +
                 s"within ${LockStaleMs / 1000} s — a concurrent writer is " +
@@ -101,6 +102,34 @@ private[graft] object CellManifest {
         }
     }
     try f finally fs.delete(lock, false)
+  }
+
+  /** Break a stale lock by RENAME to a unique tombstone, never by
+    * delete: a bare delete has a TOCTOU hole — between this contender's
+    * staleness stat and its delete, another contender may have already
+    * broken the lock and created a FRESH one at the same path, and the
+    * delete would then remove the live winner's lock, putting two
+    * writers inside the read-merge-write the lock exists to serialize.
+    * Rename is atomic, so of N breakers exactly one captures whatever
+    * sits at the lock path; the winner then re-checks what it actually
+    * captured — a fresh lock (the race above) is restored via the
+    * reverse rename, a genuinely stale one is discarded. Best-effort on
+    * stores without atomic rename, like every lock-file scheme here.
+    */
+  private def breakStaleLock(fs: FileSystem, dir: Path, lock: Path,
+      staleAt: Long): Unit = {
+    val tomb = new Path(dir,
+      s"$LockName.broken-${java.util.UUID.randomUUID()}")
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+      val capturedFresh = scala.util.Try(
+        fs.getFileStatus(tomb).getModificationTime)
+        .toOption.exists(_ >= staleAt)
+      if (!capturedFresh ||
+          !scala.util.Try(fs.rename(tomb, lock)).getOrElse(false)) {
+        scala.util.Try(fs.delete(tomb, false))
+        ()
+      }
+    }
   }
 
   /** cell id, dir-relative path, file length, file mtime. */
@@ -238,21 +267,29 @@ private[graft] object CellManifest {
   def markPending(s: SparkSession, dir: String, cells: Seq[Int]): Unit = {
     val p = new Path(dir)
     val fs = fsOf(s, p)
-    if (fs.exists(new Path(p, Name))) {
-      // merge over any still-unhealed earlier pending set — overwriting
-      // would re-hide a previous crash's cells. An UNREADABLE earlier
-      // sidecar stays untouched: readers are already on the safe full
-      // walk, and this append's updateCells will heal it wholesale.
-      pendingCells(fs, p) match {
-        case Some(None) => ()
-        case prior =>
-          val out = fs.create(new Path(p, PendingName), true)
-          try out.write(
-            (prior.flatten.getOrElse(Seq.empty) ++ cells)
-              .distinct.sorted.mkString(",").getBytes("UTF-8"))
-          finally out.close()
+    // under the SAME writer lock as updateCells: the sidecar merge is a
+    // read-modify-write too, and unlocked it races a concurrent
+    // updateCells (which merges-and-DELETES the sidecar) — writer A's
+    // pending record could be consumed by writer B's update before A's
+    // data lands, re-opening exactly the invisible-rows crash window
+    // the sidecar exists to close. The critical section is two tiny
+    // file ops, well inside the lock's stale threshold.
+    if (fs.exists(new Path(p, Name)))
+      withManifestLock(fs, p) {
+        // merge over any still-unhealed earlier pending set — overwriting
+        // would re-hide a previous crash's cells. An UNREADABLE earlier
+        // sidecar stays untouched: readers are already on the safe full
+        // walk, and this append's updateCells will heal it wholesale.
+        pendingCells(fs, p) match {
+          case Some(None) => ()
+          case prior =>
+            val out = fs.create(new Path(p, PendingName), true)
+            try out.write(
+              (prior.flatten.getOrElse(Seq.empty) ++ cells)
+                .distinct.sorted.mkString(",").getBytes("UTF-8"))
+            finally out.close()
+        }
       }
-    }
   }
 
   /** The pending sidecar's cells: None when the sidecar is absent,

@@ -454,64 +454,19 @@ object Pq {
           .otherwise(transform(col("vec"), x => x / col("nrm"))), books))
       .drop("nrm")
 
-  /** The codes artifact's DELTA tier — the streamed-epoch answer to the
-    * file-granularity tax. A cell-PARTITIONED write of an epoch's codes
-    * costs one file per touched cell: at the 2M decade that is ~10⁴
-    * files for 2.5 MB of codes, measured 28–31 s per epoch — HALF the
-    * whole epoch wall, and none of it bytes
-    * (`graft.tools.AppendEpochProbe`, round 13). So appended epochs
-    * land instead as ONE cell-SORTED file under `_pq_codes/_delta/e-*`:
-    * the at-rest base stays cell-partitioned (built/folded by
-    * build/compact, where the partitioned write is amortized over the
-    * whole corpus), and serving reads base ∪ delta. Probe pruning still
-    * works on both tiers — the base by partition pruning, the delta by
-    * parquet row-group min/max stats on the sorted `cell` column (an
-    * epoch-sized delta is a single row group and is simply scanned — at
-    * m bytes a row that is cheaper than opening one extra file per
-    * cell). Deltas FOLD into the base at compaction
-    * ([[carryCodesInto]]), the LSM contract every ingesting store
-    * converges on; between compactions the delta tier is
-    * epochs-since-compaction small files, each read in one listStatus
-    * of `_delta`.
-    */
-  private val DeltaDir = "_delta"
-
-  /** Fresh (non-memoized) read of the delta tier: None when absent or
-    * empty. One listStatus of `_delta`; each epoch dir is passed
-    * explicitly so no tree walk or partition inference happens.
+  /** The codes artifact's DELTA tier — see [[DeltaTier]] (the shared
+    * single-file-epoch machinery: measured 28–31 s of cell-partitioned
+    * codes write per 125k-row epoch at the 2M decade, for 2.5 MB of
+    * codes, before round 13 moved appended epochs here). Serving reads
+    * base ∪ delta; [[carryCodesInto]] folds deltas into the next
+    * generation's base at compaction. Committed-epoch filtering (a
+    * crashed write leaves only `_temporary` — never listable) lives in
+    * [[DeltaTier.epochDirs]].
     */
   private[graft] def deltaRead(s: SparkSession, codesDir: String)
-      : Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$codesDir/$DeltaDir")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val dirs = fs.listStatus(p)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("e-"))
-        .map(_.getPath.toString)
-      if (dirs.isEmpty) None
-      else Some(s.read.parquet(dirs.toSeq: _*)
-        .select(col("vec_id"), col("codes"), col("cell")))
-    }
-  }
-
-  /** Version fingerprint of the delta tier (count:maxMtime:bytes of the
-    * epoch dirs) — folded into [[codesRead]]'s memo version beside the
-    * base manifest's [[CellManifest.stateToken]], so a sibling process's
-    * streamed epoch is visible to an open session at its next query.
-    */
-  private def deltaToken(s: SparkSession, codesDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$codesDir/$DeltaDir")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "-"
-    else {
-      val sts = fs.listStatus(p)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("e-"))
-      if (sts.isEmpty) "0"
-      else s"${sts.length}:${sts.map(_.getModificationTime).max}:" +
-        sts.map(_.getPath.getName.hashCode.toLong).sum
-    }
-  }
+      : Option[DataFrame] =
+    DeltaTier.read(s, codesDir)
+      .map(_.select(col("vec_id"), col("codes"), col("cell")))
 
   /** RAW committed codes rows of an index dir — base tier ∪ delta tier,
     * read fresh (the maintenance/verification view; serving goes
@@ -535,7 +490,7 @@ object Pq {
     * `assigned` is the append's already-assigned frame (vec_id, …, vec,
     * cell) — the encode reuses the batch's one assignment pass
     * ([[withCodesColumn]]). The batch lands as ONE cell-sorted file in
-    * the DELTA tier ([[DeltaDir]] — the measured 10⁴-files-per-epoch
+    * the DELTA tier ([[DeltaTier]] — the measured 10⁴-files-per-epoch
     * fix), never as a per-cell partitioned write. Idempotent and
     * crash-healing the same way the data append is: unless the caller's
     * data probe proved the batch absent (`knownAbsent` — and
@@ -595,20 +550,25 @@ object Pq {
           }
         }
       }
-      // ONE cell-sorted file per epoch: coalesce to a single task, sort
-      // by cell so parquet row-group stats carry the pruning the base
-      // tier gets from partitioning. The job commit is atomic-enough
-      // for the replay protocol (a crashed write leaves only
-      // _temporary, which deltaRead never lists); no manifest work —
-      // the base tier is untouched
-      staged("write") {
-        missing
-          .coalesce(1)
-          .sortWithinPartitions(col("cell"), col("vec_id"))
-          .write.mode("overwrite")
-          .parquet(s"$dir/$DeltaDir/e-${java.util.UUID.randomUUID()}")
+      // a replay whose codes already fully landed must NOT write a
+      // no-op epoch dir (they would accumulate until compaction,
+      // churning deltaToken/memo invalidation and costing a write job
+      // per replay — round-13 ADVICE). The emptiness check derives
+      // from the caller's persisted batch, so it is one cheap job on
+      // exactly the replay/repair paths; fresh appends (knownAbsent)
+      // skip it.
+      val nothingToAppend =
+        staged("empty_check") { !knownAbsent && missing.isEmpty }
+      // ONE cell-sorted file per epoch in the shared delta tier
+      // ([[DeltaTier.write]]): no manifest work — the base tier is
+      // untouched; a crashed write leaves only _temporary, which
+      // deltaRead never lists
+      if (!nothingToAppend) {
+        staged("write") {
+          DeltaTier.write(missing, dir, Seq(col("cell"), col("vec_id")))
+        }
+        SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
       }
-      SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
     }
   }
 
@@ -619,13 +579,13 @@ object Pq {
     * dwarfing the 0.2 s probed scan). Cold sessions plan the base from
     * the commit-time [[CellManifest]] instead of re-walking (legacy
     * dirs fall back); the memo version carries BOTH tiers' on-disk
-    * state (manifest token + [[deltaToken]]), so an appended epoch —
+    * state (manifest token + [[DeltaTier.token]]), so an appended epoch —
     * in this process or a sibling one — is visible at the very next
     * query.
     */
   private def codesRead(s: SparkSession, dir: String): DataFrame =
     SessionCache.memoVersioned(s, s"ivfPqCodesRead#$dir",
-      CellManifest.stateToken(s, dir) + "|" + deltaToken(s, dir), {
+      CellManifest.stateToken(s, dir) + "|" + DeltaTier.token(s, dir), {
         val base = CellManifest.readAsDf(s, dir)
           .getOrElse(s.read.parquet(dir))
           .select(col("vec_id"), col("codes"), col("cell"))

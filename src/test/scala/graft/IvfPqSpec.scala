@@ -93,6 +93,74 @@ class IvfPqSpec extends SparkSpec {
       "folded codes diverge from the compacted generation's rows")
   }
 
+  test("a crashed delta write's orphan epoch dir (only _temporary) never wedges reads or replays") {
+    // the committer creates the e-* dir at job SETUP, so a SIGKILL
+    // mid-write leaves it holding only _temporary — and when it is the
+    // ONLY epoch dir (first streamed epoch after a build), listing it
+    // would fail schema inference on every codes read AND the healing
+    // replay's own anti-join: the stream would be permanently wedged
+    // (round-13 ADVICE)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-orphan-").toString
+    Ann.registerTempIndexDir(t)
+    val ev = Tables.embeddings(spark, sf)
+    val even = ev.filter(col("vec_id") % 2 === 0)
+    val idx = Ann.buildFrom(spark,
+      even.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")),
+      Ann.Cells, t)
+    val codesDir = Pq.buildPqCodesFor(spark, idx,
+      Pq.trainBooks(Pq.normedOf(even), "orphan-fixture"))
+    val orphan = new java.io.File(codesDir, "_delta/e-crashed/_temporary")
+    assert(orphan.mkdirs())
+    // the orphan is the only epoch dir: every read must skip it
+    val baseCount = even.count()
+    assert(Pq.codesAt(spark, idx.dir).count() === baseCount,
+      "codes read wedged or mis-listed by the footerless orphan")
+    // the healing replay (appendCodes' anti-join reads the delta tier
+    // too) must land the batch despite the orphan
+    Ann.appendToIndex(spark, idx, ev.filter(col("vec_id") % 2 === 1))
+    val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
+    val allIds = ev.select(col("vec_id"))
+    assert(codeIds.exceptAll(allIds).isEmpty &&
+      allIds.exceptAll(codeIds).isEmpty,
+      "append alongside the orphan lost or duplicated codes")
+    assert(new java.io.File(codesDir, "_delta/e-crashed").exists(),
+      "a young orphan is filtered, not reaped (grace window)")
+  }
+
+  test("a replay whose codes already landed writes NO new delta epoch") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-noop-").toString
+    Ann.registerTempIndexDir(t)
+    val ev = Tables.embeddings(spark, sf)
+    val even = ev.filter(col("vec_id") % 2 === 0)
+    val idx = Ann.buildFrom(spark,
+      even.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")),
+      Ann.Cells, t)
+    val codesDir = Pq.buildPqCodesFor(spark, idx,
+      Pq.trainBooks(Pq.normedOf(even), "noop-fixture"))
+    val batch = ev.filter(col("vec_id") % 2 === 1)
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 31L))
+    def epochDirs(): Set[String] = {
+      val d = new java.io.File(codesDir, "_delta")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("e-"))
+        .map(_.getName).toSet
+    }
+    val after = epochDirs()
+    assert(after.nonEmpty, "the epoch's codes must have landed as delta")
+    // crash-window replay (marker gone, data + codes fully present):
+    // the probe skips the data, and the codes anti-join finds nothing
+    // missing — it must NOT write a no-op epoch dir (they would
+    // accumulate until compaction, churning memo invalidation)
+    new java.io.File(idx.dir, "_ingest_commits/batch-31").delete()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 31L))
+    assert(epochDirs() === after,
+      "a fully-landed replay must not write a no-op delta epoch")
+  }
+
   test("a legacy codes generation (marker, no _books) is rebuilt, not hard-failed") {
     // commit a generation under a PINNED base (so a later session loads
     // this dir instead of building its own temp index), then strip its
