@@ -563,14 +563,20 @@ object Ann {
 
   /** Incremental ingest — the FAISS `add()` contract for a built index:
     * assign a batch of NEW vectors to the EXISTING centroids (frozen —
-    * no retrain) and append them cell-partitioned into the index dir.
-    * The appended rows go through the SAME normalize + top-m assignment
-    * kernel as the build, so their `cell`/`soft_cells` are bit-identical
-    * to what a build that had seen them would have assigned against
-    * these centroids; every probe and semantic consumer serves them with
-    * no code change. Cost is one batch-sized narrow pass + one shuffle
-    * on `cell` — the corpus is never rescanned, which is the whole point
-    * at 100 TB: a daily 0.1% ingest costs 0.1%, not a rebuild.
+    * no retrain) and append them into the index dir's DELTA tier
+    * ([[DeltaTier]]: cell-SORTED single-file epochs; a cell-partitioned
+    * epoch write costs one file per touched cell — measured 20.6 s of a
+    * 24–29 s epoch wall at the 2M/10⁴-cell decade — and compaction is
+    * where the partitioned layout is re-bought, amortized over the
+    * generation). The appended rows go through the SAME normalize +
+    * top-m assignment kernel as the build, so their `cell`/`soft_cells`
+    * are bit-identical to what a build that had seen them would have
+    * assigned against these centroids; every probe and semantic
+    * consumer serves them with no code change (base partition pruning ∪
+    * delta row-group pruning). Cost is one batch-sized narrow pass +
+    * one batch-sized write — the corpus is never rescanned, which is
+    * the whole point at 100 TB: a daily 0.1% ingest costs 0.1%, not a
+    * rebuild.
     *
     * `batch` has the embeddings-table shape (vec_id, label, embedding).
     * The write is job-atomic (file-source commit protocol: files land
@@ -605,29 +611,43 @@ object Ann {
     try {
       val batchCells = assigned.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      // crash-safety for this NON-replayed append: declare the touched
-      // cells BEFORE the data write, so a crash between the write and
-      // the manifest update degrades to a bounded per-read relist of
-      // exactly these cells (CellManifest.markPending) instead of
-      // appended rows staying permanently invisible to manifest-backed
-      // serving (the idempotent path heals the same window on replay;
-      // this path has no replay)
-      CellManifest.markPending(s, idx.dir, batchCells)
-      assigned.drop("codes")
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(idx.dir)
-      invalidateIndexRead(s, idx.dir)
-      CellManifest.updateCells(s, idx.dir, batchCells)
-      // keep the IVF-PQ codes artifact in step: a committed codes
-      // generation that missed this batch would silently serve recall
-      // loss (appended ids unreachable through the ADC shortlist)
-      Pq.appendCodes(s, idx.dir, assigned, batchCells)
-      // re-ingest wins: an appended id that was tombstoned serves again
-      // (see deleteFromIndex's semantics note)
-      clearTombstones(s, idx, assigned.select(col("vec_id")))
+      val batchCount = assigned.count()
+      if (batchCount > 0) {
+        // the batch lands as cell-SORTED delta file(s), never a
+        // cell-partitioned write (one file PER TOUCHED CELL — measured
+        // 20.6 s of a 24–29 s epoch wall at the 2M/10⁴-cell decade for
+        // megabytes of rows, round-13 stage walls). Serving reads
+        // base ∪ delta; compaction folds deltas into the next
+        // generation's partitioned base. The base tree — and therefore
+        // the cell manifest — is untouched, so the per-epoch
+        // markPending/updateCells protocol retires with the write that
+        // needed it; readers see the epoch through DeltaTier.token in
+        // the listing memo's version.
+        DeltaTier.write(assigned.drop("codes"), idx.dir,
+          Seq(col("cell"), col("vec_id")), deltaFiles(batchCount))
+        invalidateIndexRead(s, idx.dir)
+        // keep the IVF-PQ codes artifact in step: a committed codes
+        // generation that missed this batch would silently serve recall
+        // loss (appended ids unreachable through the ADC shortlist)
+        Pq.appendCodes(s, idx.dir, assigned, batchCells)
+        // re-ingest wins: an appended id that was tombstoned serves
+        // again (see deleteFromIndex's semantics note)
+        clearTombstones(s, idx, assigned.select(col("vec_id")))
+        ()
+      }
     } finally assigned.unpersist()
     ()
   }
+
+  /** Rows per delta file for a bulk append — streamed epochs (≤ ~10⁵
+    * rows) land as ONE file; a bulk batch range-splits on the sort key
+    * so no single task writes unboundedly and every file still carries
+    * a prunable cell range (~0.5 GB at dim 64).
+    */
+  private val RowsPerDeltaFile = 1L << 20
+
+  private def deltaFiles(rows: Long): Int =
+    math.max(1L, (rows + RowsPerDeltaFile - 1) / RowsPerDeltaFile).toInt
 
   /** Exactly-once wrapper around [[appendToIndex]] for STREAMING ingest
     * (`foreachBatch`): Structured Streaming replays any micro-batch
@@ -740,17 +760,21 @@ object Ann {
         // (codes-present ⊆ data-present — see its knownAbsent contract)
         var presentInData = -1L
         val didAppend = batchCount > 0 && {
-          // TRUTHFUL cell-bounded listing, NOT the memoized/manifest
-          // read: in the crash window between a committed append job
-          // and its manifest update, the manifest legitimately lags the
-          // tree — a probe trusting it would re-append rows that
-          // already physically exist (duplicates, the exact failure
-          // this protocol exists to prevent). Fresh-listing only the
-          // batch's cells keeps the probe batch-bounded, never O(cells).
+          // TRUTHFUL presence read, NOT the memoized one: base tier by
+          // a fresh cell-bounded listing of only the batch's cells
+          // (batch-bounded, never O(cells)), delta tier by a fresh
+          // committed-epoch listing — the batch's own crashed-epoch
+          // rows live THERE, and a probe that missed them would
+          // re-append duplicates, the exact failure this protocol
+          // exists to prevent.
           val cellIds = staged("probe_list") {
-            CellManifest
-              .cellBoundedRead(s, idx.dir, batchCells)
-              .map(_.select(col("vec_id")))
+            val tiers =
+              CellManifest.cellBoundedRead(s, idx.dir, batchCells)
+                .map(_.select(col("vec_id"))).toSeq ++
+                DeltaTier.read(s, idx.dir)
+                  .map(_.filter(col("cell").isin(batchCells: _*))
+                    .select(col("vec_id"))).toSeq
+            tiers.reduceOption(_ unionByName _)
               .getOrElse(s.range(0).select(col("id").as("vec_id")))
           }
           val present = staged("probe_scan") {
@@ -764,34 +788,27 @@ object Ann {
             // none present → the normal append; SOME present → a crash
             // inside the commit window left a partial batch — append
             // exactly the missing complement (anti-join over the same
-            // batch-cell-bounded scan)
+            // truthful two-tier read). The epoch lands as cell-SORTED
+            // delta file(s) — see appendToIndex — so the base tree and
+            // its manifest are untouched and no markPending/updateCells
+            // crash window exists on this path anymore.
             val toAppend =
               if (present == 0) assignedDf
               else assignedDf.join(cellIds, Seq("vec_id"), "left_anti")
-            // replay heals a crash between this write and the manifest
-            // update, but until the replay arrives readers would serve
-            // a lagging manifest — the pending record bounds even that
-            // window to a per-read relist of the batch's cells
-            CellManifest.markPending(s, idx.dir, batchCells)
             staged("data_write") {
-              toAppend.drop("codes") // codes land in THEIR artifact below
-                .repartition(col("cell"))
-                .write.mode("append").partitionBy("cell").parquet(idx.dir)
+              DeltaTier.write(toAppend.drop("codes"), idx.dir,
+                Seq(col("cell"), col("vec_id")), deltaFiles(batchCount))
             }
             invalidateIndexRead(s, idx.dir)
             true
           } else false
         }
-        // manifest + codes catch-up on EVERY uncommitted-epoch branch
-        // (appended, repaired, or skip-after-crash): both updates are
-        // idempotent re-lists/anti-joins over the batch's cells, so a
-        // replay whose data already landed still heals a manifest or
-        // codes artifact the crash left behind — before the marker
-        // declares the epoch done
+        // codes catch-up on EVERY uncommitted-epoch branch (appended,
+        // repaired, or skip-after-crash): the update is an idempotent
+        // anti-join over the batch's cells, so a replay whose data
+        // already landed still heals a codes artifact the crash left
+        // behind — before the marker declares the epoch done
         if (batchCount > 0) {
-          staged("manifest") {
-            CellManifest.updateCells(s, idx.dir, batchCells)
-          }
           staged("codes") {
             Pq.appendCodes(s, idx.dir, assignedDf, batchCells,
               knownAbsent = presentInData == 0L)
@@ -1004,12 +1021,33 @@ object Ann {
     */
   private def indexRead(s: SparkSession, idx: IvfIndex): DataFrame =
     SessionCache.memoVersioned(s, s"ivfIndexRead#${idx.dir}",
-      CellManifest.stateToken(s, idx.dir),
-      CellManifest.readAsDf(s, idx.dir)
-        .getOrElse(s.read.parquet(idx.dir)))
+      CellManifest.stateToken(s, idx.dir) + "|" +
+        DeltaTier.token(s, idx.dir), {
+        val base = CellManifest.readAsDf(s, idx.dir)
+          .getOrElse(s.read.parquet(idx.dir))
+        DeltaTier.read(s, idx.dir)
+          .map(d => base.unionByName(d.select(base.columns.map(col)
+            .toSeq: _*)))
+          .getOrElse(base)
+      })
 
   private def invalidateIndexRead(s: SparkSession, dir: String): Unit =
     SessionCache.drop[DataFrame](s, s"ivfIndexRead#$dir")
+
+  /** The PHYSICAL rows of an index dir — base tier ∪ delta tier, read
+    * fresh with no tombstone subtraction (the maintenance/verification
+    * view: conservation asserts, codes re-encode; serving goes through
+    * [[indexData]]). A bare `spark.read.parquet(dir)` misses the
+    * `_`-prefixed delta tier, so every consumer that means "everything
+    * the appends landed" must come through here.
+    */
+  def physicalRows(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(dir)
+    DeltaTier.read(s, dir)
+      .map(d => base.unionByName(d.select(base.columns.map(col)
+        .toSeq: _*)))
+      .getOrElse(base)
+  }
 
   /** The tombstone set, materialized DRIVER-SIDE at query-build time —
     * bounded by the existing contract (between-compactions tombstones
@@ -1063,14 +1101,17 @@ object Ann {
   }
 
   /** Maintenance compaction for an appended index — the layout half of
-    * the ingest contract: every [[appendToIndex]] lands ~one extra file
-    * per touched cell (its own job commit cannot merge into the build's
-    * files), so after F appends a probe pays F opens per probed cell
-    * and the at-rest shape drifts from the one-file-per-cell layout the
-    * build buys. Compaction rewrites the DATA — rows, `soft_cells`,
-    * assignments carried verbatim; no retrain, no re-assignment, a pure
-    * layout move — into `dstDir` with the build's repartition(cell)
-    * shape, copies the centroids, and commits with the ready marker.
+    * the ingest contract: every append lands a cell-sorted epoch file in
+    * the DELTA tier, so after F epochs a probe scans F delta files
+    * besides its pruned base cells and the at-rest shape drifts from
+    * the one-file-per-cell layout the build buys. Compaction FOLDS the
+    * delta tier into the new generation's partitioned base and rewrites
+    * the DATA — rows, `soft_cells`, assignments carried verbatim; no
+    * retrain, no re-assignment, a pure layout move — into `dstDir` with
+    * the build's repartition(cell) shape, copies the centroids, and
+    * commits with the ready marker (this is exactly where the
+    * per-epoch single-file writes pay their deferred partitioned
+    * write, amortized over the generation — the LSM contract).
     *
     * It writes a NEW generation instead of rewriting `idx.dir` in place:
     * an in-place overwrite would delete files under a concurrent

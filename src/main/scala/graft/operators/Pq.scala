@@ -86,16 +86,48 @@ object Pq {
     */
   val SubspacesMax = 16
 
-  /** The session's subspace cap: `spark.graft.pq.m` (a BUILD-time knob —
-    * committed generations keep the geometry their `_books` sidecar
-    * records), default [[SubspacesMax]].
+  /** The session's subspace cap, in precedence order: an explicit
+    * `spark.graft.pq.m` (a BUILD-time knob — committed generations keep
+    * the geometry their `_books` sidecar records); the calibration
+    * artifact's MEASURED `chosen_m` ([[graft.tools.PqRecallSweep]]'s
+    * m-selection: the smallest m whose calibrated shortlist stays under
+    * the target corpus fraction — geometry, not width, is the scale
+    * lever, because the driver-side shortlist is corpus-fractional at
+    * fixed recall); else [[SubspacesMax]].
     */
   private[graft] def subspacesCap(s: SparkSession): Int = {
     val cap = s.conf.getOption("spark.graft.pq.m").map(_.toInt)
+      .orElse(calibratedMOf(s))
       .getOrElse(SubspacesMax)
     require(cap >= 1, s"spark.graft.pq.m must be ≥ 1, got $cap")
     cap
   }
+
+  /** The calibration artifact's `chosen_m`, if the artifact is
+    * readable and carries one (a pre-round-14 artifact doesn't — soft
+    * None keeps those serving their swept width at the default
+    * geometry; the LOUD mis-pointed-path failure stays
+    * [[shortlistWidth]]'s). Session-memoized per (path, mtime), the
+    * [[calibratedShortlistOf]] staleness device.
+    */
+  private def calibratedMOf(s: SparkSession): Option[Int] =
+    s.conf.getOption("spark.graft.pq.shortlistCalibration")
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val mtime = scala.util.Try(
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getModificationTime).getOrElse(0L)
+        SessionCache.memo(s, s"pqCalM#$path#$mtime",
+          scala.util.Try {
+            val r = s.read.option("multiLine", "true").json(path)
+            if (!r.columns.contains("chosen_m")) None
+            else {
+              val rows = r.select(col("chosen_m").cast("int")).collect()
+              if (rows.isEmpty || rows(0).isNullAt(0)) None
+              else Some(rows(0).getInt(0))
+            }
+          }.toOption.flatten)
+      }
 
   /** Largest divisor of `dim` ≤ the session's cap (always ≥ 1). */
   def subspacesOf(s: SparkSession, dim: Int): Int = {
@@ -393,7 +425,9 @@ object Pq {
     val marker = new org.apache.hadoop.fs.Path(dir, PqCodesReady)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      s.read.parquet(idx.dir)
+      // PHYSICAL rows, both tiers: a wholesale encode that read only the
+      // partitioned base would silently miss every delta-tier epoch
+      Ann.physicalRows(s, idx.dir)
         .select(col("vec_id"), col("vec"), col("cell"))
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
         .select(col("vec_id"), col("cell"),
@@ -700,36 +734,65 @@ object Pq {
     val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
     val lut = adcLut(qUnit, books)
     val probed = idx.probeCells(qRaw.toSeq, nprobe)
-    // the shortlist MATERIALIZES on the driver — (vec_id, cell) pairs,
-    // ≤ width rows by construction (the calibrated-width driver-object
-    // class, like centroids). This is what lets the exact re-rank scan
-    // ONLY the shortlist's own cells: a lazily-composed broadcast join
-    // would scan the full-precision rows of every probed cell (the
-    // whole plain-IVF scan again, measured 2.1 s of the composed 4.2 s
-    // steady at the 2M decade), where the shortlist typically
-    // concentrates in a handful of cells — partition pruning on those
-    // cells is the actual 4·dim/m× IO win the codes exist to buy.
-    val short = codesRead(s, codesDir)
+    val width = shortlistWidth(s)
+    val adcShort = codesRead(s, codesDir)
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"),
         graft.functions.PqExprs.pqAdcDot(col("codes"),
           typedlit(lut.toSeq)).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(shortlistWidth(s))
-      .select(col("vec_id"), col("cell"))
-      .collect()
-    val shortCells = short.map(_.getInt(1)).distinct.toSeq
-    import s.implicits._
-    val shortIds = short.map(_.getLong(0)).toSeq.toDF("vec_id")
-    Ann.indexData(s, idx)
-      .filter(col("cell").isin(shortCells: _*))
-      .join(broadcast(shortIds), "vec_id")
-      .withColumn("sim", round(SimilarityOps.cosine(
-        col("vec"), typedlit(qRaw.toSeq)), 4))
-      .select(col("vec_id"), col("label"), col("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(20)
+      .limit(width)
+    def rerank(shortIds: DataFrame, cells: Seq[Int]): DataFrame =
+      Ann.indexData(s, idx)
+        .filter(col("cell").isin(cells: _*))
+        .join(broadcast(shortIds), "vec_id")
+        .withColumn("sim", round(SimilarityOps.cosine(
+          col("vec"), typedlit(qRaw.toSeq)), 4))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    // Two plans, same rows (PqSpec pins the equality), chosen by where
+    // the re-rank's scan bound lands:
+    //   FUSED (probed ≤ width): the shortlist's distinct cells can be
+    //   every probed cell anyway, so pruning to them cannot shrink the
+    //   re-rank scan below the probed set — materializing the shortlist
+    //   on the driver would only buy a second job's fixed overhead
+    //   (measured 0.555 vs 0.367 s steady at the decade's nprobe=200
+    //   knee, r13). Plan the ADC shortlist as a broadcast SUBQUERY and
+    //   serve shortlist+re-rank in ONE job over the probed cells.
+    //   TWO-JOB (probed > width): the shortlist MATERIALIZES on the
+    //   driver — (vec_id, cell) pairs, ≤ width rows by construction,
+    //   the calibrated-width driver-object class — so the exact re-rank
+    //   partition-prunes to ONLY the shortlist's own cells instead of
+    //   re-scanning every probed cell's full rows (the whole plain-IVF
+    //   scan again: measured 2.1 s of the composed 4.2 s steady at the
+    //   2M decade default, where probed ≈ 60% of cells).
+    if (fusePlan(s, probed.length, width))
+      rerank(adcShort.select(col("vec_id")), probed)
+    else {
+      val short = adcShort.select(col("vec_id"), col("cell")).collect()
+      val shortCells = short.map(_.getInt(1)).distinct.toSeq
+      import s.implicits._
+      rerank(short.map(_.getLong(0)).toSeq.toDF("vec_id"), shortCells)
+    }
   }
+
+  /** Plan choice for the composed serve — fuse shortlist+re-rank into
+    * one job iff the probed cell set is no wider than the shortlist
+    * (pruning below it is then impossible and the driver round-trip is
+    * pure overhead); `spark.graft.pq.serveMode` = `fused` | `twojob`
+    * overrides (the ops escape hatch, and what lets PqSpec pin the two
+    * plans row-identical).
+    */
+  private def fusePlan(s: SparkSession, probedCells: Int,
+      width: Int): Boolean =
+    s.conf.getOption("spark.graft.pq.serveMode") match {
+      case Some("fused") => true
+      case Some("twojob") => false
+      case Some(other) => sys.error(
+        s"spark.graft.pq.serveMode must be fused|twojob, got $other")
+      case None => probedCells <= width
+    }
 
   /** BATCHED IVF-PQ serving — [[graft.operators.Ann]]'s `ann_ivf_batch`
     * routing transplanted onto the ADC codes scan: the codes tree is
@@ -769,14 +832,7 @@ object Pq {
         struct(lit(q).as("qid"), typedlit(lut.toSeq).as("lut"),
           typedlit(cells).as("cells"))
       }.toSeq: _*)
-      // per-query shortlists MATERIALIZE on the driver — ≤ nq·width
-      // (qid, vec_id, cell) triples by construction — so the exact
-      // re-rank can partition-prune its full-precision scan to ONLY the
-      // cells the shortlists actually landed in (the serveIvfPqTopk
-      // rationale: a lazy broadcast join would re-scan every probed
-      // cell's full vectors, the whole plain-IVF cost the codes exist
-      // to avoid)
-      val shortRows = codesRead(s, codesDir)
+      val shortFrame = codesRead(s, codesDir)
         .filter(col("cell").isin(unionCells: _*))
         .select(col("vec_id"), col("cell"), col("codes"),
           explode(qlit).as("q"))
@@ -790,26 +846,42 @@ object Pq {
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.vec_id").as("vec_id"),
           col("t.cell").as("cell"))
-        .collect()
-      val rerankCells = shortRows.map(_.getInt(2)).distinct.toSeq
       import s.implicits._
-      val pairs = shortRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-        .toDF("qid", "vec_id")
       val qdf = probes.toSeq.map { case (q, v, _, _) => (q, v.toSeq) }
         .toDF("qid", "qv")
-      Ann.indexData(s, idx)
-        .filter(col("cell").isin(rerankCells: _*))
-        .join(broadcast(pairs), Seq("vec_id"))
-        .join(broadcast(qdf), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(SimilarityOps.cosine(col("vec"), col("qv")), 4).as("sim"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopK.topK(5)(col("sim"),
-          col("vec_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-        .select(col("qid"), (col("p") + 1).cast("int").as("rk"),
-          col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
-        .orderBy(col("qid"), col("rk"))
+      def rerank(pairs: DataFrame, cells: Seq[Int]): DataFrame =
+        Ann.indexData(s, idx)
+          .filter(col("cell").isin(cells: _*))
+          .join(broadcast(pairs), Seq("vec_id"))
+          .join(broadcast(qdf), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(SimilarityOps.cosine(col("vec"), col("qv")), 4).as("sim"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopK.topK(5)(col("sim"),
+            col("vec_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+          .select(col("qid"), (col("p") + 1).cast("int").as("rk"),
+            col("t.vec_id").as("vec_id"), col("t.sim").as("sim"))
+          .orderBy(col("qid"), col("rk"))
+      // the serveIvfPqTopk plan choice, batched: when the probed union
+      // is no wider than one shortlist, cell-pruning the re-rank below
+      // the union is impossible — keep the per-query shortlists as a
+      // broadcast SUBQUERY (one job, no driver round-trip). Past that,
+      // the shortlists MATERIALIZE on the driver — ≤ nq·width
+      // (qid, vec_id, cell) triples by construction — so the exact
+      // re-rank partition-prunes to ONLY the cells the shortlists
+      // actually landed in instead of re-scanning every probed cell's
+      // full vectors (the whole plain-IVF cost the codes exist to
+      // avoid).
+      if (fusePlan(s, unionCells.length, width))
+        rerank(shortFrame.select(col("qid"), col("vec_id")), unionCells)
+      else {
+        val shortRows = shortFrame.collect()
+        val rerankCells = shortRows.map(_.getInt(2)).distinct.toSeq
+        val pairs = shortRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("qid", "vec_id")
+        rerank(pairs, rerankCells)
+      }
     }
   }
 

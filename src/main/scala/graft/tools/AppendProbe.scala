@@ -86,13 +86,13 @@ object AppendProbe {
         s
       }
       val filesAppended = dataFiles(t)
-      val total = spark.read.parquet(t).count()
+      val total = Ann.physicalRows(spark, t).count()
       require(total == n, s"row conservation broke: $total != $n")
       def top20(i: Ann.IvfIndex): Seq[(Long, Double)] = {
         val qv = ev.filter(col("vec_id") === 0)
           .select(transform(col("embedding"), x => x.cast("double")))
           .first().getSeq[Double](0)
-        spark.read.parquet(i.dir)
+        Ann.physicalRows(spark, i.dir)
           .filter(col("cell").isin(i.probeCells(qv, i.cents.length): _*))
           .withColumn("sim", round(
             graft.operators.SimilarityOps.cosine(col("vec"), typedlit(qv)),
@@ -107,7 +107,7 @@ object AppendProbe {
       var out: Ann.IvfIndex = null
       val compactSec = timed { out = Ann.compactIndex(spark, idx, dst) }
       val filesCompacted = dataFiles(dst)
-      val compTotal = spark.read.parquet(dst).count()
+      val compTotal = Ann.physicalRows(spark, dst).count()
       require(compTotal == n, s"compaction lost rows: $compTotal != $n")
       val serveEqual = top20(out) == servedBefore
       require(serveEqual, "full-probe serving changed across compaction")

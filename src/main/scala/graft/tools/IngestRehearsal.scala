@@ -101,6 +101,11 @@ object IngestRehearsal {
     val wd = sys.env("GRAFT_INGEST_WD")
     val killAt = sys.env.get("GRAFT_INGEST_KILL_AT").map(_.toLong)
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // ALWAYS-ON per-epoch stage walls: the round-13 one-core assign
+    // kernel hid from three rounds of outside-probe measurement — the
+    // parent parses these lines into the ledger's stage_walls field so
+    // the next such regression is visible in the banked evidence
+    spark.conf.set("spark.graft.ingest.timing", "true")
     // the generation swap re-points ingest at the new dir (the serving
     // contract); default = the staged first generation
     val idx = Ann.openIndex(spark,
@@ -214,6 +219,13 @@ object IngestRehearsal {
       extraEnv.foreach { case (kk, v) => env.put(kk, v) }
       pb.start()
     }
+    // per-stage wall aggregation across every child leg — the ledger's
+    // stage_walls field (stage → total seconds + sample count), parsed
+    // from the always-on [ingest-timing] lines the children emit
+    val stageWalls =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
+    val timingLine =
+      """\[ingest-timing\]\s+(?:batch=\d+\s+)?(\S+)\s+([\d.]+) s""".r
     def drive(p: Process, killOn: Option[String]): Boolean = {
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream))
@@ -221,6 +233,10 @@ object IngestRehearsal {
       var line = rd.readLine()
       while (line != null) {
         println(s"[child] $line")
+        timingLine.findFirstMatchIn(line).foreach { m =>
+          val (tot, cnt) = stageWalls.getOrElse(m.group(1), (0.0, 0))
+          stageWalls(m.group(1)) = (tot + m.group(2).toDouble, cnt + 1)
+        }
         if (!killed && killOn.exists(line.contains)) {
           p.destroyForcibly()
           killed = true
@@ -259,11 +275,11 @@ object IngestRehearsal {
         val gen2 = s"$wd/index-gen2"
         println(s"[ingest] compacting mid-ingest generation into $gen2")
         val c0 = System.nanoTime()
-        val rowsAtSwap = spark.read.parquet(s"$wd/index").count()
+        val rowsAtSwap = Ann.physicalRows(spark, s"$wd/index").count()
         Ann.compactIndex(spark, Ann.openIndex(spark, s"$wd/index"), gen2)
         println(f"[ingest] compaction: $rowsAtSwap rows carried in " +
           f"${(System.nanoTime() - c0) / 1e9}%.1f s")
-        require(spark.read.parquet(gen2).count() == rowsAtSwap,
+        require(Ann.physicalRows(spark, gen2).count() == rowsAtSwap,
           "compaction dropped rows")
         require(markerCount(gen2) == 0,
           "compaction must not carry ingest markers into the generation")
@@ -294,7 +310,7 @@ object IngestRehearsal {
         val aCount = aIds.count()
         val bCount = bIds.count()
         require(aCount > 0 && bCount > 0, "churn slices must be non-empty")
-        val physAtKill = spark.read.parquet(g1.dir).count()
+        val physAtKill = Ann.physicalRows(spark, g1.dir).count()
         // takedown #1: tombstone A — serving excludes it IMMEDIATELY,
         // its carried codes harmlessly stale (live-view re-rank)
         println(s"[churn] tombstoning slice A ($aCount ids) in gen1")
@@ -308,7 +324,7 @@ object IngestRehearsal {
         Ann.compactIndex(spark, g1, gen2)
         println(f"[churn] compaction in ${(System.nanoTime() - c0) / 1e9}%.1f s")
         val g2 = Ann.openIndex(spark, gen2)
-        val phys2 = spark.read.parquet(gen2).count()
+        val phys2 = Ann.physicalRows(spark, gen2).count()
         require(phys2 == physAtKill - aCount,
           s"compaction row math broke: $phys2 != $physAtKill - $aCount")
         val codes2 = graft.operators.Pq.codesAt(spark, gen2)
@@ -347,7 +363,7 @@ object IngestRehearsal {
 
     // ---- asserts: exactly-once + exact serving on the final index
     val idx = Ann.openIndex(spark, servingDir)
-    val got = spark.read.parquet(idx.dir)
+    val got = Ann.physicalRows(spark, idx.dir)
     val total = got.count()
     val distinct = got.select(col("vec_id")).distinct().count()
     require(total == n, s"row conservation broke: $total != $n")
@@ -460,8 +476,12 @@ object IngestRehearsal {
       }
     }
 
+    val stageWallsJson = stageWalls.map { case (st, (tot, cnt)) =>
+      f""""$st":{"total_sec":$tot%.3f,"epochs":$cnt}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"corpus":"$corpus","mode":"$mode","n_vectors":$n,"cells":$k,
+         |"stage_walls":$stageWallsJson,
          |"n_batches":$nBatches,"committed_epochs":$committedEpochs,
          |"epochs_at_first_kill":$epochsAtKill,
          |"kill_threshold":$killThreshold,

@@ -42,7 +42,7 @@ class AnnAppendSpec extends SparkSpec {
           Ann.softCellsOf(col("uvec"), idx.cents, m).as("sc"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     }
-    val got = spark.read.parquet(idx.dir)
+    val got = Ann.physicalRows(spark, idx.dir)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("soft_cells"), col("cell"))
       .collect()
@@ -71,7 +71,11 @@ class AnnAppendSpec extends SparkSpec {
       assert(after.get(p).contains(len), s"base file changed: $p")
     }
     assert(after.size > before.size, "append wrote no new files")
-    val total = spark.read.parquet(t).count()
+    // the epoch landed in the DELTA tier, not the partitioned base
+    assert((after.keySet -- before.keySet)
+      .forall(_.contains("_delta")),
+      "append must land in the delta tier, never the base cells")
+    val total = Ann.physicalRows(spark, t).count()
     assert(total === ev.count(), s"base=$nBase after=$total")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
   }
@@ -92,7 +96,7 @@ class AnnAppendSpec extends SparkSpec {
       .select(transform(col("embedding"), x => x.cast("double")))
       .first().getSeq[Double](0)
     val probed = idx.probeCells(qv, Ann.nprobeOf(spark, sf))
-    val ann = spark.read.parquet(idx.dir)
+    val ann = Ann.physicalRows(spark, idx.dir)
       .filter(col("cell").isin(probed: _*))
       .withColumn("sim", round(
         SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))
@@ -106,10 +110,10 @@ class AnnAppendSpec extends SparkSpec {
   }
 
   test("empty-batch append is a no-op") {
-    val before = spark.read.parquet(idx.dir).count()
+    val before = Ann.physicalRows(spark, idx.dir).count()
     Ann.appendToIndex(spark, idx,
       Tables.embeddings(spark, sf).limit(0))
-    assert(spark.read.parquet(idx.dir).count() === before)
+    assert(Ann.physicalRows(spark, idx.dir).count() === before)
   }
 
   test("compaction is a pure layout move: contents bit-equal, files per cell back to one") {
@@ -121,7 +125,7 @@ class AnnAppendSpec extends SparkSpec {
     val out = Ann.compactIndex(spark, idx, dst)
     assert(out.cents === idx.cents, "centroids must carry over verbatim")
     val cols = Seq("vec_id", "label", "vec", "soft_cells", "cell")
-    val src = spark.read.parquet(idx.dir).select(cols.map(col): _*)
+    val src = Ann.physicalRows(spark, idx.dir).select(cols.map(col): _*)
     val cmp = spark.read.parquet(dst).select(cols.map(col): _*)
     assert(cmp.exceptAll(src).isEmpty && src.exceptAll(cmp).isEmpty,
       "compaction changed index contents")
@@ -194,7 +198,7 @@ class AnnAppendSpec extends SparkSpec {
     val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
       .first().getSeq[Double](0)
-    def top20(i: Ann.IvfIndex) = spark.read.parquet(i.dir)
+    def top20(i: Ann.IvfIndex) = Ann.physicalRows(spark, i.dir)
       .filter(col("cell").isin(i.probeCells(qv, i.cents.length): _*))
       .withColumn("sim", round(
         SimilarityOps.cosine(col("vec"), typedlit(qv)), 4))

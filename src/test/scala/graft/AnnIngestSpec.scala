@@ -38,10 +38,10 @@ class AnnIngestSpec extends SparkSpec {
     val idx = halfIndex()
     val batch = evAll.filter(col("vec_id") % 4 === 1)
     assert(Ann.appendToIndexIdempotent(spark, idx, batch, 7L))
-    val after = spark.read.parquet(idx.dir).count()
+    val after = Ann.physicalRows(spark, idx.dir).count()
     // replay of the SAME epoch: marker short-circuits
     assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 7L))
-    assert(spark.read.parquet(idx.dir).count() === after)
+    assert(Ann.physicalRows(spark, idx.dir).count() === after)
   }
 
   test("crash-window replay (rows committed, marker missing) skips and heals the marker") {
@@ -49,16 +49,16 @@ class AnnIngestSpec extends SparkSpec {
     val batch = evAll.filter(col("vec_id") % 4 === 1)
     // simulate: append job committed, then crash before the marker
     Ann.appendToIndex(spark, idx, batch)
-    val after = spark.read.parquet(idx.dir).count()
+    val after = Ann.physicalRows(spark, idx.dir).count()
     assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 3L),
       "presence probe must recognize the committed batch")
-    assert(spark.read.parquet(idx.dir).count() === after,
+    assert(Ann.physicalRows(spark, idx.dir).count() === after,
       "crash-window replay duplicated rows")
     assert(new java.io.File(idx.dir, "_ingest_commits/batch-3").exists(),
       "marker not healed")
     // NEXT replay takes the cheap marker path and still skips
     assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 3L))
-    assert(spark.read.parquet(idx.dir).count() === after)
+    assert(Ann.physicalRows(spark, idx.dir).count() === after)
   }
 
   test("a partially-present batch is REPAIRED: replay appends exactly the missing complement") {
@@ -68,11 +68,11 @@ class AnnIngestSpec extends SparkSpec {
     val idx = halfIndex()
     val batch = evAll.filter(col("vec_id") % 4 === 1)
     Ann.appendToIndex(spark, idx, batch.filter(col("vec_id") % 8 === 1))
-    val before = spark.read.parquet(idx.dir).count()
+    val before = Ann.physicalRows(spark, idx.dir).count()
     val missing = batch.filter(col("vec_id") % 8 =!= 1).count()
     assert(Ann.appendToIndexIdempotent(spark, idx, batch, 9L),
       "repair must report an append")
-    val got = spark.read.parquet(idx.dir)
+    val got = Ann.physicalRows(spark, idx.dir)
     assert(got.count() === before + missing,
       "repair must append exactly the missing complement")
     assert(got.select(col("vec_id")).distinct().count() === got.count(),
@@ -106,9 +106,9 @@ class AnnIngestSpec extends SparkSpec {
 
   test("empty batch commits its marker without touching the index") {
     val idx = halfIndex()
-    val before = spark.read.parquet(idx.dir).count()
+    val before = Ann.physicalRows(spark, idx.dir).count()
     assert(!Ann.appendToIndexIdempotent(spark, idx, evAll.limit(0), 0L))
-    assert(spark.read.parquet(idx.dir).count() === before)
+    assert(Ann.physicalRows(spark, idx.dir).count() === before)
     assert(new java.io.File(idx.dir, "_ingest_commits/batch-0").exists())
   }
 
@@ -123,10 +123,10 @@ class AnnIngestSpec extends SparkSpec {
     val out = Ann.compactIndex(spark, idx, dst)
     assert(!new java.io.File(dst, "_ingest_commits/batch-5").exists(),
       "compaction must not carry ingest markers")
-    val n = spark.read.parquet(dst).count()
+    val n = Ann.physicalRows(spark, dst).count()
     assert(!Ann.appendToIndexIdempotent(spark, out, batch, 5L),
       "replay against the new generation must recognize carried rows")
-    assert(spark.read.parquet(dst).count() === n,
+    assert(Ann.physicalRows(spark, dst).count() === n,
       "generation-swap replay duplicated rows")
     assert(new java.io.File(dst, "_ingest_commits/batch-5").exists(),
       "marker not healed in the new generation")
@@ -142,7 +142,7 @@ class AnnIngestSpec extends SparkSpec {
     assert(Ann.appendToIndexIdempotent(spark, idx, batch, 21L))
     val codeIds = graft.operators.Pq.codesAt(spark, idx.dir)
       .select(col("vec_id"))
-    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    val idxIds = Ann.physicalRows(spark, idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
       "codes must cover exactly the index rows after the epoch commits")
@@ -172,7 +172,7 @@ class AnnIngestSpec extends SparkSpec {
       "probe must recognize the committed data rows")
     val codeIds = graft.operators.Pq.codesAt(spark, idx.dir)
       .select(col("vec_id"))
-    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    val idxIds = Ann.physicalRows(spark, idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
       "replay must heal the codes to cover exactly the index rows")
@@ -203,7 +203,7 @@ class AnnIngestSpec extends SparkSpec {
     val q2 = EmbedIngest.ingestQuery(
       EmbedIngest.embeddingFileStream(spark, srcDir, schema), idx, ckpt)
     q2.awaitTermination(120000)
-    val got = spark.read.parquet(idx.dir)
+    val got = Ann.physicalRows(spark, idx.dir)
     assert(got.count() === evAll.count(), "row conservation broke")
     assert(got.select(col("vec_id")).distinct().count() === evAll.count(),
       "duplicate vec_ids — exactly-once broke")

@@ -62,33 +62,38 @@ class CrossProcessSpec extends SparkSpec {
 
     forkAppend(dir)
 
-    // the child's committed append republished the manifest; the
-    // version token mismatches and the open session re-plans — NO
-    // newSession() required (bounded staleness)
+    // the child's committed epoch landed in the delta tier; the
+    // version token (manifest token + delta token) mismatches and the
+    // open session re-plans — NO newSession() required (bounded
+    // staleness)
     assert(Ann.indexData(spark, idx).count() === evAll.count(),
       "open session must see the sibling process's appended rows " +
-        "through the republished manifest")
+        "through the delta token")
   }
 
-  test("a manifest-less dir keeps the legacy contract: stale until the next session") {
+  test("even a manifest-less dir gets bounded staleness: the delta epoch carries its own token") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-xproc-legacy-").toString
     val idx = buildHalf(dir)
-    // strip the manifest: the walking-read path, constant version token
+    // strip the manifest: the walking-read path (constant manifest
+    // token) — visibility must now come from the DELTA tier's token
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(dir, "_cell_manifest"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "._cell_manifest.crc"))
     val evenCount = Ann.indexData(spark, idx).count() // memoize the walk
+    assert(evenCount < evAll.count())
 
     forkAppend(dir)
 
-    // no manifest → the child's updateCells was a no-op and the open
-    // session's memoized walk stays (documented generation-scoped
-    // staleness for legacy dirs)
-    assert(Ann.indexData(spark, idx).count() === evenCount,
-      "memoized session unexpectedly re-listed a manifest-less dir")
-    // a NEW session's fresh walk sees the appended rows
+    // the child's epoch landed as a delta dir, and DeltaTier.token is
+    // part of the listing memo's version — so even without a manifest
+    // the open session re-plans at its next query (the round-14 delta
+    // tier upgraded legacy dirs from generation-scoped staleness to the
+    // same bounded staleness manifest-backed dirs get)
+    assert(Ann.indexData(spark, idx).count() === evAll.count(),
+      "open session must see the sibling process's delta epoch " +
+        "through the delta token")
     val s2 = spark.newSession()
     assert(Ann.indexData(s2, idx).count() === evAll.count(),
       "next-open session must see the sibling process's appended rows")

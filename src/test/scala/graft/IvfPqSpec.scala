@@ -32,6 +32,22 @@ class IvfPqSpec extends SparkSpec {
     assert(row(0).getBoolean(2), "published sims diverged from exact")
   }
 
+  test("fused and two-job serve plans publish identical rows (single + batch)") {
+    // the plan choice (shortlist as broadcast subquery vs driver-
+    // materialized + shortlist-cell pruning) is a pure physical
+    // decision — forcing each side must not move a row
+    def inMode(mode: String) = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.pq.serveMode", mode)
+      (Pq.ivfPqTopk(s, sf, allCells = true).collect().toSeq,
+        Pq.ivfPqBatch(s, sf, allCells = true).collect().toSeq)
+    }
+    val (fusedTop, fusedBatch) = inMode("fused")
+    val (twoTop, twoBatch) = inMode("twojob")
+    assert(fusedTop === twoTop, "single-query plans diverged")
+    assert(fusedBatch === twoBatch, "batch plans diverged")
+  }
+
   test("codes live cell-partitioned beside the index, under a ready marker") {
     val dir = Pq.ivfPqCodes(spark, sf)
     val idx = Ann.ivfIndex(spark, sf)
@@ -74,9 +90,9 @@ class IvfPqSpec extends SparkSpec {
     assert(delta.isDirectory &&
       delta.listFiles().exists(_.getName.startsWith("e-")),
       "appended codes must land under _delta/e-*")
-    // the union view covers exactly the index rows
+    // the union view covers exactly the index rows (both tiers)
     val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
-    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    val idxIds = Ann.physicalRows(spark, idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty)
     // compaction FOLDS the delta into the next generation's base

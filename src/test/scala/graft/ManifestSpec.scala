@@ -7,14 +7,16 @@ import graft.sources.Tables
 
 /** The commit-time cell manifest ([[CellManifest]]): the writer-side
   * answer to the decade-scale listing walk. Contract pinned here:
-  * after EVERY lifecycle op (build, append, idempotent ingest,
-  * compact, codes build, codes append) the manifest lists exactly the
-  * files a fresh tree walk finds; the manifest-backed read plans the
-  * same rows as the walking read and still partition-prunes; the
-  * exactly-once machinery never trusts a possibly-stale manifest
-  * (crash-window replay heals instead of duplicating); and a dir
-  * without a manifest keeps the walk fallback (updateCells must not
-  * publish a partial view).
+  * every GENERATION writer (build, compact, codes build) commits a
+  * manifest listing exactly the files a fresh tree walk finds, while
+  * EPOCH appends land in the delta tier and leave the base manifest
+  * untouched (it stays exactly true of the base tree); the
+  * manifest-backed read plans the same base rows as the walking read
+  * and still partition-prunes; the exactly-once machinery never
+  * trusts a possibly-stale view (the truthful probe reads both
+  * tiers fresh — crash-window replay heals instead of duplicating);
+  * and a dir without a manifest keeps the walk fallback (updateCells
+  * must not publish a partial view).
   */
 class ManifestSpec extends SparkSpec {
 
@@ -92,43 +94,50 @@ class ManifestSpec extends SparkSpec {
       s"expected a cell partition filter on the manifest-planned scan:\n$plan")
   }
 
-  test("append refreshes the manifest: touched cells re-listed, others kept") {
+  test("append leaves the base manifest untouched; serving unions the delta tier") {
     val idx = halfIndex()
+    val baseManifest = manifestFiles(idx.dir)
     Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
+    // the epoch landed in the delta tier: the partitioned base — and so
+    // its manifest — are untouched, and the manifest still tells the
+    // exact truth about the base tree
+    assert(manifestFiles(idx.dir) === baseManifest)
     assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
-    // and the refreshed manifest serves the full row set
+    assert(new java.io.File(idx.dir, "_delta").isDirectory,
+      "appended rows must land under _delta")
+    // the manifest-backed read plans the BASE tier only; the serving
+    // read (indexData) unions the delta and covers every row
     assert(CellManifest.readAsDf(spark, idx.dir).get.count() ===
-      evAll.count())
+      evAll.filter(col("vec_id") % 2 === 0).count())
+    assert(Ann.indexData(spark, idx).count() === evAll.count())
   }
 
-  test("idempotent ingest keeps the manifest in step and heals a stale one without duplicating") {
+  test("idempotent ingest dedups against the delta tier: crash-window replay appends nothing") {
     val idx = halfIndex()
+    val baseManifest = manifestFiles(idx.dir)
     val batch = evAll.filter(col("vec_id") % 4 === 1)
     assert(Ann.appendToIndexIdempotent(spark, idx, batch, 12L))
-    assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
-    // crash window: an epoch's files landed but the manifest update was
-    // lost — regress the manifest to the pre-epoch state by hand
-    val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")
-    val preEpoch = java.nio.file.Files.readAllLines(manifest)
-    val batch2 = evAll.filter(col("vec_id") % 4 === 3)
-    assert(Ann.appendToIndexIdempotent(spark, idx, batch2, 13L))
-    java.nio.file.Files.write(manifest, preEpoch) // stale: misses batch2
-    // the direct rewrite invalidates hadoop-local's checksum sidecar —
-    // drop it (object stores have no sidecar; this is test plumbing)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(idx.dir, "._cell_manifest.crc"))
-    assert(manifestFiles(idx.dir) !== walkFiles(idx.dir),
-      "fixture must actually be stale")
-    // replay of the SAME epoch against the stale manifest: the truthful
-    // cell-bounded probe sees the rows, appends nothing, heals manifest
-    new java.io.File(idx.dir, "_ingest_commits/batch-13").delete()
-    assert(!Ann.appendToIndexIdempotent(spark, idx, batch2, 13L),
-      "probe must recognize the already-committed rows")
-    assert(manifestFiles(idx.dir) === walkFiles(idx.dir),
-      "replay must heal the stale manifest")
-    val got = spark.read.parquet(idx.dir)
+    // the epoch never touches the base manifest
+    assert(manifestFiles(idx.dir) === baseManifest)
+    def dataEpochs(): Set[String] = {
+      val d = new java.io.File(idx.dir, "_delta")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("e-"))
+        .map(_.getName).toSet
+    }
+    val epochs = dataEpochs()
+    assert(epochs.nonEmpty, "the epoch must have landed as delta")
+    // crash window: data landed, marker missing — the replay must find
+    // the rows in the DELTA tier (the truthful probe reads both tiers),
+    // append nothing, and heal only the marker
+    new java.io.File(idx.dir, "_ingest_commits/batch-12").delete()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 12L),
+      "probe must recognize the delta-tier rows")
+    assert(dataEpochs() === epochs,
+      "a fully-landed replay must not write another delta epoch")
+    val got = Ann.physicalRows(spark, idx.dir)
     assert(got.count() === got.select(col("vec_id")).distinct().count(),
-      "stale-manifest replay duplicated rows")
+      "crash-window replay duplicated rows")
   }
 
   test("compacted generation commits its own complete manifest") {
@@ -150,7 +159,7 @@ class ManifestSpec extends SparkSpec {
     assert(manifestFiles(codesDir) === walkFiles(codesDir))
     // the codes artifact covers the appended rows exactly
     val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
-    val idxIds = spark.read.parquet(idx.dir).select(col("vec_id"))
+    val idxIds = Ann.physicalRows(spark, idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
       "codes rows diverge from index rows after the append")
@@ -173,21 +182,17 @@ class ManifestSpec extends SparkSpec {
       evAll.filter(col("vec_id") % 2 === 0).count())
   }
 
-  test("append crash window: pending sidecar keeps appended rows visible until healed") {
+  test("pending sidecar keeps marked cells fresh-listed until a completed update heals them") {
+    // the markPending/updateCells protocol is the PARTITIONED-append
+    // manifest contract (delta-tier epochs never touch the manifest);
+    // it stays pinned here because readAsDf still honors any sidecar a
+    // foreign or legacy writer leaves behind
     val idx = halfIndex()
     val baseCount = evAll.filter(col("vec_id") % 2 === 0).count()
-    // simulate the crash: data lands + pending is down, but the
-    // updateCells that would refresh the manifest never ran
-    val batch = evAll.filter(col("vec_id") % 2 === 1)
     val cells = (0 until Ann.Cells).toSeq
-    CellManifest.markPending(spark, idx.dir, cells)
-    Ann.appendToIndex(spark, idx, batch) // full append (heals + clears)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(idx.dir, "_cell_manifest.pending")),
-      "a completed append must clear the pending record")
-    // now regress: strip batch files from the manifest AND restore a
+    // regress: strip most base files from the manifest AND leave a
     // pending record naming their cells — the reader must fold a fresh
-    // relist of those cells and still see every row
+    // relist of those cells and still see every base row
     val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")
     val all = java.nio.file.Files.readAllLines(manifest)
     val regressed = new java.util.ArrayList[String]()
@@ -197,38 +202,45 @@ class ManifestSpec extends SparkSpec {
     java.nio.file.Files.write(manifest, regressed)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(idx.dir, "._cell_manifest.crc"))
+    assert(manifestFiles(idx.dir) !== walkFiles(idx.dir),
+      "fixture must actually be stale")
     CellManifest.markPending(spark, idx.dir, cells)
-    assert(CellManifest.readAsDf(spark, idx.dir).get.count() ===
-      evAll.count(),
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.dir, "_cell_manifest.pending")))
+    assert(CellManifest.readAsDf(spark, idx.dir).get.count() === baseCount,
       "pending-marked cells must be fresh-listed, not trusted stale")
     // the next completed update heals the manifest and clears pending
     CellManifest.updateCells(spark, idx.dir, cells)
     assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(idx.dir, "_cell_manifest.pending")))
-    assert(baseCount > 0)
   }
 
-  test("an abandoned writer lock is broken; a live one is respected") {
+  test("an abandoned writer lock is broken (by rename, not delete); the update lands") {
     val idx = halfIndex()
     val lock = new java.io.File(idx.dir, "_cell_manifest.lock")
     assert(lock.createNewFile())
     assert(lock.setLastModified(System.currentTimeMillis() - 600000L))
     // stale lock (10 min old) must be broken, the update must land
-    Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
+    CellManifest.updateCells(spark, idx.dir, (0 until Ann.Cells).toSeq)
     assert(manifestFiles(idx.dir) === walkFiles(idx.dir))
     assert(!lock.exists(), "the completed update must release the lock")
+    // no breaker tombstone may linger
+    assert(!new java.io.File(idx.dir).listFiles()
+      .exists(_.getName.startsWith("_cell_manifest.lock.broken-")),
+      "stale-lock breaking left a tombstone behind")
   }
 
   test("updateCells without a manifest is a no-op — legacy dirs keep the walk fallback") {
     val idx = halfIndex()
     val manifest = java.nio.file.Paths.get(idx.dir, "_cell_manifest")
     java.nio.file.Files.delete(manifest)
-    Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
+    CellManifest.updateCells(spark, idx.dir, (0 until Ann.Cells).toSeq)
     assert(!java.nio.file.Files.exists(manifest),
       "a partial manifest would hide every untouched cell")
     assert(CellManifest.readAsDf(spark, idx.dir).isEmpty)
-    // the walking fallback still serves the full appended row set
+    // the walking fallback (∪ delta) still serves appended rows
+    Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
     val s2 = spark.newSession()
     assert(Ann.indexData(s2, idx).count() === evAll.count())
   }
