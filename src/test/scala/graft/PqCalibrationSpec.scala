@@ -67,4 +67,53 @@ class PqCalibrationSpec extends SparkSpec {
       "/nonexistent/pq_recall.json")
     intercept[Exception] { Pq.shortlistWidth(s) }
   }
+
+  // ---- round-14 m-selection: the artifact's measured chosen_m drives
+  // the build geometry; legacy artifacts (no chosen_m) keep the default
+
+  private def writeArtifactWithM(m: Int): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-pqcal-m-").resolve("pq_recall.json")
+    java.nio.file.Files.write(p,
+      s"""{"metric": "pq_recall_at_20_vs_shortlist",
+         | "chosen_m": $m, "chosen_width": 1000,
+         | "target_fraction": 0.005,
+         | "sweep": [
+         |  {"shortlist": 200, "recall": 0.65},
+         |  {"shortlist": 1000, "recall": 0.95}]}
+         |""".stripMargin.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("the artifact's chosen_m drives the geometry; explicit m wins; legacy artifacts default") {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pq.shortlistCalibration", writeArtifactWithM(8))
+    assert(Pq.subspacesOf(s, 64) === 8,
+      "calibrated chosen_m must drive the subspace cap")
+    assert(Pq.shortlistWidth(s) === 1000,
+      "the chosen m's sweep must still drive the width")
+    s.conf.set("spark.graft.pq.m", "16")
+    assert(Pq.subspacesOf(s, 64) === 16, "an explicit m must win")
+    // a pre-round-14 artifact has no chosen_m: default geometry
+    val legacy = spark.newSession()
+    legacy.conf.set("spark.graft.pq.shortlistCalibration", writeArtifact())
+    assert(Pq.subspacesOf(legacy, 64) === Pq.SubspacesMax)
+  }
+
+  test("gate floors hold at BOTH calibrated geometries (m=8 and m=16)") {
+    // the m-selection only ever switches between measured geometries —
+    // the serve contract (overlap floor + exact published sims) must be
+    // green at each, so a calibration swap can never un-green a gate
+    for (m <- Seq(8, 16)) {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.pq.m", m.toString)
+      val pq = SparkEntry.queries("sim_pq_topk_gate")(s, sf).collect()
+      assert(pq.length === 1 && pq(0).getBoolean(1) && pq(0).getBoolean(2),
+        s"sim_pq_topk_gate floors broke at m=$m")
+      val comp = SparkEntry.queries("ann_ivfpq_gate")(s, sf).collect()
+      assert(comp.length === 1 &&
+        comp(0).getBoolean(1) && comp(0).getBoolean(2),
+        s"ann_ivfpq_gate floors broke at m=$m")
+    }
+  }
 }
