@@ -736,7 +736,16 @@ object DedupOps {
     docs.select(col("doc_id"),
       posexplode(graft.functions.TextExprs.tokenNgramHashes(col("text"), n))
         .as(Seq("pos", "h")))
-      .localCheckpoint(false)
+      // DISK_ONLY, not the default MEMORY_AND_DISK: this is the largest
+      // session-memoized artifact (every token window of every doc —
+      // measured +2.2 GB of live heap at sf10), and deserialized heap
+      // residency for the whole session was the top contributor to the
+      // accumulated-state slowdown the round-14 reverse-order bench
+      // probe isolated (q20 gate 36 s at a 3.4 GB live set vs 9.4 s at
+      // 145 MB). On disk the blocks ride the OS page cache (RAM-speed
+      // re-reads) without taxing every later query's allocator.
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   private def dupWindowStream(docs: DataFrame, n: Int)
       : (DataFrame, DataFrame) = {

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * fresh vec_ids, so the exactly-once contract holds) through
   * [[Ann.appendToIndexIdempotent]] against a SCRATCH COPY of a pinned
   * index, with `spark.graft.ingest.timing=true` printing per-stage
-  * walls (assign / probe_list / probe_scan / data_write / manifest /
+  * walls (assign / probe_list / probe_scan / data_write /
   * codes / tombstones). This is how the codes-in-step ingest tax gets
   * ATTRIBUTED instead of guessed — the rehearsal's 160 s/epoch is a
   * sum over seven stages with very different remedies.
