@@ -119,6 +119,24 @@ object Bench {
     val ingestFixBuildJson =
       if (ingestFixBuild.isNaN) "null" else ingestFixBuild.toString
     val ingestGateIncludesBuild = ingestFixBuild.isNaN
+    // the minhash gate's EXACT truth table (prefix-filter all-pairs over
+    // the gate's document budget) is prepare-phase work, not serving —
+    // and the registry's most contention-sensitive shuffle (the r13/r14
+    // sf10 outlier adjudications were both about it). Pre-build it under
+    // its own metric (DedupOps.buildLshGateTruth); the gate's timed
+    // window then prices the LSH serve + set-compare, exactness intact.
+    val tLsh = System.nanoTime()
+    val lshTruthBuild: Double =
+      try {
+        operators.DedupOps.buildLshGateTruth(spark, sfDir)
+        (System.nanoTime() - tLsh) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] lsh truth build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val lshTruthBuildJson =
+      if (lshTruthBuild.isNaN) "null" else lshTruthBuild.toString
+    val lshGateIncludesBuild = lshTruthBuild.isNaN
     // mirror of ann_probe_includes_build: if the pre-build failed, the
     // memoization miss means the first timed dedup consumer
     // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
@@ -158,6 +176,19 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // hypervisor CPU steal (/proc/stat field 9, cumulative ticks across
+    // all cpus; 1 tick = 10 ms of stolen cpu-time at USER_HZ=100): this
+    // box's steal is BURSTY — measured 0.01% idle vs 5.5% during one
+    // r15 bench run — and per-query deltas let an outlier adjudication
+    // read its contention off the ledger instead of guessing (the
+    // r13/r14 q20 lesson). 0 on boxes without the field.
+    def stealTicks(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
     def usedHeapMb(): Long = {
       val rt = Runtime.getRuntime
       (rt.totalMemory - rt.freeMemory) >> 20
@@ -178,6 +209,7 @@ object Bench {
     val results = runOrder.map { case (name, fn) =>
       val gc0 = driverGcMs(); val tg0 = taskGcMs.get()
       val ms0 = memSpill.get(); val ds0 = diskSpill.get()
+      val st0 = stealTicks()
       val t0 = System.nanoTime()
       // collect(), not count(): count() lets Catalyst prune every column
       // and EliminateSorts drop the final ordering, so the timed plan
@@ -192,6 +224,17 @@ object Bench {
       // a failed query's elapsed time is meaningless — excluding it keeps
       // the per-query map and total honest (a crash must not read as fast)
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+      // drain the async listener bus BEFORE snapshotting the task-metric
+      // atomics: SparkListenerTaskEnd delivery is asynchronous, so events
+      // still queued at snapshot time would be attributed to the NEXT
+      // query (round-14 ADVICE). Outside the timed window; a drain
+      // timeout (never observed locally) leaves at most that query's
+      // tail events mis-attributed — the documented residual skew.
+      try org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[bench] listener drain timed out after $name" +
+          " — its tail task metrics may attribute to the next query")
+      }
       // localCheckpoint blocks from dedup/ANN queries are reclaimed by the
       // ContextCleaner only after a driver GC notices the RDD is dead —
       // without this they accumulate across the session and bleed memory
@@ -202,6 +245,7 @@ object Bench {
           s""""task_gc_ms":${taskGcMs.get() - tg0},""" +
           s""""mem_spill_mb":${(memSpill.get() - ms0) >> 20},""" +
           s""""disk_spill_mb":${(diskSpill.get() - ds0) >> 20},""" +
+          s""""steal_cpu_ms":${(stealTicks() - st0) * 10},""" +
           s""""heap_after_gc_mb":${usedHeapMb()}}"""
       name -> dt
     }.toMap
@@ -224,7 +268,7 @@ object Bench {
     val metricsJson = queryMetrics
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"lsh_truth_build":$lshTruthBuildJson,"lsh_gate_includes_build":$lshGateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

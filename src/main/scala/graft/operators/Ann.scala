@@ -133,7 +133,7 @@ object Ann {
     * new files. The cost of the tighter key is one metadata-only count
     * per session.
     */
-  private def embeddingCount(s: SparkSession, d: String): Long =
+  private[graft] def embeddingCount(s: SparkSession, d: String): Long =
     SessionCache.memo(s, "annCorpusCount#" + d, embeddings(s, d).count())
   /** Training-sample size target. Centroid quality needs vector COUNT,
     * not corpus fraction — so the sample is COUNT-bounded: the id-hash
@@ -532,6 +532,13 @@ object Ann {
       // listing, paid once per SESSION before — now once per GENERATION,
       // by the writer). Written before the ready marker, like _centroids.
       CellManifest.rewrite(s, dir)
+      // presence-probe bloom over the generation's ids ([[GenBloomFile]])
+      // — one id-column pass at commit buys every streamed epoch a
+      // definitely-absent pre-filter; skipped past the size cap (the
+      // probe then stays cell-bounded exact)
+      val genIds = s.read.parquet(dir).select(col("vec_id"))
+      writeIdBloom(s, new org.apache.hadoop.fs.Path(dir, GenBloomFile),
+        genIds, genIds.count())
       val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       val out = fs.create(marker, true)
@@ -623,8 +630,13 @@ object Ann {
         // markPending/updateCells protocol retires with the write that
         // needed it; readers see the epoch through DeltaTier.token in
         // the listing memo's version.
-        DeltaTier.write(assigned.drop("codes"), idx.dir,
+        val epochDir = DeltaTier.write(assigned.drop("codes"), idx.dir,
           Seq(col("cell"), col("vec_id")), deltaFiles(batchCount))
+        // the epoch's probe bloom rides the commit ([[EpochBloomFile]]);
+        // a crash between the two leaves a committed epoch without a
+        // sidecar — probeBlooms then disables the pre-filter wholesale
+        writeIdBloom(s, new org.apache.hadoop.fs.Path(epochDir,
+          EpochBloomFile), assigned.select(col("vec_id")), batchCount)
         invalidateIndexRead(s, idx.dir)
         // keep the IVF-PQ codes artifact in step: a committed codes
         // generation that missed this batch would silently serve recall
@@ -760,25 +772,43 @@ object Ann {
         // (codes-present ⊆ data-present — see its knownAbsent contract)
         var presentInData = -1L
         val didAppend = batchCount > 0 && {
+          // bloom pre-pass ([[GenBloomFile]]): ids every sidecar calls
+          // DEFINITELY ABSENT need no exact probe (no false negatives),
+          // so the exact read below prunes to the SUSPECTS' cells — a
+          // fresh-id epoch probes ~fpp·batch cells instead of opening
+          // every touched cell's base file. None (any source without a
+          // sidecar) keeps the full pre-r15 exact probe.
+          val suspectCells = staged("bloom_scan") {
+            probeBlooms(s, idx.dir).map { bs =>
+              assignedDf.filter(mightBePresent(bs))
+                .select(col("cell")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+            }
+          }
+          val probeCells = suspectCells.getOrElse(batchCells)
           // TRUTHFUL presence read, NOT the memoized one: base tier by
-          // a fresh cell-bounded listing of only the batch's cells
+          // a fresh cell-bounded listing of only the probed cells
           // (batch-bounded, never O(cells)), delta tier by a fresh
           // committed-epoch listing — the batch's own crashed-epoch
           // rows live THERE, and a probe that missed them would
           // re-append duplicates, the exact failure this protocol
-          // exists to prevent.
+          // exists to prevent. (Restricting to suspect cells is sound:
+          // a definitely-absent id can be in no tier, and a present id
+          // is a bloom suspect in its own assigned cell.)
           val cellIds = staged("probe_list") {
             val tiers =
-              CellManifest.cellBoundedRead(s, idx.dir, batchCells)
+              if (probeCells.isEmpty) Seq.empty
+              else CellManifest.cellBoundedRead(s, idx.dir, probeCells)
                 .map(_.select(col("vec_id"))).toSeq ++
                 DeltaTier.read(s, idx.dir)
-                  .map(_.filter(col("cell").isin(batchCells: _*))
+                  .map(_.filter(col("cell").isin(probeCells: _*))
                     .select(col("vec_id"))).toSeq
             tiers.reduceOption(_ unionByName _)
               .getOrElse(s.range(0).select(col("id").as("vec_id")))
           }
           val present = staged("probe_scan") {
-            cellIds
+            if (probeCells.isEmpty) 0L
+            else cellIds
               .join(assignedDf.select(col("vec_id")), Seq("vec_id"),
                 "left_semi")
               .count()
@@ -795,9 +825,17 @@ object Ann {
             val toAppend =
               if (present == 0) assignedDf
               else assignedDf.join(cellIds, Seq("vec_id"), "left_anti")
-            staged("data_write") {
+            val epochDir = staged("data_write") {
               DeltaTier.write(toAppend.drop("codes"), idx.dir,
                 Seq(col("cell"), col("vec_id")), deltaFiles(batchCount))
+            }
+            // the epoch's own probe bloom ([[EpochBloomFile]]): a crash
+            // between epoch commit and this write leaves a committed
+            // epoch without a sidecar — probeBlooms then disables the
+            // pre-filter wholesale, never guesses
+            staged("bloom_write") {
+              writeIdBloom(s, new org.apache.hadoop.fs.Path(epochDir,
+                EpochBloomFile), toAppend.select(col("vec_id")), batchCount)
             }
             invalidateIndexRead(s, idx.dir)
             true
@@ -856,6 +894,102 @@ object Ann {
       ids.sortBy(_._1).dropRight(MaxIngestMarkers)
         .foreach { case (_, p) => fs.delete(p, false) }
   }
+
+  /** Presence-probe bloom sidecars (round 15) — the probe_scan fix: the
+    * exactly-once probe's TRUTHFUL semi-join had to OPEN every touched
+    * cell's base file per epoch (~3.5 s of a ~13 s plain epoch at the
+    * 2M decade; 56+20 s in churn), even though a fresh-id batch matches
+    * nothing. A vec_id bloom per SOURCE — one over the committed base
+    * generation (`_bloom_gen`, written with the ready marker) and one
+    * inside each committed delta epoch dir (`_bloom`) — lets the probe
+    * pre-filter the batch: ids every bloom calls DEFINITELY ABSENT need
+    * no exact probe (no false negatives), and the exact anti-join
+    * backstop shrinks to the surviving suspects' cells, so exactly-once
+    * is untouched. A source without a sidecar (legacy dir, crash
+    * between epoch commit and bloom write) disables the pre-filter
+    * wholesale — the probe falls back to the full exact read, never to
+    * a guess.
+    */
+  private val GenBloomFile = "_bloom_gen"
+  private val EpochBloomFile = "_bloom"
+
+  /** False-positive rate for the probe blooms. 0.1% keeps a decade
+    * epoch's false suspects to ~100 rows (a bounded cell relist) at
+    * ~14.4 bits/id — ~3.5 MB for the 2M base generation.
+    */
+  private val BloomFpp = 0.001
+
+  /** Corpus-size ceiling for writing probe blooms — the filter is a
+    * driver/task-held object (n·14.4 bits: ~29 MB at 16M ids), so past
+    * this the build/compact skips the sidecar and the probe keeps the
+    * cell-bounded exact read (the documented pre-r15 cost). Conf:
+    * `spark.graft.ann.probeBloomMaxItems`.
+    */
+  private def bloomMaxItems(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.ann.probeBloomMaxItems").map(_.toLong)
+      .getOrElse(16000000L)
+
+  private def writeBloomFile(s: SparkSession, path: org.apache.hadoop.fs.Path,
+      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val fs = hadoopFs(s, path)
+    val out = fs.create(path, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def readBloomFile(s: SparkSession, path: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = hadoopFs(s, path)
+    if (!fs.exists(path)) None
+    else scala.util.Try {
+      val in = fs.open(path)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }.toOption
+  }
+
+  /** Write a source's vec_id bloom sidecar: distributed build
+    * (`df.stat.bloomFilter` — one narrow pass over the id column),
+    * driver-serialized to `path`. Skipped (and any stale sidecar
+    * removed) when `n` exceeds [[bloomMaxItems]] — a missing sidecar
+    * degrades the probe to exact, never to wrong.
+    */
+  private def writeIdBloom(s: SparkSession, path: org.apache.hadoop.fs.Path,
+      ids: DataFrame, n: Long): Unit = {
+    if (n > 0 && n <= bloomMaxItems(s))
+      writeBloomFile(s, path, ids.stat.bloomFilter("vec_id", n, BloomFpp))
+    else {
+      scala.util.Try(hadoopFs(s, path).delete(path, false))
+      ()
+    }
+  }
+
+  /** All probe blooms of an index dir — base generation + one per
+    * committed delta epoch — or None when ANY source lacks one (the
+    * pre-filter must cover every physical row or it proves nothing).
+    * Session-memoized, versioned on both tiers' commit state, so a
+    * fresh epoch's bloom (this process or a sibling) is picked up at
+    * the next probe.
+    */
+  private def probeBlooms(s: SparkSession, dir: String)
+      : Option[Seq[org.apache.spark.util.sketch.BloomFilter]] =
+    SessionCache.memoVersioned(s, s"probeBlooms#$dir",
+      CellManifest.stateToken(s, dir) + "|" + DeltaTier.token(s, dir), {
+        readBloomFile(s,
+          new org.apache.hadoop.fs.Path(dir, GenBloomFile)).flatMap { gen =>
+          val epochs = DeltaTier.epochDirs(s, dir).map(st =>
+            readBloomFile(s,
+              new org.apache.hadoop.fs.Path(st.getPath, EpochBloomFile)))
+          if (epochs.exists(_.isEmpty)) None
+          else Some(gen +: epochs.map(_.get))
+        }
+      })
+
+  /** Keep-if-any-bloom-might-contain predicate over `vec_id`. */
+  private def mightBePresent(
+      blooms: Seq[org.apache.spark.util.sketch.BloomFilter]): Column =
+    blooms.map(b =>
+      graft.functions.BloomExprs.mightContainLong(b, col("vec_id")))
+      .reduce(_ || _)
 
   /** Tombstone subdir (`_`-prefixed → invisible to the
     * partition-discovering data read, same trick as `_centroids` and

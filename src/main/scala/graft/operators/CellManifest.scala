@@ -79,18 +79,29 @@ private[graft] object CellManifest {
     */
   private def withManifestLock[T](fs: FileSystem, dir: Path)(f: => T): T = {
     val lock = new Path(dir, LockName)
+    val me = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LockStaleMs
     var acquired = false
     while (!acquired) {
       acquired =
-        try { fs.create(lock, false).close(); true }
+        try {
+          // holder UUID INSIDE the lock file: release and break can then
+          // verify ownership instead of assuming whatever sits at the
+          // lock path is theirs (round-14 ADVICE — a breaker race could
+          // otherwise cascade into deleting a live winner's lock). The
+          // create(overwrite=false) stays the atomic claim; the UUID
+          // write after it is only readable metadata.
+          val out = fs.create(lock, false)
+          try out.write(me.getBytes("UTF-8")) finally out.close()
+          true
+        }
         catch {
           case _: java.io.IOException =>
             val staleAt = System.currentTimeMillis() - LockStaleMs
             val stale = scala.util.Try(
               fs.getFileStatus(lock).getModificationTime)
               .toOption.exists(_ < staleAt)
-            if (stale) breakStaleLock(fs, dir, lock, staleAt)
+            if (stale) breakStaleLock(fs, dir, lock, staleAt, deadline)
             else if (System.currentTimeMillis() > deadline)
               sys.error(s"could not acquire manifest writer lock $lock " +
                 s"within ${LockStaleMs / 1000} s — a concurrent writer is " +
@@ -101,8 +112,32 @@ private[graft] object CellManifest {
             false
         }
     }
-    try f finally fs.delete(lock, false)
+    // release ONLY a lock this holder still owns: if the file is gone or
+    // carries another UUID, a breaker (wrongly) broke this fresh lock and
+    // a new holder claimed the path — deleting it would put a third
+    // contender inside the critical section (the cascade the ADVICE
+    // names). The read-then-delete window is microseconds against the
+    // 120 s staleness horizon that gates any break.
+    try f finally {
+      if (holderOf(fs, lock).contains(me))
+        scala.util.Try(fs.delete(lock, false))
+      ()
+    }
   }
+
+  /** The holder UUID recorded inside a lock file; None when the file is
+    * missing, unreadable, or empty (a pre-UUID legacy lock / another
+    * contender's half-created claim — neither provably ours).
+    */
+  private def holderOf(fs: FileSystem, lock: Path): Option[String] =
+    scala.util.Try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    }.toOption.filter(_.nonEmpty)
 
   /** Break a stale lock by RENAME to a unique tombstone, never by
     * delete: a bare delete has a TOCTOU hole — between this contender's
@@ -112,22 +147,35 @@ private[graft] object CellManifest {
     * writers inside the read-merge-write the lock exists to serialize.
     * Rename is atomic, so of N breakers exactly one captures whatever
     * sits at the lock path; the winner then re-checks what it actually
-    * captured — a fresh lock (the race above) is restored via the
-    * reverse rename, a genuinely stale one is discarded. Best-effort on
-    * stores without atomic rename, like every lock-file scheme here.
+    * captured — a genuinely stale one is discarded, a FRESH lock (the
+    * race above) is restored via the reverse rename, RETRYING while a
+    * third contender's claim occupies the path (round-14 ADVICE: the
+    * old code deleted the captured fresh lock on a failed restore,
+    * which let the live winner and the third contender both proceed and
+    * cascaded via the winner's release-delete). If the restore cannot
+    * land by the caller's deadline the tombstone is LEFT IN PLACE —
+    * litter in a pathological triple race is recoverable, a deleted
+    * live lock is not — and the captured holder's own release is a
+    * no-op by the ownership check. Best-effort on stores without atomic
+    * rename, like every lock-file scheme here.
     */
   private def breakStaleLock(fs: FileSystem, dir: Path, lock: Path,
-      staleAt: Long): Unit = {
+      staleAt: Long, deadline: Long): Unit = {
     val tomb = new Path(dir,
       s"$LockName.broken-${java.util.UUID.randomUUID()}")
     if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
       val capturedFresh = scala.util.Try(
         fs.getFileStatus(tomb).getModificationTime)
         .toOption.exists(_ >= staleAt)
-      if (!capturedFresh ||
-          !scala.util.Try(fs.rename(tomb, lock)).getOrElse(false)) {
+      if (!capturedFresh) {
         scala.util.Try(fs.delete(tomb, false))
         ()
+      } else {
+        var restored = false
+        while (!restored && System.currentTimeMillis() <= deadline) {
+          restored = scala.util.Try(fs.rename(tomb, lock)).getOrElse(false)
+          if (!restored) Thread.sleep(50)
+        }
       }
     }
   }

@@ -89,49 +89,104 @@ object Pq {
   /** The session's subspace cap, in precedence order: an explicit
     * `spark.graft.pq.m` (a BUILD-time knob — committed generations keep
     * the geometry their `_books` sidecar records); the calibration
-    * artifact's MEASURED `chosen_m` ([[graft.tools.PqRecallSweep]]'s
-    * m-selection: the smallest m whose calibrated shortlist stays under
-    * the target corpus fraction — geometry, not width, is the scale
-    * lever, because the driver-side shortlist is corpus-fractional at
-    * fixed recall); else [[SubspacesMax]].
+    * artifact's MEASURED m ([[graft.tools.PqRecallSweep]]'s sweep —
+    * corpus-aware when the caller can supply the serving corpus size
+    * `n`, else the artifact's own `chosen_m`); else [[SubspacesMax]].
+    * Geometry, not width, is the scale lever: the driver-side shortlist
+    * is corpus-FRACTIONAL at fixed recall, so as the corpus grows past
+    * the swept size the projected shortlist must be re-bounded by
+    * moving to a finer m (round-14 verdict task 6).
     */
-  private[graft] def subspacesCap(s: SparkSession): Int = {
+  private[graft] def subspacesCap(s: SparkSession,
+      n: Option[Long] = None): Int = {
     val cap = s.conf.getOption("spark.graft.pq.m").map(_.toInt)
-      .orElse(calibratedMOf(s))
+      .orElse(calibratedMOf(s, n))
       .getOrElse(SubspacesMax)
     require(cap >= 1, s"spark.graft.pq.m must be ≥ 1, got $cap")
     cap
   }
 
-  /** The calibration artifact's `chosen_m`, if the artifact is
-    * readable and carries one (a pre-round-14 artifact doesn't — soft
-    * None keeps those serving their swept width at the default
-    * geometry; the LOUD mis-pointed-path failure stays
-    * [[shortlistWidth]]'s). Session-memoized per (path, mtime), the
-    * [[calibratedShortlistOf]] staleness device.
+  /** Ceiling for the projected driver-side ADC shortlist when the
+    * corpus-aware m-selection runs (`spark.graft.pq.maxShortlistRows`,
+    * default 65536 — the [[Ann.DriverTrainCap]] class of driver-object
+    * bound: ~a few MB of (vec_id, cell) rows).
     */
-  private def calibratedMOf(s: SparkSession): Option[Int] =
+  private def maxShortlistRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.pq.maxShortlistRows").map(_.toLong)
+      .getOrElse(65536L)
+
+  /** The calibration artifact's m, if the artifact is readable and
+    * carries one (a pre-round-14 artifact doesn't — soft None keeps
+    * those serving their swept width at the default geometry; the LOUD
+    * mis-pointed-path failure stays [[shortlistWidth]]'s).
+    *
+    * CORPUS-AWARE when `n` (the serving corpus size) is supplied and
+    * the artifact carries the round-14 `per_m` table + its swept
+    * `n_vectors`: each measured geometry's knee WIDTH is a corpus
+    * FRACTION at fixed recall, so project `knee/n_vectors · n` onto the
+    * serving corpus and pick the SMALLEST m whose projected shortlist
+    * stays under [[maxShortlistRows]] (coarser codes are cheaper at
+    * rest; finer ones exist exactly for when the fraction outgrows the
+    * driver bound) — falling back to the finest swept m when none fits,
+    * and to the artifact's own `chosen_m` when `n` is unknown or the
+    * artifact predates `per_m`. Session-memoized per (path, mtime, n,
+    * bound).
+    */
+  private def calibratedMOf(s: SparkSession, n: Option[Long])
+      : Option[Int] =
     s.conf.getOption("spark.graft.pq.shortlistCalibration")
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val mtime = scala.util.Try(
           p.getFileSystem(s.sparkContext.hadoopConfiguration)
             .getFileStatus(p).getModificationTime).getOrElse(0L)
-        SessionCache.memo(s, s"pqCalM#$path#$mtime",
+        val bound = maxShortlistRows(s)
+        SessionCache.memo(s,
+          s"pqCalM#$path#$mtime#${n.getOrElse(-1L)}#$bound",
           scala.util.Try {
             val r = s.read.option("multiLine", "true").json(path)
-            if (!r.columns.contains("chosen_m")) None
-            else {
-              val rows = r.select(col("chosen_m").cast("int")).collect()
-              if (rows.isEmpty || rows(0).isNullAt(0)) None
-              else Some(rows(0).getInt(0))
-            }
+            val cols = r.columns.toSet
+            val chosen =
+              if (!cols.contains("chosen_m")) None
+              else {
+                val rows = r.select(col("chosen_m").cast("int")).collect()
+                if (rows.isEmpty || rows(0).isNullAt(0)) None
+                else Some(rows(0).getInt(0))
+              }
+            val byCorpus =
+              if (n.isEmpty || !cols.contains("per_m") ||
+                  !cols.contains("n_vectors")) None
+              else scala.util.Try {
+                val nv = r.select(col("n_vectors").cast("long"))
+                  .first().getLong(0)
+                val perM = r.select(explode(col("per_m")).as("p"))
+                  .select(col("p.m").cast("int").as("m"),
+                    col("p.knee_width").cast("long").as("knee"))
+                  .collect()
+                  .flatMap(row =>
+                    if (row.isNullAt(1)) None
+                    else Some((row.getInt(0), row.getLong(1))))
+                  .sortBy(_._1)
+                if (nv <= 0 || perM.isEmpty) None
+                else {
+                  val projected = perM.map { case (m, knee) =>
+                    (m, math.ceil(knee.toDouble / nv * n.get).toLong)
+                  }
+                  projected.find(_._2 <= bound).map(_._1)
+                    .orElse(Some(projected.minBy(p2 => (p2._2, p2._1))._1))
+                }
+              }.toOption.flatten
+            byCorpus.orElse(chosen)
           }.toOption.flatten)
       }
 
-  /** Largest divisor of `dim` ≤ the session's cap (always ≥ 1). */
-  def subspacesOf(s: SparkSession, dim: Int): Int = {
-    val cap = subspacesCap(s)
+  /** Largest divisor of `dim` ≤ the session's cap (always ≥ 1); pass
+    * the serving corpus size `n` where known — the corpus-aware
+    * m-selection lever ([[subspacesCap]]).
+    */
+  def subspacesOf(s: SparkSession, dim: Int,
+      n: Option[Long] = None): Int = {
+    val cap = subspacesCap(s, n)
     (cap to 1 by -1).find(dim % _ == 0).getOrElse(1)
   }
 
@@ -175,10 +230,11 @@ object Pq {
     * unreachable floor THROWS — a deployment that tried to replace the
     * static default must never silently get it back.
     */
-  private[graft] def shortlistWidth(s: SparkSession): Int =
+  private[graft] def shortlistWidth(s: SparkSession,
+      m: Option[Int] = None): Int =
     s.conf.getOption("spark.graft.pq.shortlist")
       .map(_.toInt)
-      .orElse(calibratedShortlistOf(s))
+      .orElse(calibratedShortlistOf(s, m))
       .getOrElse(Shortlist)
 
   /** Parse the PqRecallSweep artifact and pick the knee — see
@@ -191,7 +247,8 @@ object Pq {
     * invalidates — a calibration rewrite deserves the same). Cost: one
     * getFileStatus per query construction, driver-side.
     */
-  private def calibratedShortlistOf(s: SparkSession): Option[Int] =
+  private def calibratedShortlistOf(s: SparkSession,
+      m: Option[Int]): Option[Int] =
     s.conf.getOption("spark.graft.pq.shortlistCalibration")
       .map { path =>
         val floor = s.conf.getOption("spark.graft.pq.recallFloor")
@@ -202,13 +259,34 @@ object Pq {
         val mtime = scala.util.Try(
           p.getFileSystem(s.sparkContext.hadoopConfiguration)
             .getFileStatus(p).getModificationTime).getOrElse(0L)
-        SessionCache.memo(s, s"pqShortlistCal#$path#$floor#$mtime", {
-          val sweep = s.read.option("multiLine", "true").json(path)
-            .select(explode(col("sweep")).as("p"))
-            .select(col("p.shortlist").cast("int").as("w"),
-              col("p.recall").cast("double").as("r"))
-            .collect()
-            .map(r => (r.getInt(0), r.getDouble(1)))
+        SessionCache.memo(s,
+          s"pqShortlistCal#$path#$floor#$mtime#${m.getOrElse(-1)}", {
+          val art = s.read.option("multiLine", "true").json(path)
+          // width follows the GEOMETRY actually serving: when the
+          // caller knows its books' m and the artifact carries that m's
+          // own sweep (`per_m`, round 14), read the knee from THERE —
+          // the top-level sweep belongs to the artifact's chosen_m and
+          // lies for any other geometry. Legacy artifacts (no per_m)
+          // keep the top-level sweep.
+          val perMSweep = m.filter(_ => art.columns.contains("per_m"))
+            .flatMap { mm =>
+              scala.util.Try {
+                val rows = art.select(explode(col("per_m")).as("g"))
+                  .filter(col("g.m") === mm)
+                  .select(explode(col("g.sweep")).as("p"))
+                  .select(col("p.shortlist").cast("int").as("w"),
+                    col("p.recall").cast("double").as("r"))
+                  .collect()
+                if (rows.isEmpty) None
+                else Some(rows.map(r => (r.getInt(0), r.getDouble(1))))
+              }.toOption.flatten
+            }
+          val sweep = perMSweep.getOrElse(
+            art.select(explode(col("sweep")).as("p"))
+              .select(col("p.shortlist").cast("int").as("w"),
+                col("p.recall").cast("double").as("r"))
+              .collect()
+              .map(r => (r.getInt(0), r.getDouble(1))))
             .sortBy(_._1)
           require(sweep.nonEmpty,
             s"calibration artifact $path carries no shortlist sweep")
@@ -264,10 +342,15 @@ object Pq {
     require(dims.getInt(0) == dims.getInt(1),
       s"ragged embedding dims in $what (${dims.getInt(0)}..${dims.getInt(1)})")
     val dim = dims.getInt(0)
-    val m = subspacesOf(base.sparkSession, dim)
+    val cnt = base.count()
+    // the training frame's size is the serving-corpus signal the
+    // corpus-aware m-selection wants (full-corpus callers train on the
+    // whole table; fixture slices get the geometry their own size
+    // licenses)
+    val m = subspacesOf(base.sparkSession, dim, Some(cnt))
     val dsub = dim / m
     val target = CodebookSize * TrainPerCode
-    val mod = math.max(1L, base.count() / target)
+    val mod = math.max(1L, cnt / target)
     val sample = base
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select(col("vec_id"), col("uvec")).collect()
@@ -288,7 +371,8 @@ object Pq {
     * Fails with a named error on an empty corpus, like IVF training.
     */
   def codebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    SessionCache.memo(s, s"pqBooks#$d#m=${subspacesCap(s)}",
+    SessionCache.memo(s,
+      s"pqBooks#$d#m=${subspacesCap(s, Some(Ann.embeddingCount(s, d)))}",
       trainBooks(normed(s, d), d))
 
   /** The encoded corpus (vec_id, label, codes: array<tinyint>) — the
@@ -297,7 +381,8 @@ object Pq {
     * this is a persisted table maintained beside the corpus.
     */
   def codes(s: SparkSession, d: String): DataFrame =
-    SessionCache.getOrElseUpdate(s, s"pqCodes#$d#m=${subspacesCap(s)}", {
+    SessionCache.getOrElseUpdate(s,
+      s"pqCodes#$d#m=${subspacesCap(s, Some(Ann.embeddingCount(s, d)))}", {
       val books = codebooks(s, d)
       normed(s, d)
         .select(col("vec_id"), col("label"),
@@ -345,9 +430,11 @@ object Pq {
   private val PqCodesReady = "_GRAFT_PQ_CODES_READY"
 
   /** IVF-PQ at-rest artifact: the PQ codes of every index row, stored
-    * CELL-PARTITIONED beside the IVF index (`<indexDir>/_pq_codes` —
-    * `_`-prefixed, so the index's partition-discovering data read never
-    * sees it, the `_centroids` trick). This is THE 100 TB serving
+    * beside the IVF index (`<indexDir>/_pq_codes` — `_`-prefixed, so
+    * the index's partition-discovering data read never sees it, the
+    * `_centroids` trick), cell-PARTITIONED at big-cell geometry and
+    * byte-SHARDED cell-sorted at tiny-cell geometry (see [[ShardsDir]]
+    * — the layout derives from measured cell bytes). This is THE 100 TB serving
     * composition the [[Ann]] and PQ halves were built for: a probe
     * ADC-scans ONLY the probed cells' codes (partition pruning on the
     * same `cell` key as the index) at m bytes per row, then
@@ -400,6 +487,125 @@ object Pq {
     */
   private val BooksDir = "_books"
 
+  /** Byte-sharded codes BASE layout (round 15) — the knee fix for the
+    * composed serve at TINY-cell geometry: a file-per-cell base makes
+    * the ADC scan pay one file open per probed cell, and at the 2M
+    * decade a cell's codes are ~2.7 KB — the per-file fixed cost, not
+    * bytes, was measured as the whole composed-vs-plain knee gap
+    * (nprobe=200: composed 0.604 vs plain 0.427 s steady, with
+    * fused ≈ two-job ruling out job count — `bench/micro_r14_knee_*`).
+    * So when measured/estimated CELL bytes are small against
+    * [[codesShardTargetBytes]], the base packs ~target/cellBytes cells
+    * per cell-SORTED shard file under `<codesDir>/_shards/` (the
+    * [[DeltaTier]] shape applied to the base): pruning moves from
+    * partition dirs to parquet row-group + page stats on the sorted
+    * `cell` column — page rows are capped small at write so a page
+    * spans only a few cells and a scattered probed set skips most
+    * pages. At 100 TB geometry (GB-sized cells) `cellBytes ≥ target`
+    * and the layout stays the partitioned file-per-cell base, where
+    * dir-level partition pruning (zero footer opens for unprobed
+    * cells) is strictly better — the shard size DERIVES from cell
+    * bytes, so the degenerate case is automatic.
+    */
+  private val ShardsDir = "_shards"
+
+  /** Target bytes per shard file of a sharded codes base —
+    * `spark.graft.pq.codesShardBytes` (default 32 MB: tens of MB keeps
+    * whole-base file opens in the single digits at the decade while
+    * staying far under `maxPartitionBytes`, so a shard never forces an
+    * oversized scan task).
+    */
+  private def codesShardTargetBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.pq.codesShardBytes").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+
+  /** Rows per parquet page in shard files: the page is the finest
+    * pruning unit (column-index stats), and at ~200 rows/cell decade
+    * occupancy 512 rows ≈ 2–3 cells per page — a 2% scattered probed
+    * set then skips ~95% of pages, where the default 20k-row pages
+    * would span ~100 cells each and prune nothing.
+    */
+  private val ShardPageRows = 512
+
+  private def shardsPathOf(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$ShardsDir")
+
+  private[graft] def isShardedBase(s: SparkSession, dir: String): Boolean = {
+    val p = shardsPathOf(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Read the sharded base. The ADC scan filters `cell IN (probed…)`
+    * with nprobe routinely above the parquet In-pushdown threshold
+    * (default 10), past which Spark stops handing the predicate to
+    * parquet and every row group/page is read — so raise the session
+    * threshold once here (perf-only, never correctness; row-level
+    * filtering is Spark's codegen'd InSet either way).
+    */
+  private def shardsRead(s: SparkSession, dir: String): DataFrame = {
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (scala.util.Try(s.conf.get(k).toInt).getOrElse(10) < 4096)
+      s.conf.set(k, "4096")
+    s.read.parquet(s"$dir/$ShardsDir")
+  }
+
+  /** Version fingerprint of the sharded base for the listing memo — the
+    * shards only change on wholesale rebuild/compaction, both of which
+    * replace the `_shards` dir's children (its mtime moves).
+    */
+  private def shardToken(s: SparkSession, dir: String): String = {
+    val p = shardsPathOf(dir)
+    scala.util.Try(
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p))
+      .toOption.map(st => st.getModificationTime.toString).getOrElse("-")
+  }
+
+  /** Fresh, layout-aware read of the codes BASE tier (no session memo,
+    * no delta): a sharded base is one flat listStatus; a partitioned
+    * base plans from the commit-time manifest (walk fallback for legacy
+    * dirs).
+    */
+  private def codesBaseFresh(s: SparkSession, dir: String): DataFrame =
+    (if (isShardedBase(s, dir)) shardsRead(s, dir)
+     else CellManifest.readAsDf(s, dir).getOrElse(s.read.parquet(dir)))
+      .select(col("vec_id"), col("codes"), col("cell"))
+
+  /** Write the codes BASE tier of a generation, choosing the layout
+    * from measured/estimated geometry (see [[ShardsDir]]): tiny cells →
+    * byte-sharded cell-sorted files; big cells → the partitioned
+    * file-per-cell base (+ its cell manifest, written by the caller
+    * with the books, in the committed order). The dir is wiped first —
+    * the base write IS the generation, exactly like the old
+    * root-overwrite (stale delta epochs, manifests, or a previous
+    * layout must not survive a wholesale re-encode). Returns true when
+    * the sharded layout was chosen.
+    */
+  private[graft] def writeCodesBase(s: SparkSession, codes: DataFrame,
+      dir: String, estBytes: Long, cells: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val target = codesShardTargetBytes(s)
+    val perCell =
+      if (cells <= 0) Long.MaxValue else estBytes / math.max(1L, cells)
+    val sharded = perCell < target
+    if (sharded) {
+      val files = math.max(1L, (estBytes + target - 1) / target).toInt
+      codes.select(col("vec_id"), col("codes"), col("cell"))
+        .repartitionByRange(files, col("cell"), col("vec_id"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .option("parquet.page.row.count.limit", ShardPageRows.toString)
+        .parquet(s"$dir/$ShardsDir")
+    } else {
+      codes.select(col("vec_id"), col("codes"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    sharded
+  }
+
   /** Load the persisted codebooks of a codes generation. Session-
     * memoized; [[buildPqCodesFor]] drops the memo on rebuild.
     */
@@ -427,7 +633,7 @@ object Pq {
     if (!fs.exists(marker)) {
       // PHYSICAL rows, both tiers: a wholesale encode that read only the
       // partitioned base would silently miss every delta-tier epoch
-      Ann.physicalRows(s, idx.dir)
+      val encoded = Ann.physicalRows(s, idx.dir)
         .select(col("vec_id"), col("vec"), col("cell"))
         .withColumn("nrm", SimilarityOps.l2norm(col("vec")))
         .select(col("vec_id"), col("cell"),
@@ -435,14 +641,20 @@ object Pq {
             when(col("nrm") === 0, col("vec"))
               .otherwise(transform(col("vec"), x => x / col("nrm"))),
             books).as("codes"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // layout decision needs the at-rest geometry BEFORE writing:
+      // estimate bytes from the index row count (metadata-cheap count,
+      // no encode pass) — m code bytes + ~12 of encoded vec_id/cell per
+      // row; order-of-magnitude is all the shard-vs-partition threshold
+      // needs
+      val rows = Ann.physicalRows(s, idx.dir).count()
+      val sharded = writeCodesBase(s, encoded, dir,
+        rows * (books.length + 12L), idx.cents.length.toLong)
       import s.implicits._
       books.indices
         .flatMap(j => books(j).indices.map(c => (j, c, books(j)(c).toSeq)))
         .toDF("j", "c", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$BooksDir")
-      CellManifest.rewrite(s, dir)
+      if (!sharded) CellManifest.rewrite(s, dir)
       // drop any stale cached listing/books for this generation (rebuild)
       SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dir")
       SessionCache.drop[Array[Array[Array[Double]]]](s, s"ivfPqBooks#$dir")
@@ -508,8 +720,7 @@ object Pq {
     */
   def codesAt(s: SparkSession, indexDir: String): DataFrame = {
     val dir = s"$indexDir/_pq_codes"
-    val base = s.read.parquet(dir)
-      .select(col("vec_id"), col("codes"), col("cell"))
+    val base = codesBaseFresh(s, dir)
     deltaRead(s, dir).map(base.unionByName(_)).getOrElse(base)
   }
 
@@ -573,9 +784,17 @@ object Pq {
       val missing = staged("antijoin") {
         if (knownAbsent) encoded
         else {
+          // base tier truthfully, layout-aware: a sharded base is ONE
+          // fresh flat listing with the batch-cell predicate pushed to
+          // its sorted row groups/pages; a partitioned base keeps the
+          // cell-bounded relist
+          val baseIds =
+            if (isShardedBase(s, dir))
+              Some(shardsRead(s, dir)
+                .filter(col("cell").isin(batchCells: _*)))
+            else CellManifest.cellBoundedRead(s, dir, batchCells)
           val tiers =
-            CellManifest.cellBoundedRead(s, dir, batchCells)
-              .map(_.select(col("vec_id"))).toSeq ++
+            baseIds.map(_.select(col("vec_id"))).toSeq ++
               deltaRead(s, dir).map(_.select(col("vec_id"))).toSeq
           tiers.reduceOption(_ unionByName _) match {
             case None => encoded
@@ -619,10 +838,9 @@ object Pq {
     */
   private def codesRead(s: SparkSession, dir: String): DataFrame =
     SessionCache.memoVersioned(s, s"ivfPqCodesRead#$dir",
-      CellManifest.stateToken(s, dir) + "|" + DeltaTier.token(s, dir), {
-        val base = CellManifest.readAsDf(s, dir)
-          .getOrElse(s.read.parquet(dir))
-          .select(col("vec_id"), col("codes"), col("cell"))
+      CellManifest.stateToken(s, dir) + "|" + DeltaTier.token(s, dir) +
+        "|" + shardToken(s, dir), {
+        val base = codesBaseFresh(s, dir)
         deltaRead(s, dir).map(base.unionByName(_)).getOrElse(base)
       })
 
@@ -661,11 +879,9 @@ object Pq {
     else {
       // fold the delta tier into the new base here — compaction is
       // exactly where the per-epoch single-file deltas pay their
-      // deferred partitioned write, amortized over the generation
+      // deferred base write, amortized over the generation
       val codes = {
-        val base = CellManifest.readAsDf(s, srcDir)
-          .getOrElse(s.read.parquet(srcDir))
-          .select(col("vec_id"), col("codes"), col("cell"))
+        val base = codesBaseFresh(s, srcDir)
         deltaRead(s, srcDir).map(base.unionByName(_)).getOrElse(base)
       }
       val live = Ann.liveDeleteIds(s, src) match {
@@ -675,13 +891,19 @@ object Pq {
           codes.join(broadcast(ids.toSeq.toDF("vec_id")),
             Seq("vec_id"), "left_anti")
       }
-      live.select(col("vec_id"), col("codes"), col("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
+      // layout decision from MEASURED source bytes (both tiers, one
+      // recursive content summary — compaction is maintenance): the
+      // at-rest size of what is being folded is the best estimate of
+      // what lands
+      val srcBytes = scala.util.Try(
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(srcDir))
+          .getLength).getOrElse(0L)
+      val sharded = writeCodesBase(s, live, dstDir, srcBytes,
+        dst.cents.length.toLong)
       org.apache.hadoop.fs.FileUtil.copy(fs, srcBooks, fs,
         new org.apache.hadoop.fs.Path(dstDir, BooksDir),
         false, s.sparkContext.hadoopConfiguration)
-      CellManifest.rewrite(s, dstDir)
+      if (!sharded) CellManifest.rewrite(s, dstDir)
       SessionCache.drop[DataFrame](s, s"ivfPqCodesRead#$dstDir")
       SessionCache.drop[Array[Array[Array[Double]]]](s,
         s"ivfPqBooks#$dstDir")
@@ -734,7 +956,7 @@ object Pq {
     val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
     val lut = adcLut(qUnit, books)
     val probed = idx.probeCells(qRaw.toSeq, nprobe)
-    val width = shortlistWidth(s)
+    val width = shortlistWidth(s, Some(books.length))
     val adcShort = codesRead(s, codesDir)
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"),
@@ -819,7 +1041,7 @@ object Pq {
       val idx = Ann.ivfIndex(s, d)
       val codesDir = ivfPqCodes(s, d)
       val books = loadBooks(s, codesDir) // the generation's books
-      val width = shortlistWidth(s)
+      val width = shortlistWidth(s, Some(books.length))
       val probes = qvs.map { case (q, v) =>
         val nrm = math.sqrt(v.map(x => x * x).sum)
         val u = if (nrm == 0.0) v else v.map(_ / nrm)
@@ -935,7 +1157,7 @@ object Pq {
             graft.functions.PqExprs.pqAdcDot(col("codes"),
               typedlit(lut.toSeq)).as("adc"))
           .orderBy(col("adc").desc, col("vec_id"))
-          .limit(shortlistWidth(s))
+          .limit(shortlistWidth(s, Some(books.length)))
           .select(col("vec_id"))
         embeddings(s, d)
           .join(broadcast(shortlist), "vec_id")

@@ -61,6 +61,41 @@ class AnnIngestSpec extends SparkSpec {
     assert(Ann.physicalRows(spark, idx.dir).count() === after)
   }
 
+  test("probe blooms: sidecars ride the commits; replay dedup holds through the pre-filter; a missing sidecar falls back to exact") {
+    val idx = halfIndex()
+    // the generation bloom commits with the build
+    assert(new java.io.File(idx.dir, "_bloom_gen").isFile,
+      "build must commit the generation's probe bloom")
+    val batch = evAll.filter(col("vec_id") % 4 === 1)
+    assert(Ann.appendToIndexIdempotent(spark, idx, batch, 11L))
+    val epochs = new java.io.File(idx.dir, "_delta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("e-"))
+    assert(epochs.nonEmpty &&
+      epochs.forall(e => new java.io.File(e, "_bloom").isFile),
+      "every committed epoch must carry its probe bloom sidecar")
+    val after = Ann.physicalRows(spark, idx.dir).count()
+    // crash-window replay WITH blooms present: the replayed ids are
+    // suspects by their own epoch's bloom, the exact backstop finds
+    // them, nothing is re-appended
+    new java.io.File(idx.dir, "_ingest_commits/batch-11").delete()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 11L),
+      "bloom pre-filter broke crash-window replay recognition")
+    assert(Ann.physicalRows(spark, idx.dir).count() === after)
+    // a committed epoch WITHOUT a sidecar (crash between epoch commit
+    // and bloom write) disables the pre-filter — the exact probe still
+    // dedups; correctness never depends on the bloom
+    epochs.foreach(e => new java.io.File(e, "_bloom").delete())
+    new java.io.File(idx.dir, "_ingest_commits/batch-11").delete()
+    assert(!Ann.appendToIndexIdempotent(spark, idx, batch, 11L),
+      "exact fallback must still recognize the committed batch")
+    assert(Ann.physicalRows(spark, idx.dir).count() === after)
+    // fresh ids after the sidecar loss still append exactly once
+    val fresh = evAll.filter(col("vec_id") % 4 === 3)
+    assert(Ann.appendToIndexIdempotent(spark, idx, fresh, 12L))
+    val got = Ann.physicalRows(spark, idx.dir)
+    assert(got.select(col("vec_id")).distinct().count() === got.count())
+  }
+
   test("a partially-present batch is REPAIRED: replay appends exactly the missing complement") {
     // a crash inside the append job's commit window (per-task renames,
     // not one atomic op) legitimately leaves some task files visible —

@@ -48,17 +48,40 @@ class IvfPqSpec extends SparkSpec {
     assert(fusedBatch === twoBatch, "batch plans diverged")
   }
 
-  test("codes live cell-partitioned beside the index, under a ready marker") {
+  test("codes base layout derives from cell bytes: sharded at tiny cells, partitioned at big ones") {
     val dir = Pq.ivfPqCodes(spark, sf)
     val idx = Ann.ivfIndex(spark, sf)
     assert(dir === s"${idx.dir}/_pq_codes")
-    val cellDirs = new java.io.File(dir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-    assert(cellDirs.nonEmpty, "codes must be partitioned by cell")
+    // test geometry is the tiny-cell case (a cell's codes are KBs):
+    // the base must be byte-sharded — few cell-sorted files, no
+    // file-per-cell dirs (the r14 knee tax)
+    assert(new java.io.File(dir, "_shards").isDirectory,
+      "tiny-cell geometry must choose the sharded base")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "sharded base must not also carry partition dirs")
     assert(new java.io.File(dir, "_GRAFT_PQ_CODES_READY").exists())
     // the `_`-prefixed subdir is invisible to the index data read
     assert(spark.read.parquet(idx.dir).columns.toSet ===
       Set("vec_id", "label", "vec", "soft_cells", "cell"))
+    // big-cell geometry (force: target shard of 1 byte => perCell >=
+    // target) keeps the partitioned file-per-cell base, where dir-level
+    // partition pruning is strictly better — and the two layouts serve
+    // identical rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pq.codesShardBytes", "1")
+    val layoutBase = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-layout-").toString
+    Ann.registerTempIndexDir(layoutBase)
+    s2.conf.set("spark.graft.ann.indexDir", layoutBase)
+    val dir2 = Pq.ivfPqCodes(s2, sf)
+    assert(!new java.io.File(dir2, "_shards").exists(),
+      "big-cell geometry must keep the partitioned base")
+    assert(new java.io.File(dir2).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    val a = Pq.ivfPqTopk(spark, sf, allCells = true).collect().toSeq
+    val b = Pq.ivfPqTopk(s2, sf, allCells = true).collect().toSeq
+    assert(a === b, "sharded and partitioned bases served different rows")
   }
 
   test("appended codes land in the DELTA tier; compaction folds them into the base") {
@@ -203,13 +226,16 @@ class IvfPqSpec extends SparkSpec {
       "the rebuild must re-commit the books sidecar")
   }
 
-  test("the serving scan is probe-pruned: only probed cells' code files are read") {
+  test("the serving scan is probe-pruned: only probed cells' code groups are read") {
     val idx = Ann.ivfIndex(spark, sf)
     val plan = Pq.ivfPqTopk(spark, sf, allCells = false)
       .queryExecution.executedPlan.toString
-    // the codes scan carries the cell partition filter (pruned read)
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"expected a cell partition filter on the codes scan, got:\n$plan")
+    // the sharded base prunes by PUSHED row-group/page stats on the
+    // sorted cell column (the partitioned layout's PartitionFilters
+    // equivalent) — the cell In predicate must reach the parquet scan
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*[Ii]n\\(cell.*"),
+      s"expected the cell In filter pushed to the codes scan, got:\n$plan")
     val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
       .first().getSeq[Double](0)
@@ -285,7 +311,7 @@ class IvfPqSpec extends SparkSpec {
     assert(new java.io.File(dstCodes, "_GRAFT_PQ_CODES_READY").exists(),
       "carried codes generation must commit under its marker")
     // codes cover exactly the new generation's data rows (victims gone)
-    val codeIds = s.read.parquet(dstCodes).select(col("vec_id"))
+    val codeIds = Pq.codesAt(s, dst).select(col("vec_id"))
     val dataIds = s.read.parquet(dst).select(col("vec_id"))
     assert(codeIds.exceptAll(dataIds).isEmpty &&
       dataIds.exceptAll(codeIds).isEmpty,
@@ -302,10 +328,10 @@ class IvfPqSpec extends SparkSpec {
           s"codebook $j/$c changed across the carry"))
     }
     // carried codes are BIT-EQUAL for surviving ids (no re-encode)
-    val src = s.read.parquet(codesDir)
+    val src = Pq.codesAt(s, idx.dir)
       .filter(!col("vec_id").isin(victims: _*))
       .select(col("vec_id"), col("codes"))
-    val dstC = s.read.parquet(dstCodes).select(col("vec_id"), col("codes"))
+    val dstC = Pq.codesAt(s, dst).select(col("vec_id"), col("codes"))
     assert(src.exceptAll(dstC).isEmpty && dstC.exceptAll(src).isEmpty,
       "carried codes are not bit-equal to the source generation")
     // composed serving over the new generation == over the old (both
@@ -320,6 +346,62 @@ class IvfPqSpec extends SparkSpec {
     assert(servedOld.exceptAll(servedNew).isEmpty &&
       servedNew.exceptAll(servedOld).isEmpty,
       "generation swap changed the composed serving results")
+  }
+
+  test("bulk-epoch commit gate: data files without _SUCCESS are invisible; reaping is writer-side, past grace only") {
+    // a multi-file bulk epoch commits by renaming files out of
+    // _temporary one at a time and writing _SUCCESS LAST — so a dir with
+    // visible data files but no marker is the between-renames window of
+    // a partial commit (round-14 ADVICE) and must be neither served,
+    // token-memoized, nor reaped by a serving read (a concurrent bulk
+    // writer's in-flight epoch looks exactly like this)
+    import graft.operators.DeltaTier
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-partial-").toString
+    Ann.registerTempIndexDir(t)
+    val ev = Tables.embeddings(spark, sf)
+    val even = ev.filter(col("vec_id") % 2 === 0)
+    val idx = Ann.buildFrom(spark,
+      even.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")),
+      Ann.Cells, t)
+    val codesDir = Pq.buildPqCodesFor(spark, idx,
+      Pq.trainBooks(Pq.normedOf(even), "partial-fixture"))
+    Ann.appendToIndex(spark, idx, ev.filter(col("vec_id") % 2 === 1))
+    val delta = new java.io.File(codesDir, "_delta")
+    val real = Option(delta.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("e-")).head
+    val dataFile = real.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    val partial = new java.io.File(delta, "e-partial")
+    assert(partial.mkdirs())
+    java.nio.file.Files.copy(dataFile.toPath,
+      new java.io.File(partial, dataFile.getName).toPath)
+    // visible data file, no _SUCCESS: must not serve (its rows would
+    // double-count the real epoch's) and must not be listed
+    assert(Pq.codesAt(spark, idx.dir).count() === ev.count(),
+      "an unmarked (partially committed) epoch must not serve")
+    assert(!DeltaTier.epochDirs(spark, codesDir)
+      .exists(_.getPath.getName == "e-partial"))
+    // serving reads never reap — young OR old
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    partial.listFiles().foreach(_.setLastModified(old))
+    assert(partial.setLastModified(old))
+    DeltaTier.epochDirs(spark, codesDir)
+    assert(partial.exists(), "a serving read must never reap an epoch dir")
+    // the writer-side maintenance path reaps it once past grace
+    assert(DeltaTier.reapOrphans(spark, codesDir) === 1)
+    assert(!partial.exists(), "reapOrphans must delete the aged orphan")
+    // ...but never a RECENT uncommitted dir (in-flight write protection:
+    // any fresh file under the dir vetoes the reap)
+    val inflight = new java.io.File(delta, "e-inflight/_temporary")
+    assert(inflight.mkdirs())
+    assert(inflight.getParentFile.setLastModified(old)) // stale dir mtime,
+    // fresh _temporary below — the recursive recency check must see it
+    assert(DeltaTier.reapOrphans(spark, codesDir) === 0)
+    assert(inflight.exists(), "an in-flight epoch with recent task " +
+      "activity must survive reaping even with a stale dir mtime")
   }
 
   test("a tombstoned id is never published even though its CODES are stale") {

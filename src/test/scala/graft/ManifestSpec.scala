@@ -149,17 +149,24 @@ class ManifestSpec extends SparkSpec {
     assert(CellManifest.readAsDf(spark, dst).get.count() === evAll.count())
   }
 
-  test("codes build and codes append keep the codes-dir manifest in step") {
-    val idx = halfIndex()
+  test("codes build and codes append keep the codes-dir manifest in step (partitioned layout)") {
+    // the codes manifest protocol belongs to the big-cell PARTITIONED
+    // base (tiny-cell geometry shards the base and needs no manifest —
+    // IvfPqSpec pins that layout choice); force it here
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pq.codesShardBytes", "1")
+    val t = tmp("graft-manifest-codes-")
+    val idx = Ann.buildFrom(s,
+      asVec(evAll.filter(col("vec_id") % 2 === 0)), Ann.Cells, t)
     val books = Pq.trainBooks(
       Pq.normedOf(evAll.filter(col("vec_id") % 2 === 0)), "manifest-fixture")
-    val codesDir = Pq.buildPqCodesFor(spark, idx, books)
+    val codesDir = Pq.buildPqCodesFor(s, idx, books)
     assert(manifestFiles(codesDir) === walkFiles(codesDir))
-    Ann.appendToIndex(spark, idx, evAll.filter(col("vec_id") % 2 === 1))
+    Ann.appendToIndex(s, idx, evAll.filter(col("vec_id") % 2 === 1))
     assert(manifestFiles(codesDir) === walkFiles(codesDir))
     // the codes artifact covers the appended rows exactly
-    val codeIds = Pq.codesAt(spark, idx.dir).select(col("vec_id"))
-    val idxIds = Ann.physicalRows(spark, idx.dir).select(col("vec_id"))
+    val codeIds = Pq.codesAt(s, idx.dir).select(col("vec_id"))
+    val idxIds = Ann.physicalRows(s, idx.dir).select(col("vec_id"))
     assert(codeIds.exceptAll(idxIds).isEmpty &&
       idxIds.exceptAll(codeIds).isEmpty,
       "codes rows diverge from index rows after the append")

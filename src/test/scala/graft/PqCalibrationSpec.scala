@@ -100,6 +100,52 @@ class PqCalibrationSpec extends SparkSpec {
     assert(Pq.subspacesOf(legacy, 64) === Pq.SubspacesMax)
   }
 
+  test("corpus-aware m-selection: the projected shortlist bound drives the switchover") {
+    // artifact swept at 2,000 vectors: m=8 knees at 200 (10% of corpus),
+    // m=16 at 20 (1%) — the per_m table + n_vectors the round-14 sweep
+    // records
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-pqcal-m-").resolve("pq_recall.json")
+    java.nio.file.Files.write(p,
+      """{"metric": "pq_recall_at_20_vs_shortlist",
+        | "n_vectors": 2000,
+        | "chosen_m": 8,
+        | "per_m": [
+        |  {"m": 8, "knee_width": 200, "sweep": [
+        |    {"shortlist": 200, "recall": 0.95}]},
+        |  {"m": 16, "knee_width": 20, "sweep": [
+        |    {"shortlist": 20, "recall": 0.95},
+        |    {"shortlist": 80, "recall": 1.0}]}],
+        | "sweep": [{"shortlist": 200, "recall": 0.95}]}
+        |""".stripMargin.getBytes("UTF-8"))
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pq.shortlistCalibration", p.toString)
+    // small serving corpus: m=8's projected knee (10% of 2,000 = 200)
+    // fits the default 65,536 bound — the coarsest measured geometry
+    // wins (cheapest at rest)
+    assert(Pq.subspacesOf(s, 64, Some(2000L)) === 8,
+      "coarse geometry must win while its projection fits the bound")
+    // corpus grown 10,000x past the sweep: m=8 projects 10% of 20M =
+    // 2M driver rows — over the bound; m=16 projects 200k... also over;
+    // the FINEST swept geometry is the fallback
+    assert(Pq.subspacesOf(s, 64, Some(20000000L)) === 16,
+      "outgrown bound must fall back to the finest swept geometry")
+    // a bound between the two projections picks the smallest fitting m
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pq.shortlistCalibration", p.toString)
+    s2.conf.set("spark.graft.pq.maxShortlistRows", "500")
+    // at n=20,000: m=8 projects 2,000 (> 500), m=16 projects 200 (fits)
+    assert(Pq.subspacesOf(s2, 64, Some(20000L)) === 16,
+      "the projected-bound switchover must pick the smallest fitting m")
+    // no corpus-size signal -> the artifact's own chosen_m (legacy path)
+    assert(Pq.subspacesOf(s2, 64) === 8)
+    // the width follows the geometry actually serving: m=16's own sweep
+    assert(Pq.shortlistWidth(s2, Some(16)) === 20,
+      "width must read the serving geometry's own sweep")
+    s2.conf.set("spark.graft.pq.recallFloor", "0.99")
+    assert(Pq.shortlistWidth(s2, Some(16)) === 80)
+  }
+
   test("gate floors hold at BOTH calibrated geometries (m=8 and m=16)") {
     // the m-selection only ever switches between measured geometries —
     // the serve contract (overlap floor + exact published sims) must be
