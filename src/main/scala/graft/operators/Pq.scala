@@ -159,6 +159,17 @@ object Pq {
               else scala.util.Try {
                 val nv = r.select(col("n_vectors").cast("long"))
                   .first().getLong(0)
+                // the sweep's own relative rule still applies (its
+                // chosen_m honored it at the swept corpus); the
+                // absolute bound is the NEW constraint that bites as
+                // the corpus outgrows the sweep
+                val targetFrac =
+                  if (!cols.contains("target_fraction")) Double.MaxValue
+                  else {
+                    val tf = r.select(
+                      col("target_fraction").cast("double")).first()
+                    if (tf.isNullAt(0)) Double.MaxValue else tf.getDouble(0)
+                  }
                 val perM = r.select(explode(col("per_m")).as("p"))
                   .select(col("p.m").cast("int").as("m"),
                     col("p.knee_width").cast("long").as("knee"))
@@ -170,10 +181,14 @@ object Pq {
                 if (nv <= 0 || perM.isEmpty) None
                 else {
                   val projected = perM.map { case (m, knee) =>
-                    (m, math.ceil(knee.toDouble / nv * n.get).toLong)
+                    (m, knee.toDouble / nv,
+                      math.ceil(knee.toDouble / nv * n.get).toLong)
                   }
-                  projected.find(_._2 <= bound).map(_._1)
-                    .orElse(Some(projected.minBy(p2 => (p2._2, p2._1))._1))
+                  projected
+                    .find(p2 => p2._2 <= targetFrac && p2._3 <= bound)
+                    .map(_._1)
+                    .orElse(Some(projected
+                      .minBy(p2 => (p2._3, p2._1))._1))
                 }
               }.toOption.flatten
             byCorpus.orElse(chosen)
@@ -997,6 +1012,28 @@ object Pq {
       import s.implicits._
       rerank(short.map(_.getLong(0)).toSeq.toDF("vec_id"), shortCells)
     }
+  }
+
+  /** Measurement face of the ADC shortlist stage alone — the pruned
+    * codes scan + top-width collect, no re-rank ([[graft.tools
+    * .KneeBreakdown]]'s probe; serving always composes it with the
+    * exact re-rank).
+    */
+  private[graft] def adcShortlistProbe(s: SparkSession, idx: Ann.IvfIndex,
+      codesDir: String, books: Array[Array[Array[Double]]],
+      qRaw: Array[Double], nprobe: Int): Long = {
+    val nrm = math.sqrt(qRaw.map(x => x * x).sum)
+    val qUnit = if (nrm == 0.0) qRaw else qRaw.map(_ / nrm)
+    val lut = adcLut(qUnit, books)
+    val probed = idx.probeCells(qRaw.toSeq, nprobe)
+    codesRead(s, codesDir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqExprs.pqAdcDot(col("codes"),
+          typedlit(lut.toSeq)).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlistWidth(s, Some(books.length)))
+      .collect().length.toLong
   }
 
   /** Plan choice for the composed serve — fuse shortlist+re-rank into
