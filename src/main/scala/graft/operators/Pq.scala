@@ -512,11 +512,11 @@ object Pq {
     * So when measured/estimated CELL bytes are small against
     * [[codesShardTargetBytes]], the base packs ~target/cellBytes cells
     * per cell-SORTED shard file under `<codesDir>/_shards/` (the
-    * [[DeltaTier]] shape applied to the base): pruning moves from
-    * partition dirs to parquet row-group + page stats on the sorted
-    * `cell` column — page rows are capped small at write so a page
-    * spans only a few cells and a scattered probed set skips most
-    * pages. At 100 TB geometry (GB-sized cells) `cellBytes ≥ target`
+    * [[DeltaTier]] shape applied to the base): probing then filters
+    * ROW-LEVEL (the whole base is a few tens of MB at this geometry —
+    * under the per-job floor to decode; see [[shardsRead]] for why
+    * finer stat pruning measured as a net loss). At 100 TB geometry
+    * (GB-sized cells) `cellBytes ≥ target`
     * and the layout stays the partitioned file-per-cell base, where
     * dir-level partition pruning (zero footer opens for unprobed
     * cells) is strictly better — the shard size DERIVES from cell
@@ -534,14 +534,6 @@ object Pq {
     s.conf.getOption("spark.graft.pq.codesShardBytes").map(_.toLong)
       .getOrElse(32L * 1024 * 1024)
 
-  /** Rows per parquet page in shard files: the page is the finest
-    * pruning unit (column-index stats), and at ~200 rows/cell decade
-    * occupancy 512 rows ≈ 2–3 cells per page — a 2% scattered probed
-    * set then skips ~95% of pages, where the default 20k-row pages
-    * would span ~100 cells each and prune nothing.
-    */
-  private val ShardPageRows = 512
-
   private def shardsPathOf(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/$ShardsDir")
 
@@ -550,19 +542,23 @@ object Pq {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Read the sharded base. The ADC scan filters `cell IN (probed…)`
-    * with nprobe routinely above the parquet In-pushdown threshold
-    * (default 10), past which Spark stops handing the predicate to
-    * parquet and every row group/page is read — so raise the session
-    * threshold once here (perf-only, never correctness; row-level
-    * filtering is Spark's codegen'd InSet either way).
+  /** Read the sharded base — one flat listStatus of a handful of
+    * files. The serve's `cell IN (probed…)` prunes ROW-LEVEL here
+    * (Spark's codegen'd InSet), not at parquet granularity: at
+    * tiny-cell geometry a 4 MB row group spans hundreds of cells, so
+    * stat pruning cannot bite on a scattered probed set, and measured
+    * decode of the whole decade base (~43 MB across the shard tasks)
+    * is under the per-job scheduling floor anyway — two r15 probes
+    * that tried to force finer pruning both LOST: 512-row pages cut
+    * knee bytes 43→1.5 MB but doubled every full-scan consumer
+    * (sf10 ann_ivfpq_batch 2.4→5.4 s — per-page decode overhead on
+    * the 90%-probed scan), and raising the In-pushdown threshold
+    * StackOverflowed parquet-mr's recursive predicate tree at ~4k
+    * values. The sharded win is file-open count (2–7 vs 10⁴), not
+    * stats.
     */
-  private def shardsRead(s: SparkSession, dir: String): DataFrame = {
-    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (scala.util.Try(s.conf.get(k).toInt).getOrElse(10) < 4096)
-      s.conf.set(k, "4096")
+  private def shardsRead(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/$ShardsDir")
-  }
 
   /** Version fingerprint of the sharded base for the listing memo — the
     * shards only change on wholesale rebuild/compaction, both of which
@@ -605,13 +601,24 @@ object Pq {
       if (cells <= 0) Long.MaxValue else estBytes / math.max(1L, cells)
     val sharded = perCell < target
     if (sharded) {
-      val files = math.max(1L, (estBytes + target - 1) / target).toInt
+      // file count: bytes/target, FLOORED at ~8 MB of codes per file —
+      // a sub-maxPartitionBytes single file is ONE scan task, and the
+      // batched ADC stage (explode × queries per row) measured 2.3×
+      // slower at the sf10 geometry on a one-file base (r15); the
+      // opposite extreme (file per core) costs the single-query knee
+      // ~7 ms of scheduling per extra task (14-file probe, r15). 8 MB
+      // of m-byte rows is ~500k ADC evaluations — a task worth
+      // scheduling — and a truly tiny corpus stays one file.
+      val byBytes = math.max(1L, (estBytes + target - 1) / target)
+      val byWork = math.min(
+        s.sparkContext.defaultParallelism.toLong,
+        estBytes / (8L * 1024 * 1024))
+      val files = math.max(byBytes, byWork).toInt
       codes.select(col("vec_id"), col("codes"), col("cell"))
         .repartitionByRange(files, col("cell"), col("vec_id"))
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("overwrite")
         .option("parquet.block.size", 4L * 1024 * 1024)
-        .option("parquet.page.row.count.limit", ShardPageRows.toString)
         .parquet(s"$dir/$ShardsDir")
     } else {
       codes.select(col("vec_id"), col("codes"), col("cell"))
@@ -1091,8 +1098,21 @@ object Pq {
         struct(lit(q).as("qid"), typedlit(lut.toSeq).as("lut"),
           typedlit(cells).as("cells"))
       }.toSeq: _*)
-      val shortFrame = codesRead(s, codesDir)
-        .filter(col("cell").isin(unionCells: _*))
+      val codesSrc = {
+        val filtered = codesRead(s, codesDir)
+          .filter(col("cell").isin(unionCells: _*))
+        // the sharded tiny-cell base scans in a HANDFUL of tasks (it is
+        // a handful of files), which serializes this stage's CPU-bound
+        // explode×queries ADC work — measured 2.3× on sf10 — so spread
+        // the filtered rows cluster-wide first: tens of MB by the
+        // layout's own construction, a trivially cheap shuffle. The
+        // partitioned big-cell base (GBs probed) keeps its natural scan
+        // parallelism and must NOT pay a probed-bytes shuffle.
+        if (isShardedBase(s, codesDir))
+          filtered.repartition(s.sparkContext.defaultParallelism)
+        else filtered
+      }
+      val shortFrame = codesSrc
         .select(col("vec_id"), col("cell"), col("codes"),
           explode(qlit).as("q"))
         .filter(array_contains(col("q.cells"), col("cell")))
