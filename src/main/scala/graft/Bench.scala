@@ -137,6 +137,23 @@ object Bench {
     val lshTruthBuildJson =
       if (lshTruthBuild.isNaN) "null" else lshTruthBuild.toString
     val lshGateIncludesBuild = lshTruthBuild.isNaN
+    // q20's exact-distinct truth (the gate's compare target) is the
+    // same prepare-phase class — a full-fact-table count_distinct
+    // shuffle that the r13–r15 sf10 outlier adjudications repeatedly
+    // landed on. Pre-build it under its own metric; the gate's timed
+    // window then prices the HLL++ aggregation + broadcast compare.
+    val tQ20 = System.nanoTime()
+    val q20TruthBuild: Double =
+      try {
+        operators.Relational.buildQ20Truth(spark, sfDir)
+        (System.nanoTime() - tQ20) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q20 truth build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val q20TruthBuildJson =
+      if (q20TruthBuild.isNaN) "null" else q20TruthBuild.toString
+    val q20GateIncludesBuild = q20TruthBuild.isNaN
     // mirror of ann_probe_includes_build: if the pre-build failed, the
     // memoization miss means the first timed dedup consumer
     // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
@@ -268,7 +285,7 @@ object Bench {
     val metricsJson = queryMetrics
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"lsh_truth_build":$lshTruthBuildJson,"lsh_gate_includes_build":$lshGateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"lsh_truth_build":$lshTruthBuildJson,"lsh_gate_includes_build":$lshGateIncludesBuild,"q20_truth_build":$q20TruthBuildJson,"q20_gate_includes_build":$q20GateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-

@@ -507,6 +507,26 @@ class PlanSpec extends SparkSpec {
     assert(gk.contains("ObjectHashAggregate"), gk)
   }
 
+  test("q20 gate with prepare-phase truth equals the unsplit computation") {
+    // the gate's exact side is a memoized prepare-phase artifact
+    // (Relational.q20Truth); the split must be invisible in the rows —
+    // HLL++ is deterministic for a fixed input, so the joined form and
+    // the single-aggregation form must agree cell-for-cell.
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val unsplit = li
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          greatest(lit(1.0), col("exact_parts") * 0.15)).as("within_tol"))
+      .orderBy(col("l_returnflag"))
+      .collect().toSeq
+    val gate = Relational.queries("q20_approx_distinct_gate")(spark, sf)
+      .collect().toSeq
+    assert(gate === unsplit)
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val approx = Relational.queries("q20_approx_distinct_parts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
