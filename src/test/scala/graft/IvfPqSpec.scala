@@ -84,6 +84,31 @@ class IvfPqSpec extends SparkSpec {
     assert(a === b, "sharded and partitioned bases served different rows")
   }
 
+  test("sharded base file count keeps a task's worth of ADC work per file") {
+    // the work floor (min(parallelism, bytes/8MB)) spreads a big
+    // sharded base across the cluster — a one-file base serialized the
+    // CPU-bound batched ADC stage (measured 2.3x at sf10 geometry) —
+    // while a tiny base stays ONE file so the single-query knee pays
+    // no extra task scheduling.
+    val codes = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), lit(Array[Byte](1, 2)).as("codes"),
+        (col("vec_id") % 50).cast("int").as("cell"))
+    val big = java.nio.file.Files
+      .createTempDirectory("graft-shardcount-big-").toString
+    val small = java.nio.file.Files
+      .createTempDirectory("graft-shardcount-small-").toString
+    Ann.registerTempIndexDir(big)
+    Ann.registerTempIndexDir(small)
+    assert(Pq.writeCodesBase(spark, codes, big, 64L * 1024 * 1024, 50),
+      "KB-scale cells must choose the sharded layout")
+    assert(Pq.writeCodesBase(spark, codes, small, 2L * 1024 * 1024, 50))
+    def parts(d: String) = new java.io.File(s"$d/_shards").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(big) === 4, // min(local[4] parallelism, 64MB / 8MB)
+      "a big sharded base must split to the work floor")
+    assert(parts(small) === 1, "a tiny base must stay one file")
+  }
+
   test("appended codes land in the DELTA tier; compaction folds them into the base") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-delta-").toString
