@@ -45,161 +45,79 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
-    // the IVF index build is a maintenance job in production (see
-    // Ann.buildIndex) — pre-build it OUTSIDE the timed window and report
-    // the build as its own metric, so ann_ivf_* times are probe-only
-    // (the serving cost), not build+probe.
-    val tIdx = System.nanoTime()
-    val annBuild: Double =
-      try { operators.Ann.buildIndex(spark, sfDir); (System.nanoTime() - tIdx) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ann index build failed: ${e.getMessage}")
-        Double.NaN
+    // Prepare-phase pre-builds (one per maintenance-class artifact —
+    // the ann_index_build precedent carried since r4): each runs OUTSIDE
+    // any timed query window and is priced under its OWN top-level
+    // metric, so per-query times price serving. A failed pre-build means
+    // the first consuming query silently rebuilds the artifact INSIDE
+    // its window — the `includesBuild` flag lands in the JSON so that
+    // is never presented as serving cost. (r15 ADVICE: one helper
+    // instead of six copies of the time/try/NaN/json boilerplate.)
+    def timedPrebuild(label: String)(f: => Unit)
+        : (Double, String, Boolean) = {
+      val t0 = System.nanoTime()
+      val sec: Double =
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          Double.NaN
+        }
+      (sec, if (sec.isNaN) "null" else sec.toString, sec.isNaN)
+    }
+    // IVF index (maintenance job in production — Ann.buildIndex):
+    // ann_ivf_* times are probe-only
+    val (_, annBuildJson, annProbeIncludesBuild) =
+      timedPrebuild("ann index build") {
+        operators.Ann.buildIndex(spark, sfDir); ()
       }
-    val annBuildJson = if (annBuild.isNaN) "null" else annBuild.toString
-    // same treatment for the n-gram dedup PAIR TABLE + cluster labels:
-    // in production they are persisted maintenance artifacts every
-    // downstream consumer reads (DedupOps.ngramJaccardPairs scaladoc);
-    // in-session they are built once and memoized, so whichever query
-    // ran first (alphabetically curate_dedup_apply) silently absorbed
-    // the most expensive dedup stage. Pre-build OUTSIDE the timed
-    // window and report the build as its own metric so per-query times
-    // are serving cost — exactly the ann_index_build precedent.
-    val tPair = System.nanoTime()
-    val pairBuild: Double =
-      try {
-        operators.DedupOps.ngramClusterLabels(spark, sfDir).count()
-        (System.nanoTime() - tPair) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] pair table build failed: ${e.getMessage}")
-        Double.NaN
+    // n-gram dedup pair table + cluster labels (persisted maintenance
+    // artifacts — DedupOps.ngramJaccardPairs scaladoc)
+    val (_, pairBuildJson, pairServingIncludesBuild) =
+      timedPrebuild("pair table build") {
+        operators.DedupOps.ngramClusterLabels(spark, sfDir).count(); ()
       }
-    val pairBuildJson = if (pairBuild.isNaN) "null" else pairBuild.toString
-    // and the PQ codebooks + encoded-corpus artifact (Pq.buildCodes
-    // scaladoc): maintenance work, priced under its own metric so the
-    // sim_pq_* query times are ADC-scan + re-rank only
-    val tPq = System.nanoTime()
-    val pqBuild: Double =
-      try { operators.Pq.buildCodes(spark, sfDir).count(); (System.nanoTime() - tPq) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] pq code build failed: ${e.getMessage}")
-        Double.NaN
+    // PQ codebooks + encoded corpus (Pq.buildCodes scaladoc): sim_pq_*
+    // times are ADC-scan + re-rank only
+    val (_, pqBuildJson, pqServingIncludesBuild) =
+      timedPrebuild("pq code build") {
+        operators.Pq.buildCodes(spark, sfDir).count(); ()
       }
-    val pqBuildJson = if (pqBuild.isNaN) "null" else pqBuild.toString
-    val pqServingIncludesBuild = pqBuild.isNaN
-    // the IVF-PQ cell-partitioned codes artifact (Pq.buildIvfPqCodes):
-    // a per-generation maintenance build like the index layout, priced
-    // under its own metric so ann_ivfpq_* times are probe+re-rank only
-    val tIvfPq = System.nanoTime()
-    val ivfPqBuild: Double =
-      try { operators.Pq.buildIvfPqCodes(spark, sfDir); (System.nanoTime() - tIvfPq) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ivfpq code build failed: ${e.getMessage}")
-        Double.NaN
+    // IVF-PQ cell-partitioned codes artifact (per-generation build)
+    val (_, ivfPqBuildJson, ivfPqServingIncludesBuild) =
+      timedPrebuild("ivfpq code build") {
+        operators.Pq.buildIvfPqCodes(spark, sfDir); ()
       }
-    val ivfPqBuildJson = if (ivfPqBuild.isNaN) "null" else ivfPqBuild.toString
-    val ivfPqServingIncludesBuild = ivfPqBuild.isNaN
     // the ingest gate's appended fixture (index on the even half, codes
-    // committed there, odd half appended) is maintenance-class build
-    // work too — session-memoized, so whichever gate ran first absorbed
-    // it (measured ~4.7 s at sf0.1, growing with SF). Pre-build it
-    // OUTSIDE the timed window under its own metric, the
-    // ann_index_build precedent; the gate's own time then prices only
-    // the all-cells serve + compare.
-    val tFix = System.nanoTime()
-    val ingestFixBuild: Double =
-      try {
-        operators.Pq.ivfPqAppendedFixture(spark, sfDir)
-        (System.nanoTime() - tFix) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] ivfpq ingest fixture build failed: ${e.getMessage}")
-        Double.NaN
+    // committed there, odd half appended) — measured ~4.7 s at sf0.1
+    // absorbed by whichever gate ran first before the r12 split
+    val (_, ingestFixBuildJson, ingestGateIncludesBuild) =
+      timedPrebuild("ivfpq ingest fixture build") {
+        operators.Pq.ivfPqAppendedFixture(spark, sfDir); ()
       }
-    val ingestFixBuildJson =
-      if (ingestFixBuild.isNaN) "null" else ingestFixBuild.toString
-    val ingestGateIncludesBuild = ingestFixBuild.isNaN
-    // the plain-IVF append/delete gates' fixture indexes are the same
-    // maintenance class (r12's ivfpq_ingest_fixture_build precedent):
-    // each gate's first timed window silently absorbed a half- or
-    // whole-corpus k-means build + append/tombstone pass — measured
-    // 7.5 s of the append gate's 7.8 s first rep at sf0.1 vs a 0.31 s
-    // steady serve (bench/micro_r15_targets_before.json), and the two
-    // gates were the sf10 ledger's largest entries (16.6 / 15.9 s
-    // minima) for exactly this reason. Pre-build OUTSIDE the timed
-    // window under their own metrics; the gates then price the
-    // full-probe serve + compare — the serving-shaped computation.
-    val tApFix = System.nanoTime()
-    val appendFixBuild: Double =
-      try {
-        operators.Ann.appendedIndex(spark, sfDir)
-        (System.nanoTime() - tApFix) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] ivf append fixture build failed: ${e.getMessage}")
-        Double.NaN
+    // the plain-IVF append/delete gate fixtures (r15 split — each gate's
+    // first window used to absorb a half-/whole-corpus k-means build:
+    // 7.5 s of the append gate's 7.8 s first rep at sf0.1, and the two
+    // gates were the sf10 ledger's largest entries for that reason)
+    val (_, appendFixBuildJson, appendGateIncludesBuild) =
+      timedPrebuild("ivf append fixture build") {
+        operators.Ann.appendedIndex(spark, sfDir); ()
       }
-    val appendFixBuildJson =
-      if (appendFixBuild.isNaN) "null" else appendFixBuild.toString
-    val appendGateIncludesBuild = appendFixBuild.isNaN
-    val tDelFix = System.nanoTime()
-    val deleteFixBuild: Double =
-      try {
-        operators.Ann.deletedIndex(spark, sfDir)
-        (System.nanoTime() - tDelFix) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] ivf delete fixture build failed: ${e.getMessage}")
-        Double.NaN
+    val (_, deleteFixBuildJson, deleteGateIncludesBuild) =
+      timedPrebuild("ivf delete fixture build") {
+        operators.Ann.deletedIndex(spark, sfDir); ()
       }
-    val deleteFixBuildJson =
-      if (deleteFixBuild.isNaN) "null" else deleteFixBuild.toString
-    val deleteGateIncludesBuild = deleteFixBuild.isNaN
     // the minhash gate's EXACT truth table (prefix-filter all-pairs over
-    // the gate's document budget) is prepare-phase work, not serving —
-    // and the registry's most contention-sensitive shuffle (the r13/r14
-    // sf10 outlier adjudications were both about it). Pre-build it under
-    // its own metric (DedupOps.buildLshGateTruth); the gate's timed
-    // window then prices the LSH serve + set-compare, exactness intact.
-    val tLsh = System.nanoTime()
-    val lshTruthBuild: Double =
-      try {
+    // the gate's budget — the registry's most contention-sensitive
+    // shuffle; r15 split, exactness intact)
+    val (_, lshTruthBuildJson, lshGateIncludesBuild) =
+      timedPrebuild("lsh truth build") {
         operators.DedupOps.buildLshGateTruth(spark, sfDir)
-        (System.nanoTime() - tLsh) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] lsh truth build failed: ${e.getMessage}")
-        Double.NaN
       }
-    val lshTruthBuildJson =
-      if (lshTruthBuild.isNaN) "null" else lshTruthBuild.toString
-    val lshGateIncludesBuild = lshTruthBuild.isNaN
-    // q20's exact-distinct truth (the gate's compare target) is the
-    // same prepare-phase class — a full-fact-table count_distinct
-    // shuffle that the r13–r15 sf10 outlier adjudications repeatedly
-    // landed on. Pre-build it under its own metric; the gate's timed
-    // window then prices the HLL++ aggregation + broadcast compare.
-    val tQ20 = System.nanoTime()
-    val q20TruthBuild: Double =
-      try {
+    // q20's exact-distinct truth (the gate's compare target; r15 split)
+    val (_, q20TruthBuildJson, q20GateIncludesBuild) =
+      timedPrebuild("q20 truth build") {
         operators.Relational.buildQ20Truth(spark, sfDir)
-        (System.nanoTime() - tQ20) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] q20 truth build failed: ${e.getMessage}")
-        Double.NaN
       }
-    val q20TruthBuildJson =
-      if (q20TruthBuild.isNaN) "null" else q20TruthBuild.toString
-    val q20GateIncludesBuild = q20TruthBuild.isNaN
-    // mirror of ann_probe_includes_build: if the pre-build failed, the
-    // memoization miss means the first timed dedup consumer
-    // (alphabetically curate_dedup_apply) rebuilds the pair table INSIDE
-    // its window — flag it so the JSON never silently presents
-    // build+serve as serving cost
-    val pairServingIncludesBuild = pairBuild.isNaN
-    // if the pre-build failed, the memoization miss means the first timed
-    // ann_ivf_* query rebuilds the index INSIDE its window — flag it so
-    // the JSON never silently presents build+probe as probe-only
-    val annProbeIncludesBuild = annBuild.isNaN
     // ---- per-query session-state attribution (round 14): the sf10
     // q20/minhash gate outliers could only be ADJUDICATED, not explained,
     // from wall times alone — capture per-query task GC / spill via a

@@ -237,7 +237,13 @@ object Ann {
       val kEff = cents.length
       val dim = cents.head.length
       for (_ <- 0 until iters) {
-        val assigned = vecs.withColumn("cell", cellOf(col("vec"), cents))
+        // same blocked-kernel routing as assignedRows: at decade k the
+        // per-row expression streams the whole centroid matrix per row
+        val assigned =
+          if (BlockedAssign.eligible(cents))
+            BlockedAssign.withSoftCells(vecs, "vec", "_sc", cents, 1)
+              .withColumn("cell", col("_sc").getItem(0)).drop("_sc")
+          else vecs.withColumn("cell", cellOf(col("vec"), cents))
         val byDim = assigned
           .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos"))
@@ -456,13 +462,26 @@ object Ann {
     * bit-identical to what the build would have assigned them.
     */
   private def assignedRows(normed: DataFrame, cents: Seq[Seq[Double]])
-      : DataFrame =
-    normed.withColumn("soft_cells",
-        softCellsOf(col("uvec"), cents,
-          math.min(SoftIndexWidth, cents.length)))
+      : DataFrame = {
+    val m = math.min(SoftIndexWidth, cents.length)
+    // decade/production geometry takes the row-BLOCKED kernel: the
+    // per-row expression is L3-bandwidth-bound past a few thousand
+    // cells (every row streams the whole k·dim matrix — measured
+    // bench/assign_probe_r16_2m_e.json: eliminating 94 % of the flops
+    // moved the wall ~1 %), and blocking divides the matrix traffic by
+    // the row-block size. Bit-identical output (BlockedAssignSpec);
+    // bench-SF geometries stay below the gate, keeping their plans
+    // byte-identical.
+    val assigned =
+      if (BlockedAssign.eligible(cents))
+        BlockedAssign.withSoftCells(normed, "uvec", "soft_cells", cents, m)
+      else
+        normed.withColumn("soft_cells", softCellsOf(col("uvec"), cents, m))
+    assigned
       .withColumn("cell", col("soft_cells").getItem(0))
       .select(col("vec_id"), col("label"), col("vec"),
         col("soft_cells"), col("cell"))
+  }
 
   private[graft] def buildFrom(s: SparkSession, base: DataFrame, k: Int,
       dir: String): IvfIndex = {
@@ -535,8 +554,15 @@ object Ann {
       // presence-probe bloom over the generation's ids ([[GenBloomFile]])
       // — one id-column pass at commit buys every streamed epoch a
       // definitely-absent pre-filter; skipped past the size cap (the
-      // probe then stays cell-bounded exact)
-      val genIds = s.read.parquet(dir).select(col("vec_id"))
+      // probe then stays cell-bounded exact). Plan the id scan from the
+      // manifest JUST rewritten above (explicit leaf files, no
+      // partition-discovery tree walk): at decade geometry a bare
+      // `spark.read.parquet(dir)` re-walks the 10⁴ cell dirs — the
+      // measured 15 s listing this commit already paid once inside
+      // `rewrite` — so the fallback read only fires for dirs the
+      // manifest could not describe (it never is, post-rewrite).
+      val genIds = CellManifest.readAsDf(s, dir)
+        .getOrElse(s.read.parquet(dir)).select(col("vec_id"))
       writeIdBloom(s, new org.apache.hadoop.fs.Path(dir, GenBloomFile),
         genIds, genIds.count())
       val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
@@ -1203,13 +1229,40 @@ object Ann {
     def readOnce(p: String): Array[Long] =
       s.read.parquet(p).select(col("vec_id")).distinct()
         .collect().map(_.getLong(0))
-    liveDeletesPath(s, idx).map { p =>
-      try readOnce(p)
-      catch {
-        case scala.util.control.NonFatal(_) =>
-          liveDeletesPath(s, idx).map(readOnce).getOrElse(Array.empty[Long])
-      }
-    }.filter(_.nonEmpty)
+    // session memo VERSIONED on the tombstone dirs' file statuses: the
+    // broadcast-class set was re-read as a Spark job at EVERY query
+    // build (~0.2 s of the delete gate's sf0.1 window — a fixed
+    // scheduling floor for one tiny file). Any tombstone write/clear
+    // changes the token (file set, lengths, mtimes of `_deletes` and
+    // `_deletes.next`), so deletes stay immediately visible — the
+    // bounded-staleness contract is unchanged, only the redundant
+    // same-state re-read is gone.
+    SessionCache.memoVersioned(s, s"liveDeleteIds#${idx.dir}",
+      deletesToken(s, idx), {
+        liveDeletesPath(s, idx).map { p =>
+          try readOnce(p)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              liveDeletesPath(s, idx).map(readOnce)
+                .getOrElse(Array.empty[Long])
+          }
+        }.filter(_.nonEmpty)
+      })
+  }
+
+  /** Commit-state fingerprint of the tombstone set — one driver-side
+    * listStatus per dir (microseconds against the Spark job it
+    * replaces), covering both the live dir and a pending rewrite.
+    */
+  private def deletesToken(s: SparkSession, idx: IvfIndex): String = {
+    def tok(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(idx.dir, name)
+      val fs = hadoopFs(s, p)
+      scala.util.Try(fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")).getOrElse("-")
+    }
+    tok(DeletesDir) + "|" + tok(DeletesNextDir)
   }
 
   /** The index's LIVE rows: the at-rest cell-partitioned data minus any

@@ -638,8 +638,15 @@ object DedupOps {
     * filter J ≤ min/max ⟹ sizes within factor t.
     */
   def prefixCandidates(posts: DataFrame,
-      t: Double): DataFrame = {
-    val prefix = prefixPosts(posts, t)
+      t: Double): DataFrame =
+    candidatesFromPrefix(prefixPosts(posts, t), t)
+
+  /** The per-gram pair generation over an already-built prefix-posting
+    * frame — split out of [[prefixCandidates]] so the truth-build probe
+    * ([[graft.tools.LshTruthProbe]]) can time the stages separately.
+    */
+  private[graft] def candidatesFromPrefix(prefix: DataFrame, t: Double)
+      : DataFrame = {
     prefix
       .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
@@ -653,6 +660,14 @@ object DedupOps {
         lit(t) * greatest(col("sza"), col("szb")))
       .distinct()
   }
+
+  // measurement-only probe surface for graft.tools.LshTruthProbe
+  private[graft] def probeShingleDocSets(s: SparkSession, d: String)
+      : DataFrame = shingleDocSets(s, d)
+  private[graft] def probePrefixCandidatesFrom(prefix: DataFrame)
+      : DataFrame = candidatesFromPrefix(prefix, 0.8)
+  private[graft] def probeVerify(cand: DataFrame, docSets: DataFrame,
+      thr: Double): DataFrame = verifyJaccard(cand, docSets, thr)
 
   /** Incremental candidate pairs: candidates TOUCHING a new document
     * batch — (new × corpus) ∪ (new × new) — without ever generating the
@@ -1252,7 +1267,7 @@ object DedupOps {
           .select(col("vec_id"), lit(0).as("cell"),
             transform(col("embedding"), x => x.cast("double")).as("vec")),
         "cell", MaxCosineBlockRows)
-      semanticPairs(v, v).distinct()
+      semanticPairs(spreadForJoin(v), v).distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -1276,8 +1291,8 @@ object DedupOps {
       // whole subset and degenerate this twin into dedup_semantic_exact
       def inBatch(df: DataFrame): DataFrame =
         df.filter(pmod((col("vec_id") / lit(m)).cast("long"), lit(10)) === 0)
-      semanticPairs(v, inBatch(v))
-        .unionByName(semanticPairs(inBatch(v), v))
+      semanticPairs(spreadForJoin(v), inBatch(v))
+        .unionByName(semanticPairs(spreadForJoin(inBatch(v)), v))
         .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -1473,6 +1488,25 @@ object DedupOps {
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
   }
+
+  /** Spread the STREAM side of the one-cell exact twins' broadcast
+    * join: the twins' within-cell join plans as a BroadcastHashJoin
+    * (the soft side is a ~2000-row broadcast), so the n² cosine kernel
+    * runs on the stream side's SCAN partitioning — one parquet file at
+    * the gated-subset scale, therefore ONE task regardless of core
+    * count (the measured cause of dedup_semantic_exact's flat
+    * 8-vs-32-core ratio and its rank as the registry's slowest bench
+    * entry). A salt on the join key cannot fix a broadcast join — the
+    * stream side is never shuffled by the key (measured: the salted
+    * variant planned the exploded side INTO the broadcast and kept the
+    * single stream task, 3.26 → 4.27 s). One hash repartition of the
+    * stream side to the session's core count is the whole fix: the
+    * exchange moves ~2000 rows, the joined row set is untouched, and
+    * the downstream distinct/orderBy already owns the output order.
+    */
+  private def spreadForJoin(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("vec_id"))
 
   /** 64-bit SimHash per document: hash each token, sum ±1 per bit position
     * weighted by occurrence, take the sign vector as the signature bits.

@@ -42,13 +42,11 @@ object PlanDump {
       val formatted =
         df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val finalPlan = df.queryExecution.executedPlan.toString
+      // plain concatenation, NOT stripMargin over interpolated plans: a
+      // plan line whose first non-space char is '|' would be truncated
       val body =
-        s"""== query: $name  ($suffix; sfDir=$sfDir) ==
-           |
-           |$formatted
-           |== AQE final executed plan ==
-           |
-           |$finalPlan""".stripMargin
+        s"== query: $name  ($suffix; sfDir=$sfDir) ==\n\n" +
+          s"$formatted\n== AQE final executed plan ==\n\n$finalPlan"
       val out = outDir.resolve(s"${name}_$suffix.txt")
       Files.write(out, body.getBytes(StandardCharsets.UTF_8))
       System.err.println(s"[plandump] wrote $out")
