@@ -154,10 +154,12 @@ object DedupOps {
   private[graft] def shingleTruthPairs(s: SparkSession, d: String)
       : DataFrame = {
     val docs = shingleDocSets(s, d).persist()
+    // the doc-set side is the gate's budget (≤ ~LshGateTargetDocs docs)
+    // — broadcast-class by construction, see verifyJaccard
     try verifyJaccard(
       prefixCandidates(
         docs.select(col("doc_id"), explode(col("gs")).as("g")), 0.8),
-      docs, 0.8)
+      docs, 0.8, broadcastDocs = true)
       .localCheckpoint(true)
     finally docs.unpersist(false)
   }
@@ -233,7 +235,7 @@ object DedupOps {
         val t = verifyJaccard(
             prefixCandidates(
               sub.select(col("doc_id"), explode(col("gs")).as("g")), 0.8),
-            sub, 0.8)
+            sub, 0.8, broadcastDocs = true)
           .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
         // subset ids: tiny (≈ the budget) — broadcast semi-joins
         val ids = sub.select(col("doc_id")).localCheckpoint(true)
@@ -667,7 +669,8 @@ object DedupOps {
   private[graft] def probePrefixCandidatesFrom(prefix: DataFrame)
       : DataFrame = candidatesFromPrefix(prefix, 0.8)
   private[graft] def probeVerify(cand: DataFrame, docSets: DataFrame,
-      thr: Double): DataFrame = verifyJaccard(cand, docSets, thr)
+      thr: Double): DataFrame =
+    verifyJaccard(cand, docSets, thr, broadcastDocs = true)
 
   /** Incremental candidate pairs: candidates TOUCHING a new document
     * batch — (new × corpus) ∪ (new × new) — without ever generating the
@@ -714,10 +717,22 @@ object DedupOps {
     * ~4 s for this shape at sf0.1).
     */
   private def verifyJaccard(cand: DataFrame, docSets: DataFrame,
-      thr: Double): DataFrame = {
+      thr: Double, broadcastDocs: Boolean = false): DataFrame = {
+    // broadcastDocs: the caller asserts the doc-set side is
+    // budget-bounded (the gate truth builds cap at ~[[LshGateTargetDocs]]
+    // docs × ~200 grams ≈ 80 MB — broadcast-class at ANY corpus size by
+    // construction). Without the hint the planner's array-size estimate
+    // tips the join to sort-merge past ~10 MB, and the candidate stream
+    // is shuffled TWICE with both gram arrays attached — measured 358 s
+    // vs ~23 s at sf1 (bench/lsh_truth_probe_r16_sf1*.json). Corpus-sized
+    // doc-set sides (ngramJaccardPairs) keep the planner's choice.
+    def side(nm: String) = {
+      val d = docSets.toDF(nm, "gs" + nm.takeRight(1))
+      if (broadcastDocs) broadcast(d) else d
+    }
     cand
-      .join(docSets.toDF("doc_a", "gsa"), "doc_a")
-      .join(docSets.toDF("doc_b", "gsb"), "doc_b")
+      .join(side("doc_a"), "doc_a")
+      .join(side("doc_b"), "doc_b")
       .withColumn("c", graft.functions.TextExprs
         .sortedIntersectSize(col("gsa"), col("gsb")))
       .withColumn("jaccard", round(
