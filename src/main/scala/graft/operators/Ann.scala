@@ -543,6 +543,18 @@ object Ann {
   private def commitIndexMeta(s: SparkSession, dir: String,
       cents: Seq[Seq[Double]]): IvfIndex = {
       import s.implicits._
+      val timing = scala.util.Try(
+        s.conf.get("spark.graft.maintenance.timing")).toOption
+        .contains("true")
+      def timed[T](label: String)(f: => T): T =
+        if (!timing) f
+        else {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(f"[maint-timing] meta/$label " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          r
+        }
       cents.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
@@ -550,7 +562,7 @@ object Ann {
       // instead of re-walking the 10^4-cell tree (the decade's 15 s
       // listing, paid once per SESSION before — now once per GENERATION,
       // by the writer). Written before the ready marker, like _centroids.
-      CellManifest.rewrite(s, dir)
+      timed("manifest_rewrite")(CellManifest.rewrite(s, dir))
       // presence-probe bloom over the generation's ids ([[GenBloomFile]])
       // — one id-column pass at commit buys every streamed epoch a
       // definitely-absent pre-filter; skipped past the size cap (the
@@ -561,10 +573,23 @@ object Ann {
       // measured 15 s listing this commit already paid once inside
       // `rewrite` — so the fallback read only fires for dirs the
       // manifest could not describe (it never is, post-rewrite).
-      val genIds = CellManifest.readAsDf(s, dir)
-        .getOrElse(s.read.parquet(dir)).select(col("vec_id"))
-      writeIdBloom(s, new org.apache.hadoop.fs.Path(dir, GenBloomFile),
-        genIds, genIds.count())
+      timed("gen_bloom") {
+        // one materialization feeds BOTH the count and the bloom
+        // aggregate: the id column is ~8 B/row but the generation tree
+        // is 10⁴ tiny files, so each job over it is file-OPEN-bound,
+        // not byte-bound — two uncached jobs paid 2 × 10⁴ footer reads
+        // (measured 12–17 s of the commit; see writeIdBloom's fan-in
+        // note for the other half of that number). Coalesced small so
+        // the persist holds a handful of blocks and the bloom merge
+        // sees a handful of partials.
+        val genIds = CellManifest.readAsDf(s, dir)
+          .getOrElse(s.read.parquet(dir)).select(col("vec_id"))
+          .coalesce(BloomAggMaxPartitions).persist()
+        try
+          writeIdBloom(s, new org.apache.hadoop.fs.Path(dir, GenBloomFile),
+            genIds, genIds.count())
+        finally { genIds.unpersist(false); () }
+      }
       val marker = new org.apache.hadoop.fs.Path(dir, ReadyMarker)
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       val out = fs.create(marker, true)
@@ -979,10 +1004,24 @@ object Ann {
     * removed) when `n` exceeds [[bloomMaxItems]] — a missing sidecar
     * degrades the probe to exact, never to wrong.
     */
+  /** Cap on the bloom aggregation's partial fan-in: `stat.bloomFilter`
+    * ships ONE partial filter per scan partition to the merge, and a
+    * GENERATION-sized id scan plans one partition per ~32 packed cell
+    * files — measured at the 2M/10⁴-cell decade: ~313 partials ×
+    * 3.6 MB (2M items at fpp 0.001) ≈ 1.1 GB serialized into the merge,
+    * 12–17 s of the generation commit for a 16 MB id column
+    * (`bench/compact_probe_r16_base.json` phase walls). Reading the
+    * same bytes through a few coalesced partitions ships a few partials
+    * instead; the filter built is identical (bloom merge is
+    * commutative/associative). 8 keeps the tiny scan parallel enough.
+    */
+  private val BloomAggMaxPartitions = 8
+
   private def writeIdBloom(s: SparkSession, path: org.apache.hadoop.fs.Path,
       ids: DataFrame, n: Long): Unit = {
     if (n > 0 && n <= bloomMaxItems(s))
-      writeBloomFile(s, path, ids.stat.bloomFilter("vec_id", n, BloomFpp))
+      writeBloomFile(s, path, ids.coalesce(BloomAggMaxPartitions)
+        .stat.bloomFilter("vec_id", n, BloomFpp))
     else {
       scala.util.Try(hadoopFs(s, path).delete(path, false))
       ()
@@ -1200,9 +1239,20 @@ object Ann {
     * [[indexData]]). A bare `spark.read.parquet(dir)` misses the
     * `_`-prefixed delta tier, so every consumer that means "everything
     * the appends landed" must come through here.
+    *
+    * The base tier plans from the commit-time [[CellManifest]] when one
+    * exists, exactly like the serving read: a bare `read.parquet` pays
+    * the decade's 15 s partition-inference tree walk PER CALL, and the
+    * maintenance/verification consumers (conservation counts, codes
+    * re-encode, compaction) call this repeatedly between generations.
+    * The listing source is manifest-vs-walk only — row contents still
+    * come from the parquet files, and ManifestSpec pins manifest ==
+    * tree for every writer. Fresh (unmemoized) on purpose: these are
+    * verification surfaces.
     */
   def physicalRows(s: SparkSession, dir: String): DataFrame = {
-    val base = s.read.parquet(dir)
+    val base = CellManifest.readAsDf(s, dir)
+      .getOrElse(s.read.parquet(dir))
     DeltaTier.read(s, dir)
       .map(d => base.unionByName(d.select(base.columns.map(col)
         .toSeq: _*)))
@@ -1312,6 +1362,22 @@ object Ann {
     */
   def compactIndex(s: SparkSession, idx: IvfIndex, dstDir: String)
       : IvfIndex = {
+    // phase walls on stderr when `spark.graft.maintenance.timing` is set
+    // (the ingest-timing precedent, applied to the maintenance window:
+    // the churn rehearsal's 62.6 s compaction block was unattributable
+    // from the one aggregate number)
+    val timing = scala.util.Try(
+      s.conf.get("spark.graft.maintenance.timing")).toOption
+      .contains("true")
+    def timed[T](label: String)(f: => T): T =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[maint-timing] compact/$label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        r
+      }
     // LIVE rows only: compaction is where tombstones are applied
     // physically — the new generation starts with an empty delete set
     val live = indexData(s, idx)
@@ -1324,15 +1390,19 @@ object Ann {
     // claiming servable for something that is not. Refuse with the fix
     // in the message; full erasure is "delete the index dir", not a
     // generation swap.
-    require(!live.isEmpty,
-      s"index at ${idx.dir} has no live rows (every row tombstoned) — " +
-        "an empty generation is not servable; delete the index dir " +
-        "and rebuild when data returns instead of compacting")
-    live
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
+    timed("empty_check") {
+      require(!live.isEmpty,
+        s"index at ${idx.dir} has no live rows (every row tombstoned) — " +
+          "an empty generation is not servable; delete the index dir " +
+          "and rebuild when data returns instead of compacting")
+    }
+    timed("fold_write") {
+      live
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dstDir)
+    }
     invalidateIndexRead(s, dstDir)
-    val out = commitIndexMeta(s, dstDir, idx.cents)
+    val out = timed("commit_meta")(commitIndexMeta(s, dstDir, idx.cents))
     // a committed codes generation rides the swap: codes are per-vec_id
     // and compaction changes neither vectors nor cells, so carrying
     // them (minus tombstones) is a pure m-bytes/row layout move — ~32×
@@ -1340,7 +1410,7 @@ object Ann {
     // otherwise pay on first composed query. Committed AFTER the data
     // marker under its own marker: a crash here leaves a servable data
     // generation whose codes rebuild on demand.
-    Pq.carryCodesInto(s, idx, out)
+    timed("carry_codes")(Pq.carryCodesInto(s, idx, out))
     out
   }
 

@@ -164,6 +164,10 @@ object IngestRehearsal {
     val wd = java.nio.file.Files
       .createTempDirectory("graft-ingest-rehearsal-").toString
     val spark = session(cpus)
+    // phase walls for the parent-side maintenance window (compaction,
+    // generation commit) — same evidence standard as the child's
+    // always-on [ingest-timing] stage walls
+    spark.conf.set("spark.graft.maintenance.timing", "true")
 
     // ---- stage: built index on the even half, odd half as batch files
     val ev = spark.read.parquet(s"$corpus/embeddings.parquet")
