@@ -1319,8 +1319,15 @@ object DedupOps {
       // whole subset and degenerate this twin into dedup_semantic_exact
       def inBatch(df: DataFrame): DataFrame =
         df.filter(pmod((col("vec_id") / lit(m)).cast("long"), lit(10)) === 0)
+      // spread ONLY the arm whose stream side is the full subset: both
+      // arms run the same ~400k-pair kernel, but the batch-stream arm's
+      // stream side is ~200 rows — its one-task kernel is trivial, and
+      // the exchange+stage the spread adds costs more than it
+      // parallelizes (measured sf0.1 minima: both arms spread 1.31 s
+      // vs large-arm-only 1.12 s, bench/micro_r16_{semtwins,
+      // twin_armfix}.json)
       semanticPairs(spreadForJoin(v), inBatch(v))
-        .unionByName(semanticPairs(spreadForJoin(inBatch(v)), v))
+        .unionByName(semanticPairs(inBatch(v), v))
         .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
