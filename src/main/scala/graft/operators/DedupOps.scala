@@ -1319,14 +1319,15 @@ object DedupOps {
       // whole subset and degenerate this twin into dedup_semantic_exact
       def inBatch(df: DataFrame): DataFrame =
         df.filter(pmod((col("vec_id") / lit(m)).cast("long"), lit(10)) === 0)
-      // spread ONLY the arm whose stream side is the full subset: both
-      // arms run the same ~400k-pair kernel, but the batch-stream arm's
-      // stream side is ~200 rows — its one-task kernel is trivial, and
-      // the exchange+stage the spread adds costs more than it
-      // parallelizes (measured sf0.1 minima: both arms spread 1.31 s
-      // vs large-arm-only 1.12 s, bench/micro_r16_{semtwins,
-      // twin_armfix}.json)
-      semanticPairs(spreadForJoin(v), inBatch(v))
+      // NO spread on either arm (unlike dedup_semantic_exact): the twin
+      // is count-bounded (ExactTwinTargetRows) so each arm's kernel is
+      // ≤ subset × batch ≈ 400k pairs at ANY corpus scale — a tenth of
+      // the exact twin's n² kernel — and the spread exchange costs more
+      // scheduling than the one-task kernel it parallelizes (measured
+      // sf0.1 minima: both arms spread 1.31 s, large-arm-only 1.12 s,
+      // spread-free 1.00 s — bench/micro_r16_{semtwins,twin_armfix,
+      // twin_nospread}.json)
+      semanticPairs(v, inBatch(v))
         .unionByName(semanticPairs(inBatch(v), v))
         .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
